@@ -1,0 +1,682 @@
+"""XPBD solver: extended position-based dynamics for rigid bodies,
+particles, cloth and soft bodies.
+
+TPU-native re-design of reference newton/_src/solvers/xpbd/solver_xpbd.py:35
+(step :330) + kernels.py. Differences from the reference's Warp design:
+
+- **Jacobi with relaxation instead of atomics.** The reference scatters
+  per-constraint deltas with atomic adds and a relaxation factor; we compute
+  all constraint corrections in parallel and combine them with
+  ``jax.ops.segment_sum`` — bit-deterministic, differentiable, and maps to
+  XLA reductions (no DeterministicMode axis needed).
+- **Static contact slots.** Contacts arrive in build-time-fixed slots with
+  static slot->body maps (ModelStructure.slot_body0/1), so the contact solve
+  is pure gather/segment_sum with no dynamic indexing.
+- **lax.scan over iterations** — the solve loop is one fused XLA loop;
+  reverse-mode AD works through it (replacing the reference's
+  allocate-fresh-arrays-for-wp.Tape pattern, solver_xpbd.py:471-482).
+
+The step contract matches SolverBase: pure function, returns the new State,
+and writes joint coordinates back via eval_ik like the reference does.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..math import (
+    quat_conjugate,
+    quat_mul,
+    quat_normalize,
+    quat_rotate,
+    quat_rotate_inv,
+    quat_to_matrix,
+    transform_multiply,
+    transform_point,
+)
+from ..sim.articulation import eval_ik
+from ..sim.contacts import Contacts
+from ..sim.control import Control
+from ..sim.enums import JointType
+from ..sim.model import Model
+from ..sim.state import State
+from .solver import SolverBase, integrate_bodies, integrate_particles
+
+__all__ = ["SolverXPBD"]
+
+
+def _segment_add(data, idx, num):
+    """Deterministic scatter-add (rows of ``data`` summed per body index)."""
+    return jax.ops.segment_sum(data, idx, num_segments=num)
+
+
+class SolverXPBD(SolverBase):
+    """Extended position-based dynamics (reference: solver_xpbd.py:35).
+
+    Args:
+        iterations: positional solver iterations per substep.
+        relaxation: Jacobi relaxation factor for accumulated corrections.
+        joint_linear_compliance / joint_angular_compliance: XPBD compliance
+            for joint constraints (0 = rigid).
+        rigid_contact_relaxation: relaxation for contact corrections.
+        angular_damping: passed to the semi-implicit integrator.
+    """
+
+    def __init__(self, model: Model, iterations: int = 4,
+                 relaxation: float = 0.7,
+                 joint_linear_compliance: float = 0.0,
+                 joint_angular_compliance: float = 0.0,
+                 rigid_contact_relaxation: float = 0.8,
+                 angular_damping: float = 0.05,
+                 enable_restitution: bool = True,
+                 friction_epsilon: float = 1e-5):
+        super().__init__(model)
+        self.iterations = int(iterations)
+        self.relaxation = float(relaxation)
+        self.joint_linear_compliance = float(joint_linear_compliance)
+        self.joint_angular_compliance = float(joint_angular_compliance)
+        self.rigid_contact_relaxation = float(rigid_contact_relaxation)
+        self.angular_damping = float(angular_damping)
+        self.enable_restitution = bool(enable_restitution)
+        self.friction_epsilon = float(friction_epsilon)
+        self._plan = _XPBDPlan(model)
+
+    # ------------------------------------------------------------------
+    def step(self, state_in: State, state_out: Optional[State] = None,
+             control: Optional[Control] = None,
+             contacts: Optional[Contacts] = None, dt: float = 1e-3) -> State:
+        model = self.model
+        plan = self._plan
+        B = model.body_count
+        dtype = state_in.body_q.dtype
+
+        state = state_in
+        # 1. joint forces -> body wrenches (reference :437-455)
+        if control is not None and model.structure.joint_dof_count:
+            state = state.replace(body_f=state.body_f +
+                                  plan.joint_forces_to_body_f(model, state, control))
+
+        # 2. predict with semi-implicit integration
+        body_q_pred, body_qd_pred = integrate_bodies(
+            model, state, dt, self.angular_damping)
+        particle_q_pred, particle_qd_pred = integrate_particles(model, state, dt)
+
+        if B:
+            x_prev_com = state.body_q[:, 0:3] + quat_rotate(
+                state.body_q[:, 3:7], model.body_com)
+            x = body_q_pred[:, 0:3] + quat_rotate(body_q_pred[:, 3:7], model.body_com)
+            q = body_q_pred[:, 3:7]
+            q_prev = state.body_q[:, 3:7]
+        else:
+            x = jnp.zeros((0, 3), dtype=dtype)
+            q = jnp.zeros((0, 4), dtype=dtype)
+            x_prev_com = x
+            q_prev = q
+
+        px = particle_q_pred
+        px_prev = state.particle_q
+
+        C = contacts.rigid_contact_max if contacts is not None else 0
+        lam_n = jnp.zeros((C,), dtype=dtype)
+
+        # contact anchors in collide-time body-local frames: penetration is
+        # re-evaluated from *current* poses every iteration (the collide-time
+        # depth alone double-corrects once the prediction has moved)
+        anchors = None
+        if B and contacts is not None and C:
+            anchors = plan.contact_local_anchors(model, state_in, contacts)
+
+        # 3. iterate positional constraints (lax.scan -> differentiable)
+        def one_iteration(carry, _):
+            x, q, px, lam_n = carry
+            if B:
+                dx, dth, nconst = plan.solve_joints(
+                    model, x, q, dt,
+                    self.joint_linear_compliance,
+                    self.joint_angular_compliance,
+                    control)
+                if contacts is not None and C:
+                    dxc, dthc, ncc, lam_n2 = plan.solve_rigid_contacts(
+                        model, x, q, contacts, anchors, lam_n, dt)
+                    dx = dx + dxc * self.rigid_contact_relaxation / self.relaxation
+                    dth = dth + dthc * self.rigid_contact_relaxation / self.relaxation
+                    nconst = nconst + ncc
+                    lam_n = lam_n2
+                # averaged Jacobi: divide by per-body constraint count to
+                # avoid overshoot (reference uses atomic relaxation weights)
+                denom = jnp.maximum(nconst, 1.0)[:, None]
+                x = x + self.relaxation * dx / denom
+                dq = quat_mul(jnp.concatenate(
+                    [dth / denom, jnp.zeros_like(dth[:, :1])], axis=-1), q)
+                q = quat_normalize(q + 0.5 * self.relaxation * dq)
+            if model.particle_count:
+                dpx = plan.solve_particles(model, px, px_prev, contacts, dt)
+                px = px + self.relaxation * dpx
+            return (x, q, px, lam_n), None
+
+        (x, q, px, lam_n), _ = jax.lax.scan(
+            one_iteration, (x, q, px, lam_n), None, length=self.iterations)
+
+        # 4. velocity reconstruction from positions (reference :560+)
+        if B:
+            v = (x - x_prev_com) / dt
+            dq_rel = quat_mul(q, quat_conjugate(q_prev))
+            w = 2.0 / dt * dq_rel[:, 0:3]
+            w = jnp.where(dq_rel[:, 3:4] < 0.0, -w, w)
+            # kinematic/static bodies keep integrator velocities
+            dyn = (model.body_inv_mass > 0)[:, None]
+            v = jnp.where(dyn, v, body_qd_pred[:, 0:3])
+            w = jnp.where(dyn, w, body_qd_pred[:, 3:6])
+        else:
+            v = jnp.zeros((0, 3), dtype=dtype)
+            w = jnp.zeros((0, 3), dtype=dtype)
+
+        # 5. contact velocity pass: restitution + dynamic friction
+        if B and contacts is not None and C:
+            v, w = plan.velocity_pass(
+                model, x, q, v, w, state_in, contacts, lam_n, dt,
+                self.enable_restitution)
+
+        if model.particle_count:
+            pv = (px - px_prev) / dt
+            active = (model.particle_inv_mass > 0)[:, None]
+            pv = jnp.where(active, pv, state_in.particle_qd)
+            px = jnp.where(active, px, state_in.particle_q)
+        else:
+            pv = state_in.particle_qd
+
+        if B:
+            body_q = jnp.concatenate([x - quat_rotate(q, model.body_com), q], axis=-1)
+            body_qd = jnp.concatenate([v, w], axis=-1)
+        else:
+            body_q, body_qd = state_in.body_q, state_in.body_qd
+
+        out = state_in.replace(body_q=body_q, body_qd=body_qd,
+                               particle_q=px, particle_qd=pv)
+        # write back generalized coordinates (reference updates joint_q via IK)
+        if model.structure.joint_count:
+            jq, jqd = eval_ik(model, out)
+            out = out.replace(joint_q=jq, joint_qd=jqd)
+        return out
+
+
+class _XPBDPlan:
+    """Host-precomputed static plans + vectorized constraint kernels."""
+
+    def __init__(self, model: Model):
+        st = model.structure
+        self.st = st
+        J = st.joint_count
+        jt = st.joint_type
+        self.has_joints = J > 0
+        # per-joint static masks
+        self.j_parent = np.maximum(st.joint_parent, 0)
+        self.j_has_parent = (st.joint_parent >= 0)
+        self.j_child = st.joint_child
+        self.is_free = np.isin(jt, [int(JointType.FREE), int(JointType.DISTANCE)])
+        self.is_ball = jt == int(JointType.BALL)
+        self.is_fixed = jt == int(JointType.FIXED)
+        self.is_rev = jt == int(JointType.REVOLUTE)
+        self.is_pris = jt == int(JointType.PRISMATIC)
+        self.lock_rot = self.is_fixed | self.is_pris
+        # first dof index per joint (axis/limit lookup for 1-dof joints)
+        self.dof0 = st.joint_qd_start[:-1] if J else np.zeros(0, np.int32)
+        self.coord0 = st.joint_q_start[:-1] if J else np.zeros(0, np.int32)
+
+        # contact slot -> body maps
+        self.slot_body0 = getattr(st, "slot_body0", np.zeros(0, np.int32))
+        self.slot_body1 = getattr(st, "slot_body1", np.zeros(0, np.int32))
+        self.slot_shape0 = getattr(st, "slot_shape0", np.zeros(0, np.int32))
+        self.slot_shape1 = getattr(st, "slot_shape1", np.zeros(0, np.int32))
+
+        # particle constraint topology
+        self.has_springs = st.spring_count > 0
+        self.has_tris = st.tri_count > 0
+        self.has_tets = st.tet_count > 0
+        self.has_edges = st.edge_count > 0
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _inv_inertia_world(model: Model, q):
+        R = quat_to_matrix(q)
+        return jnp.einsum("bij,bjk,blk->bil", R, model.body_inv_inertia, R)
+
+    def joint_forces_to_body_f(self, model: Model, state: State,
+                               control: Control):
+        """Map generalized dof forces to body wrenches for 1-dof joints
+        (reference xpbd apply_joint_forces)."""
+        st = self.st
+        B = model.body_count
+        dtype = state.body_q.dtype
+        f_out = jnp.zeros((B, 6), dtype=dtype)
+        if not self.has_joints:
+            return f_out
+        one_dof = self.is_rev | self.is_pris
+        if not one_dof.any():
+            return f_out
+        j = np.nonzero(one_dof)[0]
+        dof = self.dof0[j]
+        tau = control.joint_f[dof]                          # (nj,)
+        # world axis from parent anchor frame
+        parent = self.j_parent[j]
+        hasp = jnp.asarray(self.j_has_parent[j])[:, None]
+        X_wp = jnp.where(hasp, state.body_q[parent],
+                         jnp.zeros((7,), dtype=dtype).at[6].set(1.0))
+        X_pj = transform_multiply(X_wp, model.joint_X_p[j])
+        axis_w = quat_rotate(X_pj[:, 3:7], model.joint_axis[dof])
+        child = self.j_child[j]
+        rev = jnp.asarray(self.is_rev[j])[:, None]
+        # revolute: pure torque about the axis
+        torque = axis_w * tau[:, None]
+        # prismatic: force along the axis at the joint anchor
+        force = axis_w * tau[:, None]
+        anchor = X_pj[:, 0:3]
+        com_c = transform_point(state.body_q[child], model.body_com[child])
+        com_p = transform_point(X_wp, model.body_com[parent])
+        arm_c = anchor - com_c
+        arm_p = anchor - com_p
+        f_c = jnp.where(rev, 0.0, force)
+        t_c = jnp.where(rev, torque, jnp.cross(arm_c, force))
+        f_p = -f_c
+        t_p = jnp.where(rev, -torque, jnp.cross(arm_p, -force))
+        wrench_c = jnp.concatenate([f_c, t_c], axis=-1)
+        wrench_p = jnp.concatenate([f_p, t_p], axis=-1) * hasp
+        f_out = f_out.at[child].add(wrench_c)
+        f_out = f_out.at[parent].add(wrench_p)
+        return f_out
+
+    # ------------------------------------------------------------------
+    def solve_joints(self, model: Model, x, q, dt, lin_compliance,
+                     ang_compliance, control):
+        """Positional + angular joint corrections, Jacobi over all joints.
+
+        Returns (dx (B,3), dtheta (B,3), nconstraints (B,)).
+        """
+        st = self.st
+        B = model.body_count
+        dtype = x.dtype
+        J = st.joint_count
+        dx = jnp.zeros((B, 3), dtype=dtype)
+        dth = jnp.zeros((B, 3), dtype=dtype)
+        ncon = jnp.zeros((B,), dtype=dtype)
+        if J == 0:
+            return dx, dth, ncon
+
+        parent = self.j_parent
+        child = self.j_child
+        hasp = jnp.asarray(self.j_has_parent)[:, None]
+        identity = jnp.zeros((7,), dtype=dtype).at[6].set(1.0)
+
+        # body origin poses from (x_com, q)
+        p_origin = x - quat_rotate(q, model.body_com)
+        body_pose = jnp.concatenate([p_origin, q], axis=-1)
+
+        X_wp = jnp.where(hasp, body_pose[parent], identity)
+        X_pj = transform_multiply(X_wp, model.joint_X_p)
+        X_cj = transform_multiply(body_pose[child], model.joint_X_c)
+
+        inv_m = model.body_inv_mass
+        Iinv = self._inv_inertia_world(model, q)
+        im_p = jnp.where(hasp[:, 0], inv_m[parent], 0.0)
+        im_c = inv_m[child]
+        Iinv_p = jnp.where(hasp[:, :, None], Iinv[parent], 0.0)
+        Iinv_c = Iinv[child]
+
+        free = jnp.asarray(self.is_free)[:, None]
+
+        # ---------------- positional constraint ----------------
+        e = X_cj[:, 0:3] - X_pj[:, 0:3]
+        # prismatic: allow motion along the world axis within limits
+        axis_w = quat_rotate(X_pj[:, 3:7], model.joint_axis[self.dof0])
+        pris = jnp.asarray(self.is_pris)[:, None]
+        s_along = jnp.sum(e * axis_w, axis=-1)
+        lo = model.joint_limit_lower[self.dof0]
+        hi = model.joint_limit_upper[self.dof0]
+        s_clamped = jnp.clip(s_along, lo, hi)
+        e_pris = e - axis_w * s_along[:, None] + axis_w * (s_along - s_clamped)[:, None]
+        e = jnp.where(pris, e_pris, e)
+        e = jnp.where(free, 0.0, e)
+
+        c = jnp.linalg.norm(e, axis=-1)
+        n = e / jnp.maximum(c, 1e-9)[:, None]
+        r_p = X_pj[:, 0:3] - jnp.where(hasp, x[parent], 0.0)
+        r_c = X_cj[:, 0:3] - x[child]
+        rpn = jnp.cross(r_p, n)
+        rcn = jnp.cross(r_c, n)
+        w_p = im_p + jnp.einsum("jc,jcd,jd->j", rpn, Iinv_p, rpn)
+        w_c = im_c + jnp.einsum("jc,jcd,jd->j", rcn, Iinv_c, rcn)
+        alpha = lin_compliance / (dt * dt)
+        dlam = c / jnp.maximum(w_p + w_c + alpha, 1e-9)
+        imp = n * dlam[:, None]                               # push child -> parent anchor
+        active = (c > 1e-9)
+        imp = imp * active[:, None]
+
+        dx = dx.at[child].add(-imp * im_c[:, None])
+        dth = dth.at[child].add(-jnp.einsum("jcd,jd->jc", Iinv_c, jnp.cross(r_c, imp)))
+        dx = dx.at[parent].add(imp * im_p[:, None])
+        dth = dth.at[parent].add(jnp.einsum("jcd,jd->jc", Iinv_p, jnp.cross(r_p, imp)))
+        ncon = ncon.at[child].add(active.astype(dtype))
+        ncon = ncon.at[parent].add((active & self.j_has_parent).astype(dtype))
+
+        # ---------------- angular constraints ----------------
+        # total angular error vector (world) the child must rotate by -dO
+        q_rel = quat_mul(quat_conjugate(X_pj[:, 3:7]), X_cj[:, 3:7])
+        q_rel = jnp.where(q_rel[:, 3:4] < 0, -q_rel, q_rel)
+        lock = jnp.asarray(self.lock_rot)[:, None]
+        # full lock: dO = 2 * vec(q_rel) in parent-anchor frame -> world
+        dO_lock = quat_rotate(X_pj[:, 3:7], 2.0 * q_rel[:, 0:3])
+        # revolute: align axes + limits about the axis
+        rev = jnp.asarray(self.is_rev)[:, None]
+        a_p = axis_w
+        a_c = quat_rotate(X_cj[:, 3:7], model.joint_axis[self.dof0])
+        dO_align = jnp.cross(a_p, a_c)
+        # revolute joint limits: twist angle about axis
+        twist = 2.0 * jnp.arctan2(jnp.sum(q_rel[:, 0:3] * model.joint_axis[self.dof0],
+                                          axis=-1), q_rel[:, 3])
+        t_clamped = jnp.clip(twist, lo, hi)
+        dO_limit = a_p * (twist - t_clamped)[:, None]
+        dO = jnp.where(lock, dO_lock,
+                       jnp.where(rev, dO_align + dO_limit, 0.0))
+
+        th = jnp.linalg.norm(dO, axis=-1)
+        n_a = dO / jnp.maximum(th, 1e-9)[:, None]
+        wa_p = jnp.einsum("jc,jcd,jd->j", n_a, Iinv_p, n_a)
+        wa_c = jnp.einsum("jc,jcd,jd->j", n_a, Iinv_c, n_a)
+        alpha_a = ang_compliance / (dt * dt)
+        dlam_a = th / jnp.maximum(wa_p + wa_c + alpha_a, 1e-9)
+        imp_a = n_a * dlam_a[:, None]
+        active_a = th > 1e-9
+        imp_a = imp_a * active_a[:, None]
+        dth = dth.at[child].add(-jnp.einsum("jcd,jd->jc", Iinv_c, imp_a))
+        dth = dth.at[parent].add(jnp.einsum("jcd,jd->jc", Iinv_p, imp_a)
+                                 * hasp)
+        ncon = ncon.at[child].add(active_a.astype(dtype))
+        ncon = ncon.at[parent].add((active_a & self.j_has_parent).astype(dtype))
+
+        # position/velocity target drives (compliance = 1/ke) about the axis
+        if control is not None:
+            ke = model.joint_target_ke[self.dof0]
+            has_drive = (self.is_rev | self.is_pris)
+            tq = control.joint_target_q[self.coord0]
+            # revolute drive: rotate about axis toward target angle
+            drive_err_rot = a_p * (twist - tq)[:, None]
+            alpha_d = 1.0 / jnp.maximum(ke, 1e-9) / (dt * dt)
+            wd = wa_p + wa_c
+            dlam_d = jnp.where(jnp.asarray(has_drive) & (ke > 0),
+                               jnp.linalg.norm(drive_err_rot, axis=-1)
+                               / jnp.maximum(wd + alpha_d, 1e-9), 0.0)
+            nd = drive_err_rot / jnp.maximum(
+                jnp.linalg.norm(drive_err_rot, axis=-1), 1e-9)[:, None]
+            imp_d = nd * dlam_d[:, None] * jnp.asarray(self.is_rev)[:, None]
+            dth = dth.at[child].add(-jnp.einsum("jcd,jd->jc", Iinv_c, imp_d))
+            dth = dth.at[parent].add(jnp.einsum("jcd,jd->jc", Iinv_p, imp_d) * hasp)
+            # prismatic drive: translate along axis toward target
+            drive_err_lin = a_p * (s_along - tq)[:, None]
+            wdp = w_p + w_c
+            dlam_p = jnp.where(jnp.asarray(self.is_pris) & (ke > 0),
+                               jnp.linalg.norm(drive_err_lin, axis=-1)
+                               / jnp.maximum(wdp + alpha_d, 1e-9), 0.0)
+            ndp = drive_err_lin / jnp.maximum(
+                jnp.linalg.norm(drive_err_lin, axis=-1), 1e-9)[:, None]
+            imp_p2 = ndp * dlam_p[:, None]
+            dx = dx.at[child].add(-imp_p2 * im_c[:, None])
+            dx = dx.at[parent].add(imp_p2 * im_p[:, None])
+
+        return dx, dth, ncon
+
+    # ------------------------------------------------------------------
+    def contact_local_anchors(self, model: Model, state_in: State,
+                              contacts: Contacts):
+        """Contact surface points in collide-time body-local frames.
+
+        Returns (l0, l1): local offsets from each body's COM such that the
+        world anchors track the bodies as they move during the solve."""
+        b0 = np.maximum(self.slot_body0, 0)
+        b1 = np.maximum(self.slot_body1, 0)
+        x_in = state_in.body_q[:, 0:3] + quat_rotate(
+            state_in.body_q[:, 3:7], model.body_com)
+        q_in = state_in.body_q[:, 3:7]
+        n = contacts.rigid_contact_normal
+        p = contacts.rigid_contact_position
+        d = contacts.rigid_contact_depth[:, None]
+        p0 = p + n * (0.5 * d)        # shape0's deepest point (into shape1)
+        p1 = p - n * (0.5 * d)        # shape1's deepest point (into shape0)
+        # static shapes (body < 0) keep world-fixed anchors: store the world
+        # point itself (decoded by the matching where() in solve)
+        dyn0 = jnp.asarray(self.slot_body0 >= 0)[:, None]
+        dyn1 = jnp.asarray(self.slot_body1 >= 0)[:, None]
+        l0 = jnp.where(dyn0, quat_rotate_inv(q_in[b0], p0 - x_in[b0]), p0)
+        l1 = jnp.where(dyn1, quat_rotate_inv(q_in[b1], p1 - x_in[b1]), p1)
+        return l0, l1
+
+    def solve_rigid_contacts(self, model: Model, x, q, contacts: Contacts,
+                             anchors, lam_n, dt):
+        """Non-penetration positional corrections for all contact slots.
+
+        Penetration is re-evaluated at current poses from the collide-time
+        local anchors: C = (a1 - a0) . n with separation positive."""
+        st = self.st
+        B = model.body_count
+        dtype = x.dtype
+        b0 = np.maximum(self.slot_body0, 0)
+        b1 = np.maximum(self.slot_body1, 0)
+        dyn0 = jnp.asarray(self.slot_body0 >= 0)
+        dyn1 = jnp.asarray(self.slot_body1 >= 0)
+
+        inv_m = model.body_inv_mass
+        Iinv = self._inv_inertia_world(model, q)
+        im0 = jnp.where(dyn0, inv_m[b0], 0.0)
+        im1 = jnp.where(dyn1, inv_m[b1], 0.0)
+        I0 = jnp.where(dyn0[:, None, None], Iinv[b0], 0.0)
+        I1 = jnp.where(dyn1[:, None, None], Iinv[b1], 0.0)
+
+        n = contacts.rigid_contact_normal                     # 0 -> 1
+        l0, l1 = anchors
+        a0 = jnp.where(dyn0[:, None], x[b0] + quat_rotate(q[b0], l0), l0)
+        a1 = jnp.where(dyn1[:, None], x[b1] + quat_rotate(q[b1], l1), l1)
+        # current penetration: at collide time (a1 - a0).n == -depth
+        depth = -jnp.sum((a1 - a0) * n, axis=-1)
+        active = contacts.rigid_contact_mask & (depth > 0.0)
+
+        r0 = a0 - x[b0]
+        r1 = a1 - x[b1]
+        r0n = jnp.cross(r0, n)
+        r1n = jnp.cross(r1, n)
+        w0 = im0 + jnp.einsum("cd,cde,ce->c", r0n, I0, r0n)
+        w1 = im1 + jnp.einsum("cd,cde,ce->c", r1n, I1, r1n)
+        dlam = jnp.where(active, depth / jnp.maximum(w0 + w1, 1e-9), 0.0)
+        lam_n = lam_n + dlam
+        # n points from shape0 toward shape1: separate by moving body1 +n,
+        # body0 -n
+        imp = n * dlam[:, None]
+
+        dx = _segment_add(jnp.concatenate([imp * im1[:, None] * dyn1[:, None],
+                                           -imp * im0[:, None] * dyn0[:, None]], axis=0),
+                          np.concatenate([b1, b0]), B)
+        tor1 = jnp.einsum("cde,ce->cd", I1, jnp.cross(r1, imp)) * dyn1[:, None]
+        tor0 = -jnp.einsum("cde,ce->cd", I0, jnp.cross(r0, imp)) * dyn0[:, None]
+        dth = _segment_add(jnp.concatenate([tor1, tor0], axis=0),
+                           np.concatenate([b1, b0]), B)
+        act_f = active.astype(dtype)
+        ncon = _segment_add(jnp.concatenate([act_f * dyn1, act_f * dyn0]),
+                            np.concatenate([b1, b0]), B)
+        return dx, dth, ncon, lam_n
+
+    # ------------------------------------------------------------------
+    def velocity_pass(self, model: Model, x, q, v, w, state_in: State,
+                      contacts: Contacts, lam_n, dt, enable_restitution):
+        """Velocity-level friction + restitution at contacts
+        (reference solver_xpbd.py velocity update / restitution kernels)."""
+        st = self.st
+        B = model.body_count
+        dtype = v.dtype
+        b0 = np.maximum(self.slot_body0, 0)
+        b1 = np.maximum(self.slot_body1, 0)
+        dyn0 = jnp.asarray(self.slot_body0 >= 0)
+        dyn1 = jnp.asarray(self.slot_body1 >= 0)
+        s0 = np.maximum(self.slot_shape0, 0)
+        s1 = np.maximum(self.slot_shape1, 0)
+
+        inv_m = model.body_inv_mass
+        Iinv = self._inv_inertia_world(model, q)
+        im0 = jnp.where(dyn0, inv_m[b0], 0.0)
+        im1 = jnp.where(dyn1, inv_m[b1], 0.0)
+        I0 = jnp.where(dyn0[:, None, None], Iinv[b0], 0.0)
+        I1 = jnp.where(dyn1[:, None, None], Iinv[b1], 0.0)
+
+        n = contacts.rigid_contact_normal
+        p = contacts.rigid_contact_position
+        active = contacts.rigid_contact_mask & (lam_n > 0.0)
+
+        r0 = p - x[b0]
+        r1 = p - x[b1]
+        v0 = jnp.where(dyn0[:, None], v[b0] + jnp.cross(w[b0], r0), 0.0)
+        v1 = jnp.where(dyn1[:, None], v[b1] + jnp.cross(w[b1], r1), 0.0)
+        v_rel = v1 - v0
+        vn = jnp.sum(v_rel * n, axis=-1)
+        vt = v_rel - n * vn[:, None]
+        vt_norm = jnp.linalg.norm(vt, axis=-1)
+
+        # generalized masses along n and t
+        t_dir = vt / jnp.maximum(vt_norm, 1e-9)[:, None]
+        r0t = jnp.cross(r0, t_dir)
+        r1t = jnp.cross(r1, t_dir)
+        w_t = (im0 + jnp.einsum("cd,cde,ce->c", r0t, I0, r0t)
+               + im1 + jnp.einsum("cd,cde,ce->c", r1t, I1, r1t))
+        r0n = jnp.cross(r0, n)
+        r1n = jnp.cross(r1, n)
+        w_n = (im0 + jnp.einsum("cd,cde,ce->c", r0n, I0, r0n)
+               + im1 + jnp.einsum("cd,cde,ce->c", r1n, I1, r1n))
+
+        mu = 0.5 * (model.shape_material_mu[s0] + model.shape_material_mu[s1])
+        # dynamic friction: |dv_t| <= mu * lam_n / dt (impulse-consistent)
+        dv_t_mag = jnp.minimum(vt_norm, mu * lam_n / dt * jnp.maximum(w_t, 1e-9))
+        imp_t = -t_dir * jnp.where(active & (vt_norm > 1e-9),
+                                   dv_t_mag / jnp.maximum(w_t, 1e-9), 0.0)[:, None]
+
+        # restitution against pre-step normal velocity
+        imp_total = imp_t
+        if enable_restitution:
+            x_in = state_in.body_q[:, 0:3] + quat_rotate(
+                state_in.body_q[:, 3:7], model.body_com)
+            r0_in = p - x_in[b0]
+            r1_in = p - x_in[b1]
+            v0_in = jnp.where(dyn0[:, None],
+                              state_in.body_qd[:, 0:3][b0]
+                              + jnp.cross(state_in.body_qd[:, 3:6][b0], r0_in), 0.0)
+            v1_in = jnp.where(dyn1[:, None],
+                              state_in.body_qd[:, 0:3][b1]
+                              + jnp.cross(state_in.body_qd[:, 3:6][b1], r1_in), 0.0)
+            vn_old = jnp.sum((v1_in - v0_in) * n, axis=-1)
+            e = 0.5 * (model.shape_material_restitution[s0]
+                       + model.shape_material_restitution[s1])
+            vn_target = jnp.maximum(-e * vn_old, 0.0)
+            # threshold avoids jitter from resting contacts
+            rest_active = active & (vn_old < -2.0 * 9.81 * dt)
+            dvn = jnp.where(rest_active, vn_target - vn, -jnp.minimum(vn, 0.0) * 0.0)
+            imp_n = n * (dvn / jnp.maximum(w_n, 1e-9))[:, None]
+            imp_total = imp_total + jnp.where(rest_active[:, None], imp_n, 0.0)
+
+        dv = _segment_add(
+            jnp.concatenate([imp_total * im1[:, None] * dyn1[:, None],
+                             -imp_total * im0[:, None] * dyn0[:, None]], axis=0),
+            np.concatenate([b1, b0]), B)
+        tor1 = jnp.einsum("cde,ce->cd", I1, jnp.cross(r1, imp_total)) * dyn1[:, None]
+        tor0 = -jnp.einsum("cde,ce->cd", I0, jnp.cross(r0, imp_total)) * dyn0[:, None]
+        dw = _segment_add(jnp.concatenate([tor1, tor0], axis=0),
+                          np.concatenate([b1, b0]), B)
+        return v + dv, w + dw
+
+    # ------------------------------------------------------------------
+    def solve_particles(self, model: Model, px, px_prev,
+                        contacts: Optional[Contacts], dt):
+        """Distance/volume constraints + particle-shape contacts (Jacobi)."""
+        st = self.st
+        N = model.particle_count
+        dtype = px.dtype
+        dx = jnp.zeros((N, 3), dtype=dtype)
+        inv_m = model.particle_inv_mass
+
+        def add_distance(dx, i, j, rest, compliance):
+            d = px[j] - px[i]
+            dist = jnp.linalg.norm(d, axis=-1)
+            n = d / jnp.maximum(dist, 1e-9)[:, None]
+            c = dist - rest
+            wsum = inv_m[i] + inv_m[j]
+            dlam = c / jnp.maximum(wsum + compliance / (dt * dt), 1e-9)
+            imp = n * dlam[:, None]
+            dx = dx.at[i].add(imp * inv_m[i][:, None])
+            dx = dx.at[j].add(-imp * inv_m[j][:, None])
+            return dx
+
+        if model.structure.spring_count:
+            si = np.asarray(model.spring_indices)     # static topology
+            ke = model.spring_stiffness
+            compliance = 1.0 / jnp.maximum(ke, 1e-9)
+            dx = add_distance(dx, si[:, 0], si[:, 1],
+                              model.spring_rest_length, compliance)
+        if model.structure.tri_count:
+            ti = np.asarray(model.tri_indices)
+            # membrane approximated by edge-distance constraints (v1; the
+            # dedicated cloth solvers implement full FEM, reference kernels.py)
+            p0, p1, p2 = px[ti[:, 0]], px[ti[:, 1]], px[ti[:, 2]]
+            ke = model.tri_materials[:, 0]
+            compliance = 1.0 / jnp.maximum(ke, 1e-9)
+            rest01 = jnp.linalg.norm(
+                model.particle_q[ti[:, 1]] - model.particle_q[ti[:, 0]], axis=-1)
+            rest12 = jnp.linalg.norm(
+                model.particle_q[ti[:, 2]] - model.particle_q[ti[:, 1]], axis=-1)
+            rest20 = jnp.linalg.norm(
+                model.particle_q[ti[:, 0]] - model.particle_q[ti[:, 2]], axis=-1)
+            dx = add_distance(dx, ti[:, 0], ti[:, 1], rest01, compliance)
+            dx = add_distance(dx, ti[:, 1], ti[:, 2], rest12, compliance)
+            dx = add_distance(dx, ti[:, 2], ti[:, 0], rest20, compliance)
+        if model.structure.tet_count:
+            tt = np.asarray(model.tet_indices)
+            # volume conservation constraint per tet
+            a, b, c_, d_ = tt[:, 0], tt[:, 1], tt[:, 2], tt[:, 3]
+            p0, p1, p2, p3 = px[a], px[b], px[c_], px[d_]
+            vol = jnp.einsum("tc,tc->t", jnp.cross(p1 - p0, p2 - p0), p3 - p0) / 6.0
+            q0 = model.particle_q
+            vol0 = jnp.einsum("tc,tc->t", jnp.cross(q0[b] - q0[a], q0[c_] - q0[a]),
+                              q0[d_] - q0[a]) / 6.0
+            g1 = jnp.cross(p2 - p0, p3 - p0) / 6.0
+            g2 = jnp.cross(p3 - p0, p1 - p0) / 6.0
+            g3 = jnp.cross(p1 - p0, p2 - p0) / 6.0
+            g0 = -(g1 + g2 + g3)
+            c = vol - vol0
+            wsum = (inv_m[a] * jnp.sum(g0 * g0, -1) + inv_m[b] * jnp.sum(g1 * g1, -1)
+                    + inv_m[c_] * jnp.sum(g2 * g2, -1) + inv_m[d_] * jnp.sum(g3 * g3, -1))
+            k_lambda = model.tet_materials[:, 1]
+            compliance = 1.0 / jnp.maximum(k_lambda, 1e-9) / (dt * dt)
+            dlam = -c / jnp.maximum(wsum + compliance, 1e-9)
+            dx = dx.at[a].add(g0 * (dlam * inv_m[a])[:, None])
+            dx = dx.at[b].add(g1 * (dlam * inv_m[b])[:, None])
+            dx = dx.at[c_].add(g2 * (dlam * inv_m[c_])[:, None])
+            dx = dx.at[d_].add(g3 * (dlam * inv_m[d_])[:, None])
+            # edge distance regularization for shear stiffness
+            k_mu = model.tet_materials[:, 0]
+            comp_mu = 1.0 / jnp.maximum(k_mu, 1e-9)
+            for (u, w_) in ((a, b), (a, c_), (a, d_), (b, c_), (b, d_), (c_, d_)):
+                rest = jnp.linalg.norm(q0[w_] - q0[u], axis=-1)
+                dx = add_distance(dx, u, w_, rest, comp_mu)
+
+        # soft particle-shape contacts: linearized depth at the current
+        # particle position (contact frame frozen within the substep)
+        if contacts is not None and contacts.soft_contact_max:
+            pi = contacts.soft_contact_particle
+            n = contacts.soft_contact_normal              # outward from shape
+            depth0 = contacts.soft_contact_depth
+            radius = model.particle_radius[pi]
+            # particle position when the contact was generated
+            p_then = contacts.soft_contact_position + n * (radius - depth0)[:, None]
+            c = depth0 - jnp.sum((px[pi] - p_then) * n, axis=-1)
+            act = contacts.soft_contact_mask & (c > 0)
+            imp = n * jnp.where(act, c, 0.0)[:, None]
+            dx = dx.at[pi].add(imp * inv_m[pi][:, None])
+        return dx
