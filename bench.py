@@ -1,0 +1,119 @@
+"""North-star benchmark: batched Ant env-steps/sec.
+
+Mirrors the reference KPI benchmark configuration (reference:
+asv/benchmarks/simulation/bench_mujoco.py — replicate(robot, world_count),
+random actuation, graph capture ≙ jit) and its validity gates
+(benchmark_metrics.py:160 — NaN / quaternion / speed checks fail the run).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int, default=int(os.environ.get("BENCH_WORLDS", 4096)))
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--substeps", type=int, default=4)
+    ap.add_argument("--robot", default="ant")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import newton_tpu as nt
+    from newton_tpu.sim.articulation import eval_fk
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers.generalized.solver import SolverMuJoCo
+
+    asset_dir = "/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/assets"
+    robot_xml = os.path.join(asset_dir, f"{args.robot}.xml")
+
+    robot = nt.ModelBuilder()
+    robot.add_mjcf(robot_xml)
+    scene = nt.ModelBuilder()
+    scene.replicate(robot, args.worlds)
+    model = scene.finalize()
+
+    pipeline = CollisionPipeline(model)
+    solver = SolverMuJoCo(model, iterations=8)
+    state = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    control = model.control()
+    dt = 1.0 / 240.0
+
+    D = model.joint_dof_count
+    gear = model.custom.get("mjc:actuator_gear",
+                            jnp.zeros((D,), dtype=state.joint_q.dtype))
+
+    def frame(carry, _):
+        state, key = carry
+        key, sub = jax.random.split(key)
+        ctrl_vec = jax.random.uniform(sub, (D,), minval=-1.0, maxval=1.0)
+        ctl = control.replace(joint_f=ctrl_vec * gear)
+
+        def substep(s, _):
+            c = pipeline.collide(s)
+            return solver.step(s, None, ctl, c, dt), None
+
+        state, _ = jax.lax.scan(substep, state, None, length=args.substeps)
+        return (state, key), None
+
+    # the whole frame loop runs on-device: one dispatch per rollout, exactly
+    # like the reference's CUDA-graph capture of the substep loop
+    def rollout(state, key):
+        (state, _), _ = jax.lax.scan(frame, (state, key), None,
+                                     length=args.frames)
+        return state
+
+    rollout_j = jax.jit(rollout, donate_argnums=0)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    state = rollout_j(state, key)
+    jax.block_until_ready(state.joint_q)
+
+    t0 = time.perf_counter()
+    state = rollout_j(state, jax.random.PRNGKey(1))
+    jax.block_until_ready(state.joint_q)
+    elapsed = time.perf_counter() - t0
+
+    # validity gates (reference benchmark_metrics.py:160)
+    jq = np.asarray(state.joint_q)
+    bq = np.asarray(state.body_q)
+    if np.isnan(jq).any() or np.isnan(bq).any():
+        print(json.dumps({"metric": "ant_env_steps_per_s", "value": 0.0,
+                          "unit": "env-steps/s", "vs_baseline": 0.0,
+                          "error": "NaN state"}))
+        sys.exit(1)
+    quat_norms = np.linalg.norm(bq[:, 3:7], axis=-1)
+    if np.abs(quat_norms - 1.0).max() > 1e-2:
+        print(json.dumps({"metric": "ant_env_steps_per_s", "value": 0.0,
+                          "unit": "env-steps/s", "vs_baseline": 0.0,
+                          "error": "non-normalized quaternions"}))
+        sys.exit(1)
+
+    env_steps = args.frames * args.substeps * args.worlds
+    throughput = env_steps / elapsed
+    # vs_baseline: no published reference numbers in-repo (BASELINE.md);
+    # report ratio vs the BASELINE.json north-star placeholder 1.0
+    print(json.dumps({
+        "metric": "ant_env_steps_per_s",
+        "value": round(throughput, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(throughput / 1.0e6, 4),
+        "worlds": args.worlds,
+        "frames": args.frames,
+        "substeps": args.substeps,
+        "elapsed_s": round(elapsed, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Example framework: CLI parsing, viewer construction, run loop.
+
+TPU-native re-design of reference newton/examples/__init__.py (init :867,
+run :521, main :966). Examples are classes with
+``__init__(viewer, args)`` / ``step()`` / ``render()`` / ``test_final()``;
+``python -m newton_tpu.examples <name> --viewer null --num-frames 100``
+runs one headlessly, matching the reference CLI shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import sys
+import time
+from typing import Optional
+
+__all__ = ["create_parser", "init", "run", "main", "EXAMPLES"]
+
+EXAMPLES = {
+    "basic_pendulum": "newton_tpu.examples.example_basic_pendulum",
+    "basic_sphere": "newton_tpu.examples.example_basic_sphere",
+    "robot_ant": "newton_tpu.examples.example_robot_ant",
+    "robot_humanoid_batch": "newton_tpu.examples.example_robot_humanoid_batch",
+    "cloth_hanging": "newton_tpu.examples.example_cloth_hanging",
+    "selection_reset": "newton_tpu.examples.example_selection_reset",
+}
+
+
+def create_parser() -> argparse.ArgumentParser:
+    """CLI matching the reference (examples/__init__.py:790-880)."""
+    p = argparse.ArgumentParser(prog="newton_tpu.examples")
+    p.add_argument("example", nargs="?", choices=sorted(EXAMPLES),
+                   help="example to run")
+    p.add_argument("--viewer", default="null",
+                   choices=["null", "file"],
+                   help="viewer backend")
+    p.add_argument("--num-frames", type=int, default=100)
+    p.add_argument("--num-worlds", type=int, default=4)
+    p.add_argument("--output", default="recording.json",
+                   help="output path for --viewer file")
+    p.add_argument("--test", action="store_true",
+                   help="run test_final() after the frames")
+    p.add_argument("--benchmark", action="store_true",
+                   help="print fps at the end")
+    return p
+
+
+def init(argv=None):
+    """Parse args and build the viewer (reference: examples/__init__.py:867)."""
+    parser = create_parser()
+    args = parser.parse_args(argv)
+    from ..viewer import ViewerFile, ViewerNull
+    if args.viewer == "file":
+        viewer = ViewerFile(args.output)
+    else:
+        viewer = ViewerNull(max_frames=args.num_frames)
+    return viewer, args
+
+
+def run(example, args, viewer=None):
+    """Main loop (reference: examples/__init__.py:521-600)."""
+    import numpy as np
+
+    viewer = viewer or getattr(example, "viewer", None)
+    frames = 0
+    t0 = time.perf_counter()
+    while viewer is None or viewer.is_running():
+        example.step()
+        if hasattr(example, "render"):
+            example.render()
+        frames += 1
+        if frames >= args.num_frames:
+            break
+    elapsed = time.perf_counter() - t0
+
+    if args.test and hasattr(example, "test_final"):
+        example.test_final()
+        # NaN sweep over state (reference :587-600)
+        state = getattr(example, "state", None) or getattr(example, "state_0", None)
+        if state is not None:
+            for name in ("body_q", "body_qd", "particle_q", "joint_q"):
+                arr = np.asarray(getattr(state, name))
+                assert np.isfinite(arr).all(), f"NaN/Inf in {name}"
+        print("test passed")
+    if args.benchmark:
+        print(f"frames: {frames}  fps: {frames / max(elapsed, 1e-9):.1f}")
+    if viewer is not None:
+        viewer.close()
+
+
+def main(argv=None):
+    parser = create_parser()
+    args, _ = parser.parse_known_args(argv)
+    if not args.example:
+        parser.print_help()
+        return 1
+    module = importlib.import_module(EXAMPLES[args.example])
+    viewer, args = init(argv)
+    example = module.Example(viewer, args)
+    run(example, args, viewer)
+    return 0

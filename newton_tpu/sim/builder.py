@@ -98,6 +98,8 @@ class ShapeConfig:
     has_particle_collision: bool = True
     is_visible: bool = True
     is_site: bool = False
+    contype: int = 1
+    conaffinity: int = 1
     sdf_max_resolution: int = 0  # >0: bake an SDF for mesh-mesh contact
 
     @property
@@ -232,6 +234,10 @@ class ModelBuilder:
         self.shape_material_kd: List[float] = []
         self.shape_material_kf: List[float] = []
         self.shape_collision_group: List[int] = []
+        # MuJoCo-style bitmasks: pair collides iff (contype_a & conaffinity_b)
+        # or (contype_b & conaffinity_a) (reference mjcf importer semantics)
+        self.shape_contype: List[int] = []
+        self.shape_conaffinity: List[int] = []
         self.shape_world: List[int] = []
         self.shape_source: List[Any] = []  # Mesh/SDF/Heightfield or None
         self.shape_key: List[str] = []
@@ -728,6 +734,8 @@ class ModelBuilder:
         self.shape_material_kd.append(float(cfg.kd))
         self.shape_material_kf.append(float(cfg.kf))
         self.shape_collision_group.append(int(cfg.collision_group))
+        self.shape_contype.append(int(getattr(cfg, "contype", 1)))
+        self.shape_conaffinity.append(int(getattr(cfg, "conaffinity", 1)))
         w = self.body_world[body] if body >= 0 else self._current_world
         self.shape_world.append(w)
         self.shape_source.append(source)
@@ -1365,6 +1373,8 @@ class ModelBuilder:
             self.shape_material_kd.append(other.shape_material_kd[i])
             self.shape_material_kf.append(other.shape_material_kf[i])
             self.shape_collision_group.append(other.shape_collision_group[i])
+            self.shape_contype.append(other.shape_contype[i])
+            self.shape_conaffinity.append(other.shape_conaffinity[i])
             self.shape_world.append(w)
             self.shape_source.append(other.shape_source[i])
             self.shape_key.append(pre + other.shape_key[i])
@@ -1511,6 +1521,10 @@ class ModelBuilder:
             return False
         wa, wb = self.shape_world[a], self.shape_world[b]
         if wa != -1 and wb != -1 and wa != wb:
+            return False
+        ct_a, ca_a = self.shape_contype[a], self.shape_conaffinity[a]
+        ct_b, ca_b = self.shape_contype[b], self.shape_conaffinity[b]
+        if not ((ct_a & ca_b) or (ct_b & ca_a)):
             return False
         ga, gb = self.shape_collision_group[a], self.shape_collision_group[b]
         if ga == 0 or gb == 0:

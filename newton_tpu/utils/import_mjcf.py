@@ -240,6 +240,8 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
         cfg.has_shape_collision = collides
         cfg.has_particle_collision = collides
         cfg.collision_group = 1 if collides else 0
+        cfg.contype = contype
+        cfg.conaffinity = conaffinity
         size = _parse_vec(a.get("size"), default=[0.01, 0, 0], n=3) * scale
 
         xf = local_xform(a)

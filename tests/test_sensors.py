@@ -1,0 +1,58 @@
+"""Sensor tests (reference: tests for sensors/sensor_imu.py etc.)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import newton_tpu as nt
+from newton_tpu.sensors import SensorContact, SensorFrameTransform, SensorIMU
+from newton_tpu.sim.articulation import eval_fk
+
+
+def test_imu_gravity_at_rest():
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 1, 0, 0, 0, 1], mass=1.0,
+                      I_m=np.eye(3) * 0.1)
+    b.add_shape_sphere(body, radius=0.1)
+    site = b.add_site(body, key="imu_site")
+    m = b.finalize()
+    imu = SensorIMU(m, ["imu_site"])
+    s = m.state()
+    acc, gyro = imu.update(s, prev_state=s, dt=1e-3)
+    # at rest, accelerometer reads -g = +9.81 up
+    np.testing.assert_allclose(np.asarray(acc)[0], [0, 0, 9.81], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gyro)[0], [0, 0, 0], atol=1e-6)
+
+
+def test_frame_transform_relative_pose():
+    b = nt.ModelBuilder()
+    b1 = b.add_body(xform=[1, 0, 0, 0, 0, 0, 1], mass=1.0)
+    s1 = b.add_site(b1, key="ref")
+    b2 = b.add_body(xform=[1, 2, 0, 0, 0, 0, 1], mass=1.0)
+    s2 = b.add_site(b2, key="tgt")
+    m = b.finalize()
+    sensor = SensorFrameTransform(m, ["ref"], ["tgt"])
+    out = sensor.update(m.state())
+    np.testing.assert_allclose(np.asarray(out)[0, :3], [0, 2, 0], atol=1e-6)
+
+
+def test_contact_sensor_reduction():
+    from newton_tpu.sim.contacts import Contacts
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 0.4, 0, 0, 0, 1])
+    b.add_shape_sphere(body, radius=0.5, key="ball_shape")
+    b.add_joint_free(body)
+    b.add_ground_plane(key="ground")
+    m = b.finalize()
+    sensor = SensorContact(m, sensing_shapes=["ball_shape"])
+    # hand-build a contacts buffer with a known force
+    c = Contacts.zeros(2, 0)
+    c = c.replace(
+        rigid_contact_mask=jnp.array([True, False]),
+        rigid_contact_shape0=jnp.array([1, -1], dtype=jnp.int32),  # ground
+        rigid_contact_shape1=jnp.array([0, -1], dtype=jnp.int32),  # ball
+        rigid_contact_force=jnp.array([[0.0, 0.0, 5.0], [0, 0, 0]]),
+        rigid_contact_position=jnp.array([[0.0, 0.0, -0.1], [0, 0, 0]]),
+    )
+    f, t = sensor.update(c)
+    np.testing.assert_allclose(np.asarray(f)[0], [0, 0, 5.0], atol=1e-6)

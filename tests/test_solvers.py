@@ -1,0 +1,122 @@
+"""Solver physics-invariant tests (reference test strategy: step small scenes
+and assert physical envelopes, e.g. example_basic_pendulum.py:115-137,
+test_solver_xpbd.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import newton_tpu as nt
+from newton_tpu.sim.articulation import eval_fk
+from newton_tpu.sim.collide import CollisionPipeline
+from newton_tpu.solvers import SolverXPBD
+from newton_tpu.solvers.generalized.solver import SolverFeatherstone
+
+
+def sphere_scene():
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 1.0, 0, 0, 0, 1])
+    b.add_shape_sphere(body, radius=0.5)
+    b.add_joint_free(body)
+    b.add_ground_plane()
+    return b.finalize()
+
+
+def pendulum_scene():
+    b = nt.ModelBuilder()
+    link = b.add_body(xform=[0.5, 0, 0, 0, 0, 0, 1])
+    b.add_shape_box(link, hx=0.5, hy=0.05, hz=0.05)
+    b.add_joint_revolute(parent=-1, child=link, axis="Y",
+                         xform_c=[-0.5, 0, 0, 0, 0, 0, 1], armature=0.0)
+    return b.finalize()
+
+
+def run(model, solver, pipeline, frames, substeps=4, dt=1 / 240.):
+    s = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    ctrl = model.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            c = pipeline.collide(s) if pipeline is not None else None
+            return solver.step(s, None, ctrl, c, dt), None
+        return jax.lax.scan(sub, s, None, length=substeps)[0]
+
+    traj = []
+    for _ in range(frames):
+        s = frame(s)
+        traj.append(np.asarray(s.body_q))
+    return s, np.stack(traj)
+
+
+def assert_finite(state):
+    for name in ("body_q", "body_qd", "joint_q", "joint_qd"):
+        arr = np.asarray(getattr(state, name))
+        assert np.isfinite(arr).all(), f"non-finite {name}"
+    qn = np.linalg.norm(np.asarray(state.body_q)[:, 3:7], axis=-1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-3)
+
+
+def test_xpbd_sphere_rests_on_ground():
+    m = sphere_scene()
+    solver = SolverXPBD(m, iterations=2)
+    s, _ = run(m, solver, CollisionPipeline(m), frames=120)
+    assert_finite(s)
+    assert abs(float(s.body_q[0, 2]) - 0.5) < 0.02
+
+
+def test_xpbd_pendulum_envelope():
+    m = pendulum_scene()
+    solver = SolverXPBD(m, iterations=4)
+    s, traj = run(m, solver, None, frames=60)
+    assert_finite(s)
+    z = traj[:, 0, 2]
+    x = traj[:, 0, 0]
+    assert z.min() > -0.51 and z.max() < 0.05
+    assert np.abs(x).max() < 0.51
+    # anchor stays pinned
+    d = np.linalg.norm(traj[:, 0, :3], axis=-1)
+    np.testing.assert_allclose(d, 0.5, atol=5e-3)
+
+
+def test_generalized_pendulum_energy():
+    m = pendulum_scene()
+    solver = SolverFeatherstone(m)
+    s, traj = run(m, solver, None, frames=60)
+    assert_finite(s)
+    z = traj[:, 0, 2]
+    # released horizontal: bounded by [-0.5, 0+] (generalized coords are
+    # exactly on the constraint manifold)
+    assert z.min() > -0.5001 and z.max() < 1e-3
+    d = np.linalg.norm(traj[:, 0, :3], axis=-1)
+    np.testing.assert_allclose(d, 0.5, atol=1e-5)
+
+
+def test_generalized_ant_stands():
+    b = nt.ModelBuilder()
+    b.add_mjcf("/opt/venv/lib/python3.12/site-packages/gymnasium/envs/"
+               "mujoco/assets/ant.xml")
+    m = b.finalize()
+    solver = SolverFeatherstone(m, contact_iterations=8)
+    s, _ = run(m, solver, CollisionPipeline(m), frames=60)
+    assert_finite(s)
+    h = float(s.joint_q[2])
+    assert 0.3 < h < 0.8, f"ant torso height {h}"
+    assert float(jnp.max(jnp.abs(s.joint_qd))) < 2.0
+
+
+def test_reset_world_mask():
+    sub = nt.ModelBuilder()
+    body = sub.add_body(xform=[0, 0, 1.0, 0, 0, 0, 1])
+    sub.add_shape_sphere(body, radius=0.5)
+    sub.add_joint_free(body)
+    b = nt.ModelBuilder()
+    b.replicate(sub, 3)
+    m = b.finalize()
+    solver = SolverXPBD(m)
+    s = m.state()
+    moved = s.replace(body_q=s.body_q.at[:, 2].set(9.0))
+    out = solver.reset(moved, world_mask=jnp.array([True, False, True]))
+    z = np.asarray(out.body_q)[:, 2]
+    np.testing.assert_allclose(z, [1.0, 9.0, 1.0], atol=1e-6)
