@@ -1,0 +1,151 @@
+"""Analytic ray-primitive intersection, batched over (rays x shapes).
+
+TPU-native re-design of reference newton/_src/geometry/raycast.py (1018 LoC)
++ the public ``intersect_ray`` API. One branch-free kernel evaluates every
+ray against every shape of the relevant type class and min-reduces over
+shapes — the all-pairs shape is ideal for tiled-camera rendering where
+rays >> shapes (reference sensors/warp_raytrace uses a BVH; at robot scene
+scale the dense form saturates the VPU without one).
+
+Returns t = hit distance along the (unit) ray direction, inf on miss.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..math import quat_rotate, quat_rotate_inv, transform_point_inv
+from .types import GeoType
+
+__all__ = ["ray_plane", "ray_sphere", "ray_box", "ray_capsule",
+           "raycast_model"]
+
+_INF = 1e10
+
+
+def ray_plane(o, d):
+    """Ray vs z=0 plane in local frame. o, d: (..., 3)."""
+    t = -o[..., 2] / jnp.where(jnp.abs(d[..., 2]) > 1e-9, d[..., 2], 1e-9)
+    hit = (jnp.abs(d[..., 2]) > 1e-9) & (t > 0)
+    n = jnp.zeros_like(o).at[..., 2].set(1.0)
+    return jnp.where(hit, t, _INF), n
+
+
+def ray_sphere(o, d, r):
+    b = jnp.sum(o * d, axis=-1)
+    c = jnp.sum(o * o, axis=-1) - r * r
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = -b - sq
+    t = jnp.where(t > 0, t, -b + sq)
+    hit = (disc >= 0) & (t > 0)
+    t = jnp.where(hit, t, _INF)
+    p = o + d * t[..., None]
+    n = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
+    return t, n
+
+
+def ray_box(o, d, half):
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
+    t1 = (-half - o) * inv
+    t2 = (half - o) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, 0.0))
+    t = jnp.where(tmin > 0, tmin, tmax)
+    t = jnp.where(hit & (t > 0), t, _INF)
+    p = o + d * t[..., None]
+    q = p / jnp.maximum(half, 1e-9)
+    ax = jnp.argmax(jnp.abs(q), axis=-1)
+    n = (ax[..., None] == jnp.arange(3)) * jnp.sign(q)
+    return t, n.astype(o.dtype)
+
+
+def ray_capsule(o, d, r, h):
+    """Capsule along Z with half-height h, radius r."""
+    # infinite cylinder part
+    oxy = o[..., :2]
+    dxy = d[..., :2]
+    a = jnp.sum(dxy * dxy, axis=-1)
+    b = jnp.sum(oxy * dxy, axis=-1)
+    c = jnp.sum(oxy * oxy, axis=-1) - r * r
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_cyl = (-b - sq) / jnp.where(a > 1e-12, a, 1e-12)
+    z = o[..., 2] + d[..., 2] * t_cyl
+    cyl_ok = (disc >= 0) & (a > 1e-12) & (t_cyl > 0) & (jnp.abs(z) <= h)
+    t_cyl = jnp.where(cyl_ok, t_cyl, _INF)
+    # caps
+    def cap(sign):
+        center = jnp.zeros_like(o).at[..., 2].set(sign * h)
+        oc = o - center
+        bb = jnp.sum(oc * d, axis=-1)
+        cc = jnp.sum(oc * oc, axis=-1) - r * r
+        dd = bb * bb - cc
+        ts = -bb - jnp.sqrt(jnp.maximum(dd, 0.0))
+        ok = (dd >= 0) & (ts > 0)
+        return jnp.where(ok, ts, _INF)
+    t = jnp.minimum(t_cyl, jnp.minimum(cap(1.0), cap(-1.0)))
+    p = o + d * t[..., None]
+    zc = jnp.clip(p[..., 2], -h, h)
+    axis_pt = jnp.zeros_like(p).at[..., 2].set(zc)
+    n = p - axis_pt
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    return jnp.where(t < _INF, t, _INF), n
+
+
+def raycast_model(model, state, origins: jnp.ndarray, dirs: jnp.ndarray,
+                  max_dist: float = 1e6):
+    """Closest hit of each ray against all collision shapes.
+
+    origins/dirs: (R, 3). Returns (t (R,), shape_index (R,) int32 (-1 miss),
+    normal (R, 3) world). Used by picking (reference viewer/picking.py:17)
+    and the tiled camera sensor.
+    """
+    from ..math import transform_multiply, transform_vector_inv
+
+    st = model.structure
+    S = st.shape_count
+    dtype = origins.dtype
+    sb = st.shape_body
+    body_idx = np.maximum(sb, 0)
+    is_static = jnp.asarray(sb < 0)[:, None]
+    identity = jnp.zeros((7,), dtype=dtype).at[6].set(1.0)
+    X_body = jnp.where(is_static, identity, state.body_q[body_idx])
+    X_ws = transform_multiply(X_body, model.shape_transform)   # (S, 7)
+
+    # rays into every shape's local frame: (R, S, 3)
+    o_loc = transform_point_inv(X_ws[None, :, :], origins[:, None, :])
+    d_loc = quat_rotate_inv(X_ws[None, :, 3:7], dirs[:, None, :])
+
+    scale = model.shape_scale
+    types = st.shape_type
+    t_pl, n_pl = ray_plane(o_loc, d_loc)
+    t_sp, n_sp = ray_sphere(o_loc, d_loc, scale[None, :, 0])
+    t_bx, n_bx = ray_box(o_loc, d_loc, scale[None, :, :])
+    t_cp, n_cp = ray_capsule(o_loc, d_loc, scale[None, :, 0], scale[None, :, 1])
+
+    is_p = jnp.asarray(types == int(GeoType.PLANE))
+    is_s = jnp.asarray(np.isin(types, [int(GeoType.SPHERE),
+                                       int(GeoType.ELLIPSOID)]))
+    is_b = jnp.asarray(types == int(GeoType.BOX))
+    is_c = jnp.asarray(np.isin(types, [int(GeoType.CAPSULE),
+                                       int(GeoType.CYLINDER)]))
+    t = jnp.where(is_p, t_pl,
+                  jnp.where(is_s, t_sp,
+                            jnp.where(is_b, t_bx,
+                                      jnp.where(is_c, t_cp, _INF))))
+    n_loc = jnp.where(is_p[:, None], n_pl,
+                      jnp.where(is_s[:, None], n_sp,
+                                jnp.where(is_b[:, None], n_bx,
+                                          jnp.where(is_c[:, None], n_cp, 0.0))))
+    t = jnp.where(t <= max_dist, t, _INF)
+    best = jnp.argmin(t, axis=-1)                              # (R,)
+    t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+    n_best_loc = jnp.take_along_axis(n_loc, best[:, None, None], axis=1)[:, 0]
+    n_world = quat_rotate(X_ws[best][:, 3:7], n_best_loc)
+    shape = jnp.where(t_best < _INF, best.astype(jnp.int32), -1)
+    return t_best, shape, n_world

@@ -1,0 +1,103 @@
+"""Tiled ray-traced camera sensor.
+
+TPU-native re-design of reference
+newton/_src/sensors/sensor_tiled_camera.py:45 + warp_raytrace/ (4487 LoC).
+The reference traces BVHs per world with Warp kernels; here the whole
+(camera x H x W) ray grid is one dense batched raycast against the model's
+primitive shapes (geometry/raycast.py) — a single fused XLA program that
+maps onto the VPU, no BVH needed at robot-scene shape counts. Channels
+mirror the reference: depth, normal, shape index, and Lambertian-shaded
+color.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.raycast import raycast_model
+from ..math import quat_rotate, transform_multiply
+from ..sim.model import Model
+from ..sim.state import State
+
+__all__ = ["SensorTiledCamera"]
+
+
+class SensorTiledCamera:
+    """Batched pinhole camera (reference: sensor_tiled_camera.py:46-60).
+
+    Args:
+        model: finalized model.
+        width/height: image resolution.
+        fov_y: vertical field of view (radians).
+        light_dir: world-frame directional light for the color channel.
+
+    ``render(state, cam_xforms)`` takes (n_cams, 7) camera world transforms
+    (camera looks along -Z, +Y up, like the reference) and returns a dict of
+    channels: depth (n,H,W), normal (n,H,W,3), shape_index (n,H,W) int32,
+    color (n,H,W,3).
+    """
+
+    def __init__(self, model: Model, width: int = 64, height: int = 64,
+                 fov_y: float = 1.0, light_dir=(0.3, 0.2, -0.9),
+                 max_dist: float = 100.0):
+        self.model = model
+        self.width = int(width)
+        self.height = int(height)
+        self.fov_y = float(fov_y)
+        self.max_dist = float(max_dist)
+        ld = np.asarray(light_dir, dtype=np.float64)
+        self.light_dir = ld / np.linalg.norm(ld)
+
+        # pixel ray directions in camera frame (H, W, 3), looking along -Z
+        aspect = self.width / self.height
+        tan_y = np.tan(0.5 * self.fov_y)
+        ys = np.linspace(tan_y, -tan_y, self.height)
+        xs = np.linspace(-tan_y * aspect, tan_y * aspect, self.width)
+        gx, gy = np.meshgrid(xs, ys)
+        dirs = np.stack([gx, gy, -np.ones_like(gx)], axis=-1)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        self._pixel_dirs = dirs.reshape(-1, 3).astype(np.float32)
+
+    def render(self, state: State, cam_xforms) -> dict:
+        model = self.model
+        cam_xforms = jnp.asarray(cam_xforms)
+        if cam_xforms.ndim == 1:
+            cam_xforms = cam_xforms[None]
+        n = cam_xforms.shape[0]
+        H, W = self.height, self.width
+        R = H * W
+
+        d_cam = jnp.asarray(self._pixel_dirs, dtype=cam_xforms.dtype)
+        d_world = quat_rotate(cam_xforms[:, None, 3:7], d_cam[None, :, :])
+        o_world = jnp.broadcast_to(cam_xforms[:, None, 0:3], d_world.shape)
+
+        t, shape, nrm = raycast_model(
+            model, state, o_world.reshape(n * R, 3), d_world.reshape(n * R, 3),
+            max_dist=self.max_dist)
+        hit = shape >= 0
+        depth = jnp.where(hit, t, 0.0).reshape(n, H, W)
+        normal = jnp.where(hit[:, None], nrm, 0.0).reshape(n, H, W, 3)
+        shape_index = shape.reshape(n, H, W)
+
+        # Lambertian shading with a per-shape pseudo-color
+        key_colors = _shape_palette(model.structure.shape_count,
+                                    dtype=cam_xforms.dtype)
+        base = jnp.where(hit[:, None], key_colors[jnp.maximum(shape, 0)], 0.0)
+        lam = jnp.maximum(
+            -jnp.sum(nrm * jnp.asarray(self.light_dir, dtype=nrm.dtype), -1),
+            0.1)
+        color = (base * lam[:, None]).reshape(n, H, W, 3)
+        return dict(depth=depth, normal=normal, shape_index=shape_index,
+                    color=color)
+
+
+def _shape_palette(n_shapes: int, dtype):
+    i = jnp.arange(max(n_shapes, 1), dtype=dtype)
+    return jnp.stack([
+        0.5 + 0.5 * jnp.sin(0.9 * i + 0.0),
+        0.5 + 0.5 * jnp.sin(0.9 * i + 2.1),
+        0.5 + 0.5 * jnp.sin(0.9 * i + 4.2),
+    ], axis=-1)

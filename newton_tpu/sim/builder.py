@@ -1754,6 +1754,64 @@ class ModelBuilder:
             mesh_points = np.zeros((0, 3))
             mesh_indices = np.zeros((0,), dtype=np.int32)
 
+        # mesh contact sampling + SDF baking for pairs that need them
+        sample_K = 16
+        sample_points = np.zeros((self.shape_count, sample_K, 3))
+        shape_sdf_id = np.full(self.shape_count, -1, dtype=np.int32)
+        sdf_res = 24
+        baked: Dict[int, int] = {}
+        sdf_grids: List[np.ndarray] = []
+        sdf_lowers: List[np.ndarray] = []
+        sdf_uppers: List[np.ndarray] = []
+        mesh_types = (int(GeoType.MESH), int(GeoType.CONVEX))
+        # which mesh shapes appear as the SDF side of a pair: any mesh paired
+        # with a mesh, or a primitive that samples into the mesh
+        needs_sdf = set()
+        for a in range(self.shape_count):
+            for b in range(self.shape_count):
+                if a == b:
+                    continue
+                if (self.shape_type[a] in mesh_types
+                        and self.shape_type[b] in mesh_types
+                        and self._should_collide(min(a, b), max(a, b))):
+                    needs_sdf.add(a)
+        for sidx, src in enumerate(self.shape_source):
+            if self.shape_type[sidx] in mesh_types and isinstance(src, Mesh):
+                pts = src.vertices * self.shape_scale[sidx]
+                sample_points[sidx] = _fps_sample(pts, sample_K)
+                if sidx in needs_sdf:
+                    key = id(src)
+                    if key not in baked:
+                        from ..geometry.sdf import bake_mesh_sdf
+                        sdfobj = bake_mesh_sdf(src, resolution=sdf_res)
+                        baked[key] = len(sdf_grids)
+                        sdf_grids.append(sdfobj.data)
+                        sdf_lowers.append(sdfobj.lower)
+                        sdf_uppers.append(sdfobj.upper)
+                    shape_sdf_id[sidx] = baked[key]
+            elif self.shape_type[sidx] == int(GeoType.SDF) and isinstance(src, SDF):
+                shape_sdf_id[sidx] = len(sdf_grids)
+                sdf_grids.append(src.data)
+                sdf_lowers.append(src.lower)
+                sdf_uppers.append(src.upper)
+        st.shape_sdf_id = shape_sdf_id
+        if sdf_grids:
+            R = max(g.shape[0] for g in sdf_grids)
+            pooled = np.zeros((len(sdf_grids), R, R, R), dtype=np.float32)
+            for i, g0 in enumerate(sdf_grids):
+                if g0.shape[0] != R:
+                    # nearest upsample to the pool resolution
+                    idx = (np.linspace(0, g0.shape[0] - 1, R)).astype(int)
+                    g0 = g0[np.ix_(idx, idx, idx)]
+                pooled[i] = g0
+            sdf_pool = pooled
+            sdf_lower_arr = np.stack(sdf_lowers)
+            sdf_upper_arr = np.stack(sdf_uppers)
+        else:
+            sdf_pool = np.zeros((0, 2, 2, 2), dtype=np.float32)
+            sdf_lower_arr = np.zeros((0, 3))
+            sdf_upper_arr = np.zeros((0, 3))
+
         # collision candidates
         st.candidate_pairs, st.candidate_pair_slots, st.rigid_contact_max = (
             self._compute_candidate_pairs())
@@ -1895,6 +1953,10 @@ class ModelBuilder:
             tet_materials=dev(np.asarray(self.tet_materials).reshape(-1, 3)),
             mesh_points=dev(mesh_points),
             mesh_indices=dev_i(mesh_indices),
+            shape_sample_points=dev(sample_points),
+            sdf_grids=dev(sdf_pool),
+            sdf_lower=dev(sdf_lower_arr),
+            sdf_upper=dev(sdf_upper_arr),
             gravity=dev(gravity),
             particle_ke=dev(self.particle_ke), particle_kd=dev(self.particle_kd),
             particle_kf=dev(self.particle_kf), particle_mu=dev(self.particle_mu),
@@ -2015,3 +2077,20 @@ def _quickhull(pts: np.ndarray, max_verts: int = 64) -> np.ndarray:
         if len(set(i for f in faces for i in f)) >= max_verts:
             break
     return np.asarray(faces, dtype=np.int64)
+
+
+def _fps_sample(points: np.ndarray, k: int) -> np.ndarray:
+    """Farthest-point sampling of contact candidates from mesh vertices."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    n = len(pts)
+    if n == 0:
+        return np.zeros((k, 3))
+    if n <= k:
+        return np.concatenate([pts, np.repeat(pts[-1:], k - n, axis=0)])
+    chosen = [int(np.argmax(np.linalg.norm(pts - pts.mean(0), axis=1)))]
+    d = np.linalg.norm(pts - pts[chosen[0]], axis=1)
+    for _ in range(k - 1):
+        i = int(np.argmax(d))
+        chosen.append(i)
+        d = np.minimum(d, np.linalg.norm(pts - pts[i], axis=1))
+    return pts[chosen]

@@ -104,6 +104,13 @@ class CollisionPipeline:
             # slot indices (n, K) into the flat contact buffer
             offs = np.asarray(pc.out_offsets, dtype=np.int32)
             pc.out_offsets = offs[:, None] + np.arange(pc.slots, dtype=np.int32)[None, :]
+        self._unsupported = unsupported
+
+        # mesh/convex pairs: sample-vs-SDF classes
+        self.mesh_classes = _install_mesh_classes(self)
+        mt = (int(GeoType.MESH), int(GeoType.CONVEX))
+        unsupported = {(t0, t1) for (t0, t1) in self._unsupported
+                       if t0 not in mt and t1 not in mt}
         if unsupported:
             import warnings
             warnings.warn(
@@ -137,7 +144,7 @@ class CollisionPipeline:
             Contacts.zeros(contacts.rigid_contact_max, contacts.soft_contact_max,
                            dtype=dtype)
 
-        if C > 0 and self.classes:
+        if C > 0 and (self.classes or self.mesh_classes):
             # world transform of every shape frame: body pose * local offset
             sb = model.structure.shape_body
             body_idx = np.maximum(sb, 0)
@@ -191,6 +198,8 @@ class CollisionPipeline:
                 rigid_contact_shape0=s0_all,
                 rigid_contact_shape1=s1_all,
             )
+            for pc in self.mesh_classes:
+                out = _mesh_contacts(self, pc, X_ws, out)
 
         if P > 0 and len(self.soft_particle):
             out = self._collide_soft(state, out)
@@ -281,3 +290,177 @@ def collide(model: Model, state: State,
     if pipeline is None:
         pipeline = CollisionPipeline(model)
     return pipeline.collide(state, contacts)
+
+
+class _MeshPairClass:
+    """Mesh/convex pairs: fixed-budget sample points vs SDF (analytic or
+    baked grid). ``mesh_first`` marks whether shape0 is the mesh side."""
+
+    __slots__ = ("slots", "mesh_idx", "other_idx", "mesh_first", "out_offsets",
+                 "mesh_mesh")
+
+    def __init__(self, slots, mesh_mesh):
+        self.slots = slots
+        self.mesh_mesh = mesh_mesh
+        self.mesh_idx = []
+        self.other_idx = []
+        self.mesh_first = []
+        self.out_offsets = []
+
+
+def _install_mesh_classes(pipeline: "CollisionPipeline"):
+    """Group MESH/CONVEX candidate pairs into sample-vs-SDF classes
+    (replaces the reference's triangle-pair expansion narrow phase with the
+    fixed-budget SDF-sample design, reference narrow_phase.py / sdf_contact.py)."""
+    st = pipeline.model.structure
+    types = st.shape_type
+    pairs = st.candidate_pairs
+    slots = st.candidate_pair_slots
+    mesh_types = (int(GeoType.MESH), int(GeoType.CONVEX))
+    analytic = (int(GeoType.PLANE), int(GeoType.SPHERE), int(GeoType.BOX),
+                int(GeoType.CAPSULE), int(GeoType.CYLINDER), int(GeoType.CONE))
+    classes: Dict[Tuple, _MeshPairClass] = {}
+    for i, (a, b) in enumerate(pairs):
+        t0, t1 = int(types[a]), int(types[b])
+        in0, in1 = t0 in mesh_types, t1 in mesh_types
+        if not (in0 or in1):
+            continue
+        from ..geometry.narrow_phase import pair_slot_count
+        k = pair_slot_count(t0, t1)
+        if in0 and in1:
+            key = ("mm", k)
+            pc = classes.setdefault(key, _MeshPairClass(k, True))
+            pc.mesh_idx.append(int(a))
+            pc.other_idx.append(int(b))
+            pc.mesh_first.append(True)
+        else:
+            if in0 and t1 in analytic:
+                mesh, other, mf = int(a), int(b), True
+            elif in1 and t0 in analytic:
+                mesh, other, mf = int(b), int(a), False
+            else:
+                continue
+            key = ("ma", k)
+            pc = classes.setdefault(key, _MeshPairClass(k, False))
+            pc.mesh_idx.append(mesh)
+            pc.other_idx.append(other)
+            pc.mesh_first.append(mf)
+        pc.out_offsets.append(int(slots[i]))
+    out = []
+    for pc in classes.values():
+        pc.mesh_idx = np.asarray(pc.mesh_idx, dtype=np.int32)
+        pc.other_idx = np.asarray(pc.other_idx, dtype=np.int32)
+        pc.mesh_first = np.asarray(pc.mesh_first, dtype=bool)
+        offs = np.asarray(pc.out_offsets, dtype=np.int32)
+        pc.out_offsets = offs[:, None] + np.arange(pc.slots, dtype=np.int32)[None, :]
+        out.append(pc)
+    return out
+
+
+def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
+                   X_ws, out: Contacts) -> Contacts:
+    """Sample-point narrow phase for one mesh pair class."""
+    import jax
+    from ..geometry.sdf import sample_sdf_grid, sample_sdf_grad
+    model = pipeline.model
+    st = model.structure
+    dtype = X_ws.dtype
+    mi, oi = pc.mesh_idx, pc.other_idx
+    n = len(mi)
+    K = model.shape_sample_points.shape[1]
+
+    X_m = X_ws[mi]
+    X_o = X_ws[oi]
+    pts_local = model.shape_sample_points[mi]                # (n, K, 3)
+    pts_w = transform_point(X_m[:, None, :], pts_local)      # (n, K, 3)
+    p_in_o = transform_point_inv(X_o[:, None, :], pts_w)
+
+    if pc.mesh_mesh:
+        # both directions: points of A vs SDF of B, points of B vs SDF of A
+        sid_o = st.shape_sdf_id[oi]
+        sid_m = st.shape_sdf_id[mi]
+        dA, gA = _sdf_of_shape(model, oi, sid_o, p_in_o)
+        nA = quat_rotate(X_o[:, None, 3:7], gA)
+        pts_local_o = model.shape_sample_points[oi]
+        pts_w_o = transform_point(X_o[:, None, :], pts_local_o)
+        p_in_m = transform_point_inv(X_m[:, None, :], pts_w_o)
+        dB, gB = _sdf_of_shape(model, mi, sid_m, p_in_m)
+        nB = -quat_rotate(X_m[:, None, 3:7], gB)             # flip: 0 -> 1
+        half = pc.slots // 2
+        posA, nrmA, depA = _top_k(pts_w, nA, -dA, half)
+        posB, nrmB, depB = _top_k(pts_w_o, nB, -dB, pc.slots - half)
+        pos = jnp.concatenate([posA, posB], axis=1)
+        nrm = jnp.concatenate([nrmA, nrmB], axis=1)
+        depth = jnp.concatenate([depA, depB], axis=1)
+        swap = ~jnp.asarray(pc.mesh_first)[:, None, None]
+        nrm = jnp.where(swap, -nrm, nrm)
+    else:
+        d, g_loc = _sdf_of_shape(model, oi, st.shape_sdf_id[oi], p_in_o,
+                                 analytic_only=True)
+        n_w = quat_rotate(X_o[:, None, 3:7], g_loc)          # outward from other
+        # normal 0 -> 1: mesh_first means shape0 = mesh, so normal points
+        # from mesh toward other = -outward
+        pos, nrm_out, depth = _top_k(pts_w, n_w, -d, pc.slots)
+        mf = jnp.asarray(pc.mesh_first)[:, None, None]
+        nrm = jnp.where(mf, -nrm_out, nrm_out)
+
+    # shift contact point to the overlap midpoint along the normal
+    thick = (model.shape_thickness[mi] + model.shape_thickness[oi])[:, None]
+    depth = depth + thick
+    active = depth > -pipeline.rigid_contact_margin
+
+    idx = pc.out_offsets
+    s0 = np.where(pc.mesh_first, pc.mesh_idx, pc.other_idx)
+    s1 = np.where(pc.mesh_first, pc.other_idx, pc.mesh_idx)
+    return out.replace(
+        rigid_contact_mask=out.rigid_contact_mask.at[idx].set(active),
+        rigid_contact_position=out.rigid_contact_position.at[idx].set(pos),
+        rigid_contact_normal=out.rigid_contact_normal.at[idx].set(nrm),
+        rigid_contact_depth=out.rigid_contact_depth.at[idx].set(
+            jnp.where(active, depth, 0.0)),
+        rigid_contact_shape0=out.rigid_contact_shape0.at[idx].set(
+            jnp.broadcast_to(jnp.asarray(s0, dtype=jnp.int32)[:, None], idx.shape)),
+        rigid_contact_shape1=out.rigid_contact_shape1.at[idx].set(
+            jnp.broadcast_to(jnp.asarray(s1, dtype=jnp.int32)[:, None], idx.shape)),
+    )
+
+
+def _top_k(pos, nrm, depth, k):
+    """Keep the k deepest sample contacts per pair (n, K, ...) -> (n, k, ...)."""
+    import jax
+    vals, idx = jax.lax.top_k(depth, k)
+    take = lambda arr: jnp.take_along_axis(arr, idx[..., None], axis=1)
+    return take(pos), take(nrm), vals
+
+
+def _sdf_of_shape(model, shape_idx, sdf_id, p_local, analytic_only=False):
+    """Signed distance + gradient of shapes at local points (n, K, 3):
+    analytic for primitives, trilinear grid for baked mesh SDFs."""
+    from ..geometry.sdf import sample_sdf_grad, sample_sdf_grid
+    st = model.structure
+    types = st.shape_type[shape_idx]
+    scale = model.shape_scale[shape_idx][:, None, :]
+    n, K = p_local.shape[0], p_local.shape[1]
+    flat = p_local.reshape(n * K, 3)
+    d_an, g_an = _shape_sdf(np.repeat(types, K), flat,
+                            jnp.broadcast_to(scale, (n, K, 3)).reshape(n * K, 3),
+                            p_local.dtype)
+    d_an = d_an.reshape(n, K)
+    g_an = g_an.reshape(n, K, 3)
+    if analytic_only or (np.asarray(sdf_id) < 0).all() or model.sdf_grids.shape[0] == 0:
+        return d_an, g_an
+    sid = np.maximum(sdf_id, 0)
+    lower = model.sdf_lower[sid][:, None, :]
+    upper = model.sdf_upper[sid][:, None, :]
+    grids = model.sdf_grids[sid]                             # (n, R, R, R)
+    import jax
+    d_gr = jax.vmap(lambda g, lo, up, p: sample_sdf_grid(g, lo, up, p))(
+        grids, model.sdf_lower[sid], model.sdf_upper[sid], p_local)
+    g_gr = jax.vmap(lambda g, lo, up, p: sample_sdf_grad(g, lo, up, p))(
+        grids, model.sdf_lower[sid], model.sdf_upper[sid], p_local)
+    g_gr = g_gr / jnp.maximum(
+        jnp.linalg.norm(g_gr, axis=-1, keepdims=True), 1e-9)
+    use_grid = jnp.asarray(sdf_id >= 0)[:, None]
+    d = jnp.where(use_grid, d_gr, d_an)
+    g = jnp.where(use_grid[..., None], g_gr, g_an)
+    return d, g

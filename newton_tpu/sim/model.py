@@ -274,6 +274,12 @@ class Model(struct.PyTreeNode):
     # --- pooled geometry ---
     mesh_points: jnp.ndarray      # (sumV, 3)
     mesh_indices: jnp.ndarray     # (sumI,) int32
+    # fixed-budget contact sample points per shape (mesh/convex collision;
+    # zeros elsewhere) and pooled dense SDF grids
+    shape_sample_points: jnp.ndarray  # (S, K, 3) shape-frame, pre-scaled
+    sdf_grids: jnp.ndarray        # (n_sdf, R, R, R)
+    sdf_lower: jnp.ndarray        # (n_sdf, 3)
+    sdf_upper: jnp.ndarray        # (n_sdf, 3)
 
     # --- global/scalar ---
     gravity: jnp.ndarray          # (W, 3)

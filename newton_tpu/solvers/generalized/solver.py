@@ -206,21 +206,43 @@ class SolverFeatherstone(SolverBase):
             group_data.append((M, L, qd_g))
 
         # contact impulses per group (homogeneous fast path)
+        self._last_contact_impulses = []
         if contacts is not None and contacts.rigid_contact_max:
             for gi, g in enumerate(gc.groups):
                 plan = self.contact_plans[gi]
                 if plan is None or plan.c == 0:
                     continue
                 M, L, qd_g = group_data[gi]
-                qd_g2 = self._solve_contacts(
+                qd_g2, lam, dirs = self._solve_contacts(
                     model, contacts, g, plan, L, qd_g, v_o, w_o,
                     state_in, body_q, dt)
                 qd_new = qd_new.at[g.dof_idx.reshape(-1)].set(qd_g2.reshape(-1))
+                self._last_contact_impulses.append((plan, lam, dirs))
 
         # integrate coordinates and recompute kinematics for the output state
         q_new = integrate_coords(model, q, qd_new, body_q, dt)
         out = eval_fk(model, q_new, qd_new, state_in)
         return out
+
+    def step_with_contacts(self, state_in, state_out, control, contacts, dt):
+        """Like step() but also returns contacts with per-slot force
+        reports filled (reference solver.update_contacts flow,
+        solver.py:429 + mujoco/solver_mujoco.py:5159)."""
+        out = self.step(state_in, state_out, control, contacts, dt)
+        force = contacts.rigid_contact_force
+        for plan, lam, dirs in self._last_contact_impulses:
+            # lam (n, 3c) impulses along (normal, t1, t2); force = impulse/dt
+            n_env = plan.slots.shape[0]
+            lam3 = lam.reshape(n_env, plan.c, 3)
+            f = jnp.einsum("nck,nckx->ncx", lam3, dirs) / dt
+            force = force.at[plan.slots].set(f)
+        return out, contacts.replace(rigid_contact_force=force)
+
+    def update_contacts(self, contacts, state_in, state_out, dt):
+        """Recompute per-contact forces for reporting (reference:
+        solver.py:429). Prefer step_with_contacts to avoid the extra solve."""
+        _, c2 = self.step_with_contacts(state_in, None, None, contacts, dt)
+        return c2
 
     # ------------------------------------------------------------------
     def _solve_contacts(self, model, contacts, g, plan, L, qd_g,
@@ -303,7 +325,7 @@ class SolverFeatherstone(SolverBase):
         lam, _ = jax.lax.scan(pgs_iter, lam0, None,
                               length=self.contact_iterations)
         dqd = jnp.einsum("ndr,nr->nd", MinvJt, lam)
-        return qd_g + dqd
+        return qd_g + dqd, lam, dirs
 
 
 def _point_vel(state_in, model, g, plan, pos):

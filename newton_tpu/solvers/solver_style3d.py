@@ -1,0 +1,161 @@
+"""Style3D solver: projective-dynamics cloth (implicit Euler, prefactored).
+
+TPU-native re-design of reference
+newton/_src/solvers/style3d/solver_style3d.py:37 (step :169) +
+linear_solver.py. The reference solves the PD global system with a custom
+ELL-sparse CG each step; here the PD system matrix A = M/h^2 + L is
+**constant** (it only depends on topology and stiffness), so we Cholesky-
+factor the (N, N) scalar system once at init and each step does two
+triangular solves — one dense MXU-friendly factorization replacing the
+per-step CG entirely. Local constraint projections (edge stretch + bending)
+are trivially parallel.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sim.contacts import Contacts
+from ..sim.control import Control
+from ..sim.model import Model
+from ..sim.state import State
+from .solver import SolverBase, integrate_bodies
+
+__all__ = ["SolverStyle3D"]
+
+
+class SolverStyle3D(SolverBase):
+    """Projective dynamics cloth (reference: solver_style3d.py:37).
+
+    Args:
+        iterations: local/global alternations per substep.
+        contact_ke: penalty stiffness for particle contacts (added to the
+            momentum target, keeping A constant).
+    """
+
+    def __init__(self, model: Model, iterations: int = 8,
+                 contact_ke: float = 1.0e4, bend_scale: float = 1.0):
+        super().__init__(model)
+        self.iterations = int(iterations)
+        self.contact_ke = float(contact_ke)
+        st = model.structure
+        N = st.particle_count
+        if N == 0:
+            return
+
+        q0 = np.asarray(model.particle_q)
+        cons: List[Tuple[int, int, float, float]] = []
+        if st.spring_count:
+            si = np.asarray(model.spring_indices)
+            rest = np.asarray(model.spring_rest_length)
+            ke = np.asarray(model.spring_stiffness)
+            cons += [(int(a), int(b), float(r), float(k))
+                     for (a, b), r, k in zip(si, rest, ke)]
+        if st.tri_count:
+            ti = np.asarray(model.tri_indices)
+            ke_t = np.asarray(model.tri_materials)[:, 0]
+            seen = {}
+            for t in range(len(ti)):
+                for (a, b) in ((ti[t, 0], ti[t, 1]), (ti[t, 1], ti[t, 2]),
+                               (ti[t, 2], ti[t, 0])):
+                    key = (min(int(a), int(b)), max(int(a), int(b)))
+                    if key not in seen:
+                        seen[key] = float(ke_t[t])
+            cons += [(a, b, float(np.linalg.norm(q0[a] - q0[b])), k)
+                     for (a, b), k in seen.items()]
+        if st.edge_count:
+            # bending as distance constraints between opposite vertices
+            ei = np.asarray(model.edge_indices)
+            keb = np.asarray(model.edge_bending_properties)[:, 0] * bend_scale
+            for e in range(len(ei)):
+                o0, o1 = int(ei[e, 0]), int(ei[e, 1])
+                if o0 >= 0 and o1 >= 0 and keb[e] > 0:
+                    cons.append((o0, o1,
+                                 float(np.linalg.norm(q0[o0] - q0[o1])),
+                                 float(keb[e])))
+        self.ci = np.asarray([(c[0], c[1]) for c in cons], dtype=np.int32)
+        self.c_rest = jnp.asarray([c[2] for c in cons], dtype=jnp.float32)
+        self.c_w = np.asarray([c[3] for c in cons], dtype=np.float64)
+
+        # PD global matrix (constant): A = M/h^2 + sum_c w_c S_c^T S_c.
+        # h is bound at first step; factor lazily per dt (cached).
+        L = np.zeros((N, N))
+        for (a, b), w in zip(self.ci, self.c_w):
+            L[a, a] += w
+            L[b, b] += w
+            L[a, b] -= w
+            L[b, a] -= w
+        self._L = L
+        self._chol_cache = {}
+
+    def _factor(self, dt: float):
+        key = round(float(dt), 12)
+        if key not in self._chol_cache:
+            m = np.asarray(self.model.particle_mass)
+            inv_m = np.asarray(self.model.particle_inv_mass)
+            diag_m = np.where(inv_m > 0, m, 1e12)  # pin fixed particles
+            A = self._L + np.diag(diag_m / (dt * dt))
+            self._chol_cache[key] = jnp.asarray(np.linalg.cholesky(A),
+                                                dtype=jnp.float32)
+        return self._chol_cache[key]
+
+    # ------------------------------------------------------------------
+    def step(self, state_in: State, state_out: Optional[State] = None,
+             control: Optional[Control] = None,
+             contacts: Optional[Contacts] = None, dt: float = 1e-3) -> State:
+        model = self.model
+        st = model.structure
+        N = model.particle_count
+        body_q, body_qd = integrate_bodies(model, state_in, dt)
+        if N == 0 or len(self.ci) == 0:
+            return state_in.replace(body_q=body_q, body_qd=body_qd)
+        dtype = state_in.particle_q.dtype
+
+        inv_m = model.particle_inv_mass
+        m_eff = jnp.where(inv_m > 0, model.particle_mass, 1e12)
+        active = (inv_m > 0)[:, None]
+        w_idx = np.maximum(st.particle_world, 0)
+        g_vec = model.gravity[w_idx]
+
+        x0 = state_in.particle_q
+        v0 = state_in.particle_qd
+        a_ext = g_vec * active + state_in.particle_f * inv_m[:, None]
+        if contacts is not None and contacts.soft_contact_max:
+            pi = contacts.soft_contact_particle
+            depth = contacts.soft_contact_depth
+            nrm = contacts.soft_contact_normal
+            act = contacts.soft_contact_mask & (depth > 0)
+            f_con = jax.ops.segment_sum(
+                jnp.where(act[:, None], self.contact_ke * depth[:, None] * nrm,
+                          0.0), pi, N)
+            a_ext = a_ext + f_con * inv_m[:, None]
+        y = x0 + dt * v0 * active + dt * dt * a_ext
+
+        L = self._factor(dt)
+        h2 = 1.0 / (dt * dt)
+        rhs_inertia = (m_eff * h2)[:, None] * y
+        ci = self.ci
+        w = jnp.asarray(self.c_w, dtype=dtype)
+
+        def pd_iter(x, _):
+            # local: project every edge to its rest length
+            d = x[ci[:, 0]] - x[ci[:, 1]]
+            dist = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-9)
+            p = d * (self.c_rest / dist)[:, None]            # (C, 3)
+            # global rhs: S^T w p
+            rhs = rhs_inertia
+            contrib = w[:, None] * p
+            rhs = rhs.at[ci[:, 0]].add(contrib)
+            rhs = rhs.at[ci[:, 1]].add(-contrib)
+            x_new = jax.scipy.linalg.cho_solve((L, True), rhs)
+            return x_new, None
+
+        x, _ = jax.lax.scan(pd_iter, y, None, length=self.iterations)
+        x = jnp.where(active, x, x0)
+        v = jnp.where(active, (x - x0) / dt, v0)
+        return state_in.replace(particle_q=x, particle_qd=v,
+                                body_q=body_q, body_qd=body_qd)
