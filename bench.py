@@ -36,31 +36,39 @@ def main():
     asset_dir = "/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/assets"
     robot_xml = os.path.join(asset_dir, f"{args.robot}.xml")
 
+    from newton_tpu.parallel import batch_state
+
+    # env-batched architecture: ONE-world model, vmap over the env axis
+    # (SURVEY.md §1 TPU mapping; ~2x faster than the flat multi-world layout)
     robot = nt.ModelBuilder()
     robot.add_mjcf(robot_xml)
-    scene = nt.ModelBuilder()
-    scene.replicate(robot, args.worlds)
-    model = scene.finalize()
+    model = robot.finalize()
 
     pipeline = CollisionPipeline(model)
     solver = SolverMuJoCo(model, iterations=8)
-    state = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    state1 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
     control = model.control()
+    state = batch_state(state1, args.worlds)
     dt = 1.0 / 240.0
 
     D = model.joint_dof_count
     gear = model.custom.get("mjc:actuator_gear",
-                            jnp.zeros((D,), dtype=state.joint_q.dtype))
+                            jnp.zeros((D,), dtype=state1.joint_q.dtype))
+
+    def env_substep(s, ctl):
+        c = pipeline.collide(s)
+        return solver.step(s, None, ctl, c, dt)
 
     def frame(carry, _):
         state, key = carry
         key, sub = jax.random.split(key)
-        ctrl_vec = jax.random.uniform(sub, (D,), minval=-1.0, maxval=1.0)
-        ctl = control.replace(joint_f=ctrl_vec * gear)
+        ctrl_vec = jax.random.uniform(sub, (args.worlds, D),
+                                      minval=-1.0, maxval=1.0)
 
         def substep(s, _):
-            c = pipeline.collide(s)
-            return solver.step(s, None, ctl, c, dt), None
+            ctl = jax.vmap(lambda f: control.replace(joint_f=f))(
+                ctrl_vec * gear[None, :])
+            return jax.vmap(env_substep)(s, ctl), None
 
         state, _ = jax.lax.scan(substep, state, None, length=args.substeps)
         return (state, key), None
@@ -90,8 +98,8 @@ def main():
     args.frames = n_chunks * chunk
 
     # validity gates (reference benchmark_metrics.py:160)
-    jq = np.asarray(state.joint_q)
-    bq = np.asarray(state.body_q)
+    jq = np.asarray(state.joint_q).reshape(-1)
+    bq = np.asarray(state.body_q).reshape(-1, 7)
     if np.isnan(jq).any() or np.isnan(bq).any():
         print(json.dumps({"metric": "ant_env_steps_per_s", "value": 0.0,
                           "unit": "env-steps/s", "vs_baseline": 0.0,

@@ -41,6 +41,16 @@ from .sim import (
 )
 
 from . import math  # noqa: E402
+from . import actuators, controllers, geometry, ik, parallel, sensors  # noqa: E402
+from . import solvers, utils, viewer  # noqa: E402
+from .sim.articulation import eval_fk, eval_ik  # noqa: E402
+from .sim.collide import CollisionPipeline  # noqa: E402
+from .sim.dynamics_api import (  # noqa: E402
+    eval_inverse_dynamics,
+    eval_jacobian,
+    eval_mass_matrix,
+)
+from .utils.selection import ArticulationView  # noqa: E402
 
 __all__ = [
     "MAXVAL", "Axis", "AxisType", "axis_to_vec3",
@@ -50,4 +60,8 @@ __all__ = [
     "Contacts", "Control", "EqType", "JointDofConfig", "JointTargetMode",
     "JointType", "Model", "ModelBuilder", "ModelFlags", "ModelStructure",
     "ShapeConfig", "State", "StateFlags", "math",
+    "ArticulationView", "CollisionPipeline", "actuators", "controllers",
+    "eval_fk", "eval_ik", "eval_inverse_dynamics", "eval_jacobian",
+    "eval_mass_matrix", "geometry", "ik", "parallel", "sensors", "solvers",
+    "utils", "viewer",
 ]

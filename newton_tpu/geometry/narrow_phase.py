@@ -305,24 +305,51 @@ def capsule_box(X0, X1, s0, s1):
 
 
 def box_box(X0, X1, s0, s1):
-    """16 slots: corners of each box against the other box's SDF."""
-    c0 = _box_corners(X0, s0)                                   # (n,8,3)
+    """16 slots via face-axis SAT: the minimum-overlap axis among the 6 face
+    normals defines the contact normal; each box's corners past the other's
+    slab along that axis become manifold points (branch-free; edge-edge axes
+    are approximated by the nearest face axis, adequate with the solver's
+    multi-point Jacobi treatment)."""
+    from ..math import quat_to_matrix
+    R0 = quat_to_matrix(X0[:, 3:7])                             # (n, 3, 3)
+    R1 = quat_to_matrix(X1[:, 3:7])
+    axes = jnp.concatenate([jnp.swapaxes(R0, 1, 2),
+                            jnp.swapaxes(R1, 1, 2)], axis=1)    # (n, 6, 3)
+    dp = X1[:, 0:3] - X0[:, 0:3]
+    # slab radii of each box along every axis
+    proj0 = jnp.abs(jnp.einsum("nax,nxk->nak", axes, R0)) @ s0[..., None]
+    proj1 = jnp.abs(jnp.einsum("nax,nxk->nak", axes, R1)) @ s1[..., None]
+    r0 = proj0[..., 0]                                          # (n, 6)
+    r1 = proj1[..., 0]
+    dist = jnp.einsum("nax,nx->na", axes, dp)
+    overlap = r0 + r1 - jnp.abs(dist)                           # (n, 6)
+    a_best = jnp.argmin(overlap, axis=-1)
+    n_axis = jnp.take_along_axis(axes, a_best[:, None, None], axis=1)[:, 0]
+    sign = jnp.sign(jnp.take_along_axis(dist, a_best[:, None], axis=1)[:, 0])
+    sign = jnp.where(sign == 0, 1.0, sign)
+    n = n_axis * sign[:, None]                                  # 0 -> 1
+    min_overlap = jnp.take_along_axis(overlap, a_best[:, None], axis=1)[:, 0]
+    separated = (min_overlap < 0.0)
+
+    c0 = _box_corners(X0, s0)                                   # (n, 8, 3)
     c1 = _box_corners(X1, s1)
-    # corners of box0 in box1
-    l1 = transform_point_inv(X1[:, None, :], c0)
-    d01, g01 = _box_sdf_local(l1, s1[:, None, :])
-    n01 = -quat_rotate(X1[:, None, 3:7], g01)                   # 0 -> 1 dir
-    depth01 = -d01
-    pos01 = c0 - n01 * d01[..., None] * 0.5
-    # corners of box1 in box0
-    l0 = transform_point_inv(X0[:, None, :], c1)
-    d10, g10 = _box_sdf_local(l0, s0[:, None, :])
-    n10 = quat_rotate(X0[:, None, 3:7], g10)                    # 0 -> 1 dir
-    depth10 = -d10
-    pos10 = c1 + n10 * d10[..., None] * 0.5
-    pos = jnp.concatenate([pos01, pos10], axis=1)
-    nrm = jnp.concatenate([n01, n10], axis=1)
-    depth = jnp.concatenate([depth01, depth10], axis=1)
+    # box1 corners penetrating past box0's slab face along n
+    face0 = jnp.einsum("nx,nx->n", X0[:, 0:3], n) + \
+        jnp.take_along_axis(r0, a_best[:, None], axis=1)[:, 0]
+    depth1 = face0[:, None] - jnp.einsum("nkx,nx->nk", c1, n)   # (n, 8)
+    # box0 corners penetrating past box1's slab face along -n
+    face1 = jnp.einsum("nx,nx->n", X1[:, 0:3], n) - \
+        jnp.take_along_axis(r1, a_best[:, None], axis=1)[:, 0]
+    depth0 = jnp.einsum("nkx,nx->nk", c0, n) - face1[:, None]
+    # cap by the SAT overlap and mask separated pairs
+    cap = jnp.maximum(min_overlap, 0.0)[:, None]
+    depth1 = jnp.where(separated[:, None], -1.0, jnp.minimum(depth1, cap))
+    depth0 = jnp.where(separated[:, None], -1.0, jnp.minimum(depth0, cap))
+    pos1 = c1 + n[:, None, :] * (0.5 * depth1)[..., None]
+    pos0 = c0 - n[:, None, :] * (0.5 * depth0)[..., None]
+    pos = jnp.concatenate([pos1, pos0], axis=1)
+    nrm = jnp.broadcast_to(n[:, None, :], pos.shape)
+    depth = jnp.concatenate([depth1, depth0], axis=1)
     return pos, nrm, depth
 
 

@@ -76,7 +76,13 @@ def _point_tri_distance_sq(p, a, b, c):
 
 
 def _ray_parity_sign(points: np.ndarray, v0, v1, v2) -> np.ndarray:
-    """Inside/outside via +x ray crossing parity. points (N,3), tris (M,3)."""
+    """Inside/outside via +x ray crossing parity. points (N,3), tris (M,3).
+
+    Origins are jittered by an irrational sub-cell offset: grid points
+    align with mesh symmetry planes, and a ray through a shared triangle
+    edge/diagonal is counted twice (or zero), flipping the sign."""
+    scale = max(float(np.abs(v0).max()), 1e-9)
+    points = points + scale * np.array([0.0, 1.17e-5, 2.71e-5])
     # Moller-Trumbore along direction (1,0,0)
     e1 = v1 - v0  # (M,3)
     e2 = v2 - v0
@@ -105,6 +111,15 @@ def bake_mesh_sdf(mesh, resolution: int = 32, margin: float = 0.1):
     pad = margin * max(float(extent.max()), 1e-6)
     lo = lo - pad
     hi = hi + pad
+
+    # native fast path (newton_tpu/native): same algorithm in C++
+    try:
+        from ..native import native_bake_sdf
+        data = native_bake_sdf(v, f, resolution, lo, hi)
+        if data is not None:
+            return SDF(data=data, lower=lo, upper=hi)
+    except Exception:
+        pass
 
     xs = np.linspace(lo[0], hi[0], resolution)
     ys = np.linspace(lo[1], hi[1], resolution)

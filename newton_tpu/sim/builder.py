@@ -1551,6 +1551,36 @@ class ModelBuilder:
         """All shape pairs that can ever collide, with cumulative contact-slot
         offsets. O(S^2) host loop with an early world-bucket split so replicated
         scenes cost O(W * s^2) not O((W*s)^2)."""
+        # native fast path for large scenes (newton_tpu/native)
+        if self.shape_count > 2048:
+            try:
+                from ..native import native_candidate_pairs
+                filters = set(self.shape_collision_filter_pairs)
+                # expand body-level filters to shape pairs
+                body_shapes: Dict[int, List[int]] = {}
+                for si, bi in enumerate(self.shape_body):
+                    body_shapes.setdefault(bi, []).append(si)
+                for (ba, bb) in self._body_filter_pairs:
+                    for sa in body_shapes.get(ba, []):
+                        for sb in body_shapes.get(bb, []):
+                            filters.add((min(sa, sb), max(sa, sb)))
+                pairs = native_candidate_pairs(
+                    self.shape_body, self.shape_world,
+                    self.shape_collision_group, self.shape_contype,
+                    self.shape_conaffinity, self.shape_type,
+                    self.shape_flags, filters,
+                    int(ShapeFlags.COLLIDE_SHAPES), int(GeoType.PLANE),
+                    int(GeoType.NONE))
+                if pairs is not None:
+                    pairs = pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
+                    slots = np.zeros(len(pairs) + 1, dtype=np.int32)
+                    for i, (a, b) in enumerate(pairs):
+                        slots[i + 1] = slots[i] + _pair_slots(
+                            self.shape_type[a], self.shape_type[b])
+                    return pairs.astype(np.int32), slots, int(slots[-1])
+            except Exception:
+                pass
+
         by_world: Dict[int, List[int]] = {}
         COLL = int(ShapeFlags.COLLIDE_SHAPES)
         for s in range(self.shape_count):
@@ -1768,13 +1798,20 @@ class ModelBuilder:
         # with a mesh, or a primitive that samples into the mesh
         needs_sdf = set()
         for a in range(self.shape_count):
+            if self.shape_type[a] not in mesh_types:
+                continue
             for b in range(self.shape_count):
                 if a == b:
                     continue
-                if (self.shape_type[a] in mesh_types
-                        and self.shape_type[b] in mesh_types
-                        and self._should_collide(min(a, b), max(a, b))):
+                if self._should_collide(min(a, b), max(a, b)):
                     needs_sdf.add(a)
+                    break
+        for sidx in range(self.shape_count):
+            t = GeoType(self.shape_type[sidx])
+            sc = self.shape_scale[sidx]
+            if t not in (GeoType.MESH, GeoType.CONVEX, GeoType.PLANE,
+                         GeoType.NONE, GeoType.SDF, GeoType.HFIELD):
+                sample_points[sidx] = _primitive_sample_points(t, sc, sample_K)
         for sidx, src in enumerate(self.shape_source):
             if self.shape_type[sidx] in mesh_types and isinstance(src, Mesh):
                 pts = src.vertices * self.shape_scale[sidx]
@@ -1976,6 +2013,11 @@ class ModelBuilder:
         return model
 
 
+    def collapse_fixed_joints(self) -> None:
+        """Merge fixed-jointed bodies into their parents
+        (reference: builder.py:5493)."""
+        _collapse_fixed_joints(self)
+
     # ------------------------------------------------------------------
     # importers (reference: builder.py:3184 add_urdf, :3615 add_mjcf)
     # ------------------------------------------------------------------
@@ -2094,3 +2136,167 @@ def _fps_sample(points: np.ndarray, k: int) -> np.ndarray:
         chosen.append(i)
         d = np.minimum(d, np.linalg.norm(pts - pts[i], axis=1))
     return pts[chosen]
+
+
+def _primitive_sample_points(t: GeoType, sc, k: int) -> np.ndarray:
+    """Surface sample points for primitive shapes (used when a primitive
+    samples into a mesh SDF — the reverse mesh-contact direction)."""
+    pts: List[np.ndarray] = []
+    if t == GeoType.SPHERE or t == GeoType.ELLIPSOID:
+        r = sc if t == GeoType.ELLIPSOID else np.array([sc[0]] * 3)
+        dirs = np.array([[1,0,0],[-1,0,0],[0,1,0],[0,-1,0],[0,0,1],[0,0,-1],
+                         [1,1,1],[1,1,-1],[1,-1,1],[1,-1,-1],
+                         [-1,1,1],[-1,1,-1],[-1,-1,1],[-1,-1,-1]], dtype=float)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        pts = list(dirs * r)
+    elif t == GeoType.BOX:
+        pts = [np.array([sx*sc[0], sy*sc[1], sz*sc[2]])
+               for sx in (-1,1) for sy in (-1,1) for sz in (-1,1)]
+        pts += [np.array([s_*sc[0],0,0]) for s_ in (-1,1)]
+        pts += [np.array([0,s_*sc[1],0]) for s_ in (-1,1)]
+        pts += [np.array([0,0,s_*sc[2]]) for s_ in (-1,1)]
+    elif t in (GeoType.CAPSULE, GeoType.CYLINDER, GeoType.CONE):
+        r, h = sc[0], sc[1]
+        for z in (-h - (r if t == GeoType.CAPSULE else 0),
+                  h + (r if t == GeoType.CAPSULE else 0)):
+            pts.append(np.array([0, 0, z]))
+        for z in (-h, 0.0, h):
+            for a_ in np.linspace(0, 2*np.pi, 5)[:-1]:
+                pts.append(np.array([r*np.cos(a_), r*np.sin(a_), z]))
+    out = np.zeros((k, 3))
+    n = min(len(pts), k)
+    if n:
+        out[:n] = np.stack(pts[:n])
+        out[n:] = out[0]
+    return out
+
+
+def _collapse_fixed_joints(builder: "ModelBuilder") -> Dict[int, int]:
+    """Merge bodies connected by FIXED joints into their parents
+    (reference: builder.py:5493 collapse_fixed_joints). Returns the
+    old->new body index map. Bodies fixed to the world (-1) are kept.
+    Mutates the builder in place; call before finalize().
+    """
+    from ..core.host_math import np_quat_to_matrix
+
+    # repeat until no collapsible joint remains (chains of fixed joints)
+    while True:
+        target = None
+        for j in range(builder.joint_count):
+            if (builder.joint_type[j] == int(JointType.FIXED)
+                    and builder.joint_parent[j] >= 0):
+                target = j
+                break
+        if target is None:
+            break
+        j = target
+        parent = builder.joint_parent[j]
+        child = builder.joint_child[j]
+        # child-frame -> parent-frame transform through the joint
+        X_pc = np_transform_multiply(
+            builder.joint_X_p[j], np_transform_inverse(builder.joint_X_c[j]))
+
+        # merge mass properties
+        m_c = builder.body_mass[child]
+        if m_c > 0:
+            com_c_in_p = np_transform_point(X_pc, builder.body_com[child])
+            R = np_quat_to_matrix(X_pc[3:])
+            I_c_in_p = R @ builder.body_inertia[child] @ R.T
+            m_p = builder.body_mass[parent]
+            c_p = builder.body_com[parent]
+            m_new = m_p + m_c
+            c_new = (m_p * c_p + m_c * com_c_in_p) / m_new
+            I_p_s = transform_inertia(m_p, builder.body_inertia[parent],
+                                      c_p - c_new, np.array([0., 0, 0, 1]))
+            I_c_s = transform_inertia(m_c, I_c_in_p,
+                                      com_c_in_p - c_new,
+                                      np.array([0., 0, 0, 1]))
+            builder.body_mass[parent] = m_new
+            builder.body_com[parent] = c_new
+            builder.body_inertia[parent] = I_p_s + I_c_s
+
+        # re-parent child's shapes
+        for s in range(builder.shape_count):
+            if builder.shape_body[s] == child:
+                builder.shape_body[s] = parent
+                builder.shape_transform[s] = np_transform_multiply(
+                    X_pc, builder.shape_transform[s])
+
+        # re-root child's outgoing joints
+        for j2 in range(builder.joint_count):
+            if j2 == j:
+                continue
+            if builder.joint_parent[j2] == child:
+                builder.joint_parent[j2] = parent
+                builder.joint_X_p[j2] = np_transform_multiply(
+                    X_pc, builder.joint_X_p[j2])
+            if builder.joint_child[j2] == child:
+                builder.joint_child[j2] = parent
+                builder.joint_X_c[j2] = np_transform_multiply(
+                    X_pc, builder.joint_X_c[j2])
+
+        # remap equality constraints (body-typed)
+        for e in range(len(builder.eq_type)):
+            if EqType(builder.eq_type[e]) != EqType.JOINT:
+                if builder.eq_obj1[e] == child:
+                    builder.eq_obj1[e] = parent
+                if builder.eq_obj2[e] == child:
+                    builder.eq_obj2[e] = parent
+
+        # delete joint j and body `child`
+        _delete_joint(builder, j)
+        _delete_body(builder, child)
+
+    return {}
+
+
+def _delete_joint(b: "ModelBuilder", j: int):
+    qs, qe = b.joint_q_start[j], b.joint_q_start[j + 1]
+    ds, de = b.joint_qd_start[j], b.joint_qd_start[j + 1]
+    for lst in (b.joint_type, b.joint_parent, b.joint_child, b.joint_X_p,
+                b.joint_X_c, b.joint_key, b.joint_world, b.joint_enabled,
+                b.joint_articulation, b.joint_dof_dim):
+        del lst[j]
+    del b.joint_q[qs:qe]
+    del b.joint_target_q[qs:qe]
+    for lst in (b.joint_axis, b.joint_armature, b.joint_target_ke,
+                b.joint_target_kd, b.joint_limit_lower, b.joint_limit_upper,
+                b.joint_limit_ke, b.joint_limit_kd, b.joint_friction,
+                b.joint_effort_limit, b.joint_velocity_limit, b.joint_qd,
+                b.joint_dof_mode):
+        del lst[ds:de]
+    nq, nd = qe - qs, de - ds
+    b.joint_q_start = (b.joint_q_start[:j + 1]
+                       + [x - nq for x in b.joint_q_start[j + 2:]])
+    b.joint_qd_start = (b.joint_qd_start[:j + 1]
+                        + [x - nd for x in b.joint_qd_start[j + 2:]])
+    # articulation starts referencing joints after j shift down
+    b.articulation_start = [a - 1 if a > j else a
+                            for a in b.articulation_start]
+    # JOINT-typed equality constraints referencing later joints shift
+    for e in range(len(b.eq_type)):
+        if EqType(b.eq_type[e]) == EqType.JOINT:
+            if b.eq_obj1[e] > j:
+                b.eq_obj1[e] -= 1
+            if b.eq_obj2[e] > j:
+                b.eq_obj2[e] -= 1
+
+
+def _delete_body(b: "ModelBuilder", body: int):
+    for lst in (b.body_q, b.body_qd, b.body_com, b.body_mass,
+                b.body_inertia, b.body_flags, b.body_world, b.body_key):
+        del lst[body]
+
+    def remap(x):
+        return x - 1 if x > body else x
+
+    b.shape_body = [remap(x) for x in b.shape_body]
+    b.joint_parent = [remap(x) for x in b.joint_parent]
+    b.joint_child = [remap(x) for x in b.joint_child]
+    for e in range(len(b.eq_type)):
+        if EqType(b.eq_type[e]) != EqType.JOINT:
+            b.eq_obj1[e] = remap(b.eq_obj1[e])
+            b.eq_obj2[e] = remap(b.eq_obj2[e])
+    b._body_filter_pairs_ = {(remap(x), remap(y))
+                             for (x, y) in b._body_filter_pairs
+                             if x != body and y != body}

@@ -216,11 +216,13 @@ class CollisionPipeline:
         pi = self.soft_particle
         si = self.soft_shape
         sb = model.structure.shape_body[si]
-        body_idx = np.maximum(sb, 0)
-        is_static = jnp.asarray(sb < 0)[:, None]
-        X_body = jnp.where(is_static,
-                           jnp.zeros((7,), dtype=dtype).at[6].set(1.0),
-                           state.body_q[body_idx])
+        identity = jnp.zeros((7,), dtype=dtype).at[6].set(1.0)
+        if model.body_count == 0:
+            X_body = jnp.broadcast_to(identity, (len(si), 7))
+        else:
+            body_idx = np.maximum(sb, 0)
+            is_static = jnp.asarray(sb < 0)[:, None]
+            X_body = jnp.where(is_static, identity, state.body_q[body_idx])
         X_ws = transform_multiply(X_body, model.shape_transform[si])
         p = state.particle_q[pi]
         radius = model.particle_radius[pi]
@@ -340,8 +342,13 @@ def _install_mesh_classes(pipeline: "CollisionPipeline"):
                 mesh, other, mf = int(b), int(a), False
             else:
                 continue
-            key = ("ma", k)
-            pc = classes.setdefault(key, _MeshPairClass(k, False))
+            # bidirectional when the mesh has a baked SDF: both the mesh's
+            # samples (vs the primitive's analytic SDF) and the primitive's
+            # samples (vs the mesh SDF) contribute — required when the mesh
+            # is large and static (terrain) and the primitive small
+            bidir = int(st.shape_sdf_id[mesh]) >= 0
+            key = ("ma", k, bidir)
+            pc = classes.setdefault(key, _MeshPairClass(k, bidir))
             pc.mesh_idx.append(mesh)
             pc.other_idx.append(other)
             pc.mesh_first.append(mf)

@@ -36,6 +36,7 @@ from .dynamics import (
     group_mass_matrix,
     integrate_coords,
 )
+from .linalg import cho_solve_unrolled, cholesky_unrolled
 
 __all__ = ["SolverFeatherstone", "SolverMuJoCo"]
 
@@ -152,9 +153,10 @@ class SolverFeatherstone(SolverBase):
         q = state_in.joint_q
         qd = state_in.joint_qd
 
-        # FK for current kinematics (body poses drive subspaces/contacts)
-        s_kin = eval_fk(model, q, qd, state_in)
-        body_q, body_qd = s_kin.body_q, s_kin.body_qd
+        # body poses/velocities are maintained FK-consistent by construction:
+        # eval_fk at init and at the end of every step. Recomputing FK here
+        # would double the kinematics cost per substep for nothing.
+        body_q, body_qd = state_in.body_q, state_in.body_qd
 
         v_o, w_o = dof_subspace(model, body_q)
         tau_bias = group_bias_forces(model, body_q, body_qd, v_o, w_o)
@@ -200,8 +202,8 @@ class SolverFeatherstone(SolverBase):
                                      jnp.eye(g.d, dtype=dtype))
             rhs = (jnp.einsum("nde,ne->nd", M, qd[g.dof_idx])
                    + dt * tau_net[g.dof_idx])
-            L = jnp.linalg.cholesky(Mi)
-            qd_g = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+            L = cholesky_unrolled(Mi)
+            qd_g = cho_solve_unrolled(L, rhs)
             qd_new = qd_new.at[g.dof_idx.reshape(-1)].set(qd_g.reshape(-1))
             group_data.append((M, L, qd_g))
 
@@ -290,8 +292,7 @@ class SolverFeatherstone(SolverBase):
         Jf = J.reshape(n_env, 3 * c, d)
 
         # Delassus and free velocity
-        MinvJt = jax.scipy.linalg.cho_solve(
-            (L, True), jnp.swapaxes(Jf, 1, 2))              # (n, d, 3c)
+        MinvJt = cho_solve_unrolled(L, jnp.swapaxes(Jf, 1, 2))  # (n, d, 3c)
         A = jnp.einsum("nrd,nds->nrs", Jf, MinvJt)          # (n, 3c, 3c)
         diag = jnp.diagonal(A, axis1=1, axis2=2) + self.contact_reg
         v_free = jnp.einsum("nrd,nd->nr", Jf, qd_g)         # (n, 3c)

@@ -74,6 +74,7 @@ class SolverXPBD(SolverBase):
                  rigid_contact_relaxation: float = 0.8,
                  angular_damping: float = 0.05,
                  enable_restitution: bool = True,
+                 enable_particle_particle: bool = True,
                  friction_epsilon: float = 1e-5):
         super().__init__(model)
         self.iterations = int(iterations)
@@ -83,6 +84,7 @@ class SolverXPBD(SolverBase):
         self.rigid_contact_relaxation = float(rigid_contact_relaxation)
         self.angular_damping = float(angular_damping)
         self.enable_restitution = bool(enable_restitution)
+        self.enable_particle_particle = bool(enable_particle_particle)
         self.friction_epsilon = float(friction_epsilon)
         self._plan = _XPBDPlan(model)
 
@@ -121,6 +123,16 @@ class SolverXPBD(SolverBase):
         px = particle_q_pred
         px_prev = state.particle_q
 
+        # particle-particle neighborhoods (reference: hash-grid rebuild per
+        # substep, solver_xpbd.py:404) — static-shape sorted-hash query
+        nbr = None
+        if model.particle_count > 1 and self.enable_particle_particle:
+            from ..geometry.hashgrid import HashGrid
+            r_max = float(np.max(np.asarray(model.particle_radius), initial=0.0))
+            if r_max > 0:
+                grid = HashGrid(cell_size=2.0 * r_max, max_per_cell=4)
+                nbr = grid.query(px, 2.0 * r_max)
+
         C = contacts.rigid_contact_max if contacts is not None else 0
         lam_n = jnp.zeros((C,), dtype=dtype)
 
@@ -155,7 +167,7 @@ class SolverXPBD(SolverBase):
                     [dth / denom, jnp.zeros_like(dth[:, :1])], axis=-1), q)
                 q = quat_normalize(q + 0.5 * self.relaxation * dq)
             if model.particle_count:
-                dpx = plan.solve_particles(model, px, px_prev, contacts, dt)
+                dpx = plan.solve_particles(model, px, px_prev, contacts, dt, nbr)
                 px = px + self.relaxation * dpx
             return (x, q, px, lam_n), None
 
@@ -594,7 +606,7 @@ class _XPBDPlan:
 
     # ------------------------------------------------------------------
     def solve_particles(self, model: Model, px, px_prev,
-                        contacts: Optional[Contacts], dt):
+                        contacts: Optional[Contacts], dt, nbr=None):
         """Distance/volume constraints + particle-shape contacts (Jacobi)."""
         st = self.st
         N = model.particle_count
@@ -665,6 +677,20 @@ class _XPBDPlan:
             for (u, w_) in ((a, b), (a, c_), (a, d_), (b, c_), (b, d_), (c_, d_)):
                 rest = jnp.linalg.norm(q0[w_] - q0[u], axis=-1)
                 dx = add_distance(dx, u, w_, rest, comp_mu)
+
+        # particle-particle non-penetration (Jacobi over neighbor candidates)
+        if nbr is not None:
+            idx, nmask = nbr
+            d = px[idx] - px[:, None, :]                  # (N, M, 3)
+            dist = jnp.linalg.norm(d, axis=-1)
+            nrm = d / jnp.maximum(dist, 1e-9)[..., None]
+            overlap = (model.particle_radius[:, None]
+                       + model.particle_radius[idx] - dist)
+            act = nmask & (overlap > 0)
+            wsum = inv_m[:, None] + inv_m[idx]
+            dlam = jnp.where(act, overlap / jnp.maximum(wsum, 1e-9), 0.0)
+            # each particle accumulates only its own side (Jacobi symmetric)
+            dx = dx - jnp.sum(nrm * (dlam * inv_m[:, None])[..., None], axis=1)
 
         # soft particle-shape contacts: linearized depth at the current
         # particle position (contact frame frozen within the substep)

@@ -35,10 +35,7 @@ def _origin_xform(elem: Optional[ET.Element], scale: float) -> np.ndarray:
         return np_transform()
     xyz = np.fromstring(elem.get("xyz", "0 0 0"), sep=" ") * scale
     rpy = np.fromstring(elem.get("rpy", "0 0 0"), sep=" ")
-    q = np_quat_identity()
-    for ax, ang in zip(np.eye(3), rpy):
-        q = np_quat_mul(q, np_quat_from_axis_angle(ax, ang))
-    # URDF rpy is extrinsic XYZ = intrinsic ZYX; compose in reverse
+    # URDF rpy is extrinsic XYZ = intrinsic ZYX
     qz = np_quat_from_axis_angle([0, 0, 1], rpy[2])
     qy = np_quat_from_axis_angle([0, 1, 0], rpy[1])
     qx = np_quat_from_axis_angle([1, 0, 0], rpy[0])
@@ -87,11 +84,13 @@ def parse_urdf(builder, source: str, xform=None, floating: bool = False,
 
     builder.add_articulation(key=pre + (root.get("name") or "urdf"))
 
-    def add_link_shapes(link: ET.Element, body_idx: int):
+    def add_link_shapes(link: ET.Element, body_idx: int,
+                        has_inertial: bool = False):
         for col in link.findall("collision") + link.findall("visual"):
             is_visual = col.tag == "visual"
             cfg = builder.default_shape_cfg.copy()
-            cfg.density = 0.0 if is_visual else density
+            # URDF <inertial> is authoritative: geometry contributes no mass
+            cfg.density = 0.0 if (is_visual or has_inertial) else density
             if is_visual:
                 cfg.has_shape_collision = False
                 cfg.has_particle_collision = False
@@ -157,7 +156,7 @@ def parse_urdf(builder, source: str, xform=None, floating: bool = False,
         body_idx = builder.add_body(xform=X_world, mass=mass, com=com, I_m=I_m,
                                     key=pre + name)
         name_to_body[name] = body_idx
-        add_link_shapes(link, body_idx)
+        add_link_shapes(link, body_idx, has_inertial=inertial is not None)
         return body_idx
 
     def recurse(name: str, parent_idx: int, X_parent: np.ndarray):

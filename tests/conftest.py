@@ -8,7 +8,14 @@ CUDA device; here, single-device jit plus an 8-device CPU mesh validates the
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Drop the axon (TPU tunnel) plugin from PYTHONPATH: importing it blocks on
+# the single-tenant tunnel whenever another process is using the TPU, which
+# stalls CPU test runs for minutes.
+os.environ["PYTHONPATH"] = ""
+import sys
+
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,131 @@
+"""Geometry-layer tests: narrow phase, SDF, raycast, hashgrid, terrain,
+native parity (reference: tests/test_gjk.py, test_collision_primitives.py,
+test_sdf_*.py, test_hashtable.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import newton_tpu as nt
+from newton_tpu.geometry import narrow_phase as npx
+from newton_tpu.geometry.hashgrid import HashGrid
+from newton_tpu.geometry.raycast import raycast_model
+from newton_tpu.geometry.sdf import bake_mesh_sdf, sample_sdf_grid
+from newton_tpu.geometry.terrain import (
+    generate_fractal_terrain,
+    generate_stairs,
+    heightfield_to_mesh,
+)
+
+
+def xf(p, q=(0, 0, 0, 1)):
+    return jnp.array([[*p, *q]], dtype=jnp.float32)
+
+
+def s3(v):
+    return jnp.array([v], dtype=jnp.float32)
+
+
+def test_plane_sphere_contact():
+    pos, nrm, depth = npx.plane_sphere(
+        xf((0, 0, 0)), xf((0, 0, 0.4)), s3((0, 0, 0)), s3((0.5, 0.5, 0.5)))
+    np.testing.assert_allclose(float(depth[0, 0]), 0.1, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nrm)[0, 0], [0, 0, 1], atol=1e-6)
+
+
+def test_sphere_sphere_contact():
+    pos, nrm, depth = npx.sphere_sphere(
+        xf((0, 0, 0)), xf((0.8, 0, 0)), s3((0.5, 0, 0)), s3((0.5, 0, 0)))
+    np.testing.assert_allclose(float(depth[0, 0]), 0.2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nrm)[0, 0], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pos)[0, 0], [0.4, 0, 0], atol=1e-6)
+
+
+def test_box_box_deepest_corner():
+    pos, nrm, depth = npx.box_box(
+        xf((0, 0, 0)), xf((0, 0, 0.9)),
+        s3((0.5, 0.5, 0.5)), s3((0.5, 0.5, 0.5)))
+    assert float(jnp.max(depth)) > 0.09  # 0.1 overlap
+    # all penetrating normals near +-z
+    act = np.asarray(depth)[0] > 0
+    nz = np.abs(np.asarray(nrm)[0][act][:, 2])
+    assert (nz > 0.99).all()
+
+
+def test_capsule_plane():
+    pos, nrm, depth = npx.plane_capsule(
+        xf((0, 0, 0)), xf((0, 0, 0.4)), s3((0, 0, 0)), s3((0.2, 0.5, 0)))
+    # vertical capsule: bottom end at z=-0.1 -> depth = 0.2 - (-0.1) = 0.3
+    d = np.sort(np.asarray(depth)[0])
+    np.testing.assert_allclose(d, [-0.7, 0.3], atol=1e-5)
+
+
+def test_sdf_bake_and_sample():
+    verts = np.array([[x, y, z] for x in (-0.3, 0.3) for y in (-0.3, 0.3)
+                      for z in (-0.3, 0.3)], dtype=float)
+    faces = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                      [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                      [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    mesh = nt.Mesh(verts, faces.reshape(-1), compute_inertia=False)
+    sdf = bake_mesh_sdf(mesh, resolution=16)
+    grid = jnp.asarray(sdf.data)
+    lo = jnp.asarray(sdf.lower, dtype=jnp.float32)
+    hi = jnp.asarray(sdf.upper, dtype=jnp.float32)
+    center = sample_sdf_grid(grid, lo, hi, jnp.zeros(3))
+    assert float(center) < -0.2
+    outside = sample_sdf_grid(grid, lo, hi, jnp.array([0.34, 0.34, 0.34]))
+    assert float(outside) > 0.0
+
+
+def test_raycast_model():
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 1.0, 0, 0, 0, 1], mass=1.0)
+    b.add_shape_sphere(body, radius=0.5)
+    b.add_ground_plane()
+    m = b.finalize()
+    s = m.state()
+    origins = jnp.array([[0, 0, 3.0], [2, 0, 3.0]], dtype=jnp.float32)
+    dirs = jnp.array([[0, 0, -1.0], [0, 0, -1.0]], dtype=jnp.float32)
+    t, shape, nrm = raycast_model(m, s, origins, dirs)
+    np.testing.assert_allclose(float(t[0]), 1.5, atol=1e-4)  # sphere top
+    assert int(shape[0]) == 0
+    np.testing.assert_allclose(float(t[1]), 3.0, atol=1e-4)  # ground
+    assert int(shape[1]) == 1
+
+
+def test_hashgrid_neighbors():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (50, 3)), dtype=jnp.float32)
+    idx, mask = HashGrid(cell_size=0.25, max_per_cell=8).query(x, 0.25)
+    xn = np.asarray(x)
+    # brute-force check: every true neighbor pair must be found
+    for i in range(50):
+        found = set(np.asarray(idx)[i][np.asarray(mask)[i]])
+        for j in range(50):
+            if i != j and np.linalg.norm(xn[i] - xn[j]) < 0.25:
+                assert j in found, (i, j)
+
+
+def test_terrain_generators():
+    hf = generate_fractal_terrain(nx=32, ny=32, amplitude=0.3)
+    assert hf.heights.shape == (32, 32)
+    assert np.abs(hf.heights).max() <= 0.3 + 1e-6
+    stairs = generate_stairs(n_steps=4, step_height=0.2)
+    assert np.isclose(stairs.heights.max(), 0.6, atol=1e-6)
+    mesh = heightfield_to_mesh(hf)
+    assert mesh.num_triangles == 2 * 31 * 31
+
+
+def test_native_parity():
+    from newton_tpu.native import NATIVE_AVAILABLE, native_bake_sdf
+    if not NATIVE_AVAILABLE:
+        pytest.skip("no native toolchain")
+    verts = np.array([[x, y, z] for x in (-0.3, 0.3) for y in (-0.3, 0.3)
+                      for z in (-0.3, 0.3)], dtype=float)
+    faces = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                      [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                      [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    lo, hi = np.array([-0.5] * 3), np.array([0.5] * 3)
+    g = native_bake_sdf(verts, faces.reshape(-1), 11, lo, hi)
+    assert g[5, 5, 5] < -0.25     # inside
+    assert g[0, 0, 0] > 0.2       # outside

@@ -1,0 +1,106 @@
+"""Importer tests (reference: test_import_mjcf.py, test_import_urdf*)."""
+
+import numpy as np
+import pytest
+
+import newton_tpu as nt
+
+ANT = ("/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/assets/"
+       "ant.xml")
+HUMANOID = ("/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/"
+            "assets/humanoid.xml")
+
+URDF = """
+<robot name="two_link">
+  <link name="base">
+    <inertial><mass value="1.0"/><origin xyz="0 0 0"/>
+      <inertia ixx="0.1" iyy="0.1" izz="0.1" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+    <collision><geometry><box size="0.2 0.2 0.2"/></geometry></collision>
+  </link>
+  <link name="arm">
+    <inertial><mass value="0.5"/><origin xyz="0.25 0 0"/>
+      <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+    <collision><origin xyz="0.25 0 0"/>
+      <geometry><cylinder radius="0.05" length="0.5"/></geometry></collision>
+  </link>
+  <joint name="shoulder" type="revolute">
+    <parent link="base"/><child link="arm"/>
+    <origin xyz="0 0 0.1" rpy="0 0 0"/>
+    <axis xyz="0 1 0"/>
+    <limit lower="-1.57" upper="1.57" effort="10" velocity="2"/>
+    <dynamics damping="0.1"/>
+  </joint>
+</robot>
+"""
+
+
+def test_mjcf_ant_structure():
+    b = nt.ModelBuilder()
+    info = b.add_mjcf(ANT)
+    m = b.finalize()
+    assert m.body_count == 13
+    assert m.joint_coord_count == 15
+    assert m.joint_dof_count == 14
+    assert len(info["actuators"]) == 8
+    # contype/conaffinity: only floor pairs remain
+    assert m.structure.candidate_pairs.shape[0] == 13
+    # init_qpos applied (torso at 0.55, wxyz converted)
+    np.testing.assert_allclose(np.asarray(m.joint_q0)[:7],
+                               [0, 0, 0.55, 0, 0, 0, 1], atol=1e-6)
+    # degrees converted to radians
+    lo = np.asarray(m.joint_limit_lower)[6:]
+    assert np.abs(lo).max() < np.pi
+
+
+def test_mjcf_humanoid_structure():
+    b = nt.ModelBuilder()
+    b.add_mjcf(HUMANOID)
+    m = b.finalize()
+    assert m.joint_coord_count == 24
+    assert m.joint_dof_count == 23
+
+
+def test_urdf_import():
+    b = nt.ModelBuilder()
+    info = b.add_urdf(URDF, floating=False)
+    m = b.finalize()
+    assert m.body_count == 2
+    assert m.joint_count == 2  # fixed base + revolute
+    assert "shoulder" in info["joints"]
+    # limits + damping wired through
+    d = np.asarray(m.joint_target_kd)
+    assert d[-1] == pytest.approx(0.1)
+    np.testing.assert_allclose(np.asarray(m.joint_limit_lower)[-1], -1.57,
+                               atol=1e-6)
+    # inertial override respected
+    np.testing.assert_allclose(np.asarray(m.body_mass), [1.0, 0.5], atol=1e-6)
+
+
+def test_urdf_floating_and_fk():
+    import jax.numpy as jnp
+    from newton_tpu.sim.articulation import eval_fk
+    b = nt.ModelBuilder()
+    b.add_urdf(URDF, floating=True)
+    m = b.finalize()
+    assert m.joint_dof_count == 6 + 1
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    assert np.isfinite(np.asarray(s.body_q)).all()
+
+
+def test_collapse_fixed_joints():
+    b = nt.ModelBuilder()
+    root = b.add_body()
+    b.add_shape_box(root, hx=0.2, hy=0.2, hz=0.2)
+    b.add_joint_free(root)
+    child = b.add_body(xform=[0.5, 0, 0, 0, 0, 0, 1])
+    b.add_shape_sphere(child, radius=0.1)
+    b.add_joint_fixed(root, child, xform_p=[0.5, 0, 0, 0, 0, 0, 1])
+    total = sum(b.body_mass)
+    b.collapse_fixed_joints()
+    assert b.body_count == 1
+    assert b.joint_count == 1
+    assert sum(b.body_mass) == pytest.approx(total)
+    m = b.finalize()
+    assert np.asarray(m.structure.shape_body).tolist() == [0, 0]

@@ -1,0 +1,120 @@
+"""Utility tests: checkpointing, viewer recording, IK, benchmark harness,
+determinism (reference: test_examples recording flows,
+tests/determinism/test_solver_determinism.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import newton_tpu as nt
+from newton_tpu.sim.articulation import eval_fk
+from newton_tpu.solvers import SolverXPBD
+from newton_tpu.utils.checkpoint import load_state, save_state, state_digest
+from newton_tpu.viewer import ViewerFile, ViewerNull
+
+
+def pendulum():
+    b = nt.ModelBuilder()
+    link = b.add_body(xform=[0.5, 0, 0, 0, 0, 0, 1])
+    b.add_shape_box(link, hx=0.5, hy=0.05, hz=0.05)
+    b.add_joint_revolute(parent=-1, child=link, axis="Y",
+                         xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+    return b.finalize()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m = pendulum()
+    s = eval_fk(m, jnp.array([0.3]), jnp.array([0.1]), m.state())
+    path = str(tmp_path / "state.npz")
+    save_state(path, s)
+    s2 = load_state(path, m.state())
+    np.testing.assert_allclose(np.asarray(s2.body_q), np.asarray(s.body_q))
+    assert state_digest(s) == state_digest(s2)
+
+
+def test_determinism_bit_exact():
+    """Two runs from the same initial state produce identical bits
+    (the reference needs DeterministicMode + subprocess isolation for this;
+    XLA gives it unconditionally)."""
+    m = pendulum()
+    solver = SolverXPBD(m, iterations=4)
+    ctrl = m.control()
+
+    @jax.jit
+    def rollout(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, None, 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=50)[0]
+
+    s0 = eval_fk(m, jnp.zeros(1), jnp.zeros(1), m.state())
+    a = rollout(s0)
+    b = rollout(s0)
+    assert state_digest(a) == state_digest(b)
+
+
+def test_viewer_file_record_replay(tmp_path):
+    m = pendulum()
+    path = str(tmp_path / "rec.json")
+    v = ViewerFile(path)
+    v.set_model(m)
+    s = m.state()
+    for i in range(3):
+        v.begin_frame(i * 0.1)
+        v.log_state(s)
+        v.log_scalar("energy", float(i))
+        v.end_frame()
+    v.save()
+    data = ViewerFile.load(path)
+    assert len(data["frames"]) == 3
+    assert data["header"]["body_count"] == 1
+    null = ViewerNull()
+    ViewerFile.replay(path, null)
+    assert null.scalars["energy"] == [0.0, 1.0, 2.0]
+
+
+def test_viewer_null_frame_limit():
+    v = ViewerNull(max_frames=2)
+    assert v.is_running()
+    for t in (0.0, 0.1):
+        v.begin_frame(t)
+        v.end_frame()
+    assert not v.is_running()
+
+
+def test_ik_reaches_target():
+    from newton_tpu.ik import IKObjectivePosition, IKSolver
+    b = nt.ModelBuilder()
+    l1 = b.add_body(xform=[0.5, 0, 0, 0, 0, 0, 1])
+    b.add_shape_capsule(l1, radius=0.05, half_height=0.25)
+    b.add_joint_revolute(parent=-1, child=l1, axis="Z",
+                         xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+    l2 = b.add_body(xform=[1.5, 0, 0, 0, 0, 0, 1])
+    b.add_shape_capsule(l2, radius=0.05, half_height=0.25)
+    b.add_joint_revolute(parent=l1, child=l2, axis="Z",
+                         xform_p=[0.5, 0, 0, 0, 0, 0, 1],
+                         xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+    m = b.finalize()
+    ik = IKSolver(m, [IKObjectivePosition(link=1, offset=(0.5, 0, 0))],
+                  iterations=24, n_seeds=4)
+    target = jnp.array([1.2, 0.8, 0.0])
+    q = ik.solve(jnp.zeros(2), [target])
+    s = eval_fk(m, q, jnp.zeros(2), m.state())
+    from newton_tpu.math import transform_point
+    tip = transform_point(s.body_q[1], jnp.array([0.5, 0, 0]))
+    assert float(jnp.linalg.norm(tip - target)) < 0.02
+
+
+def test_event_tracer():
+    from newton_tpu.utils.benchmark import EventTracer, ScopedTimer
+    tr = EventTracer(sync=False)
+    with tr.scope("outer"):
+        with tr.scope("inner"):
+            pass
+    rep = tr.report()
+    assert "outer" in rep and "inner" in rep
+    with ScopedTimer("t", print_=False) as t:
+        pass
+    assert t.elapsed >= 0
