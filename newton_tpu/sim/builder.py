@@ -2028,6 +2028,14 @@ class ModelBuilder:
         return parse_mjcf(self, source, xform=xform, floating=floating,
                           scale=scale, key_prefix=key_prefix, **kwargs)
 
+    def add_usd(self, source: str, xform=None, floating: bool = False,
+                scale: float = 1.0, key_prefix: Optional[str] = None,
+                **kwargs):
+        """Import a USD (.usda text) stage (reference: builder.py:3330)."""
+        from ..utils.import_usd import parse_usd
+        return parse_usd(self, source, xform=xform, floating=floating,
+                         scale=scale, key_prefix=key_prefix, **kwargs)
+
     def add_urdf(self, source: str, xform=None, floating: bool = False,
                  scale: float = 1.0, key_prefix: Optional[str] = None, **kwargs):
         """Import a URDF file/string (reference: builder.py:3184)."""

@@ -236,8 +236,9 @@ def group_mass_matrix(model: Model, body_q: jnp.ndarray,
     V = V * anc[None, :, :, None]                          # (n, b, d, 3)
     Wm = wg[:, None, :, :] * anc[None, :, :, None]         # (n, b, d, 3)
 
-    M = (jnp.einsum("nb,nbdc,nbec->nde", mg, V, V)
-         + jnp.einsum("nbdc,nbck,nbek->nde", Wm, Ig, Wm))
+    hp = jax.lax.Precision.HIGHEST
+    M = (jnp.einsum("nb,nbdc,nbec->nde", mg, V, V, precision=hp)
+         + jnp.einsum("nbdc,nbck,nbek->nde", Wm, Ig, Wm, precision=hp))
     arm = model.joint_armature[g.dof_idx]                  # (n, d)
     M = M + jnp.einsum("nd,de->nde", arm, jnp.eye(g.d, dtype=body_q.dtype))
     return M

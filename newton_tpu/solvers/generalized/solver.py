@@ -127,6 +127,7 @@ class SolverFeatherstone(SolverBase):
                  baumgarte: float = 0.2,
                  contact_slop: float = 1e-4,
                  angular_damping: float = 0.0,
+                 friction_cone: str = "pyramid",
                  update_mass_matrix_interval: int = 1):
         super().__init__(model)
         st = model.structure
@@ -137,7 +138,10 @@ class SolverFeatherstone(SolverBase):
         self.baumgarte = float(baumgarte)
         self.contact_slop = float(contact_slop)
         self.angular_damping = float(angular_damping)
+        self.friction_cone = friction_cone
         self.contact_plans = _plan_group_contacts(st, self.gc.groups)
+        self.equality_plans = _plan_group_equality(model, self.gc.groups) \
+            if st.eq_count else [None] * len(self.gc.groups)
         # per-slot shape indices for material lookup
         self.slot_shape0 = getattr(st, "slot_shape0", np.zeros(0, np.int32))
         self.slot_shape1 = getattr(st, "slot_shape1", np.zeros(0, np.int32))
@@ -200,7 +204,8 @@ class SolverFeatherstone(SolverBase):
             kd_g = kd_implicit[g.dof_idx]                      # (n, d)
             Mi = M + dt * jnp.einsum("nd,de->nde", kd_g,
                                      jnp.eye(g.d, dtype=dtype))
-            rhs = (jnp.einsum("nde,ne->nd", M, qd[g.dof_idx])
+            rhs = (jnp.einsum("nde,ne->nd", M, qd[g.dof_idx],
+                              precision=jax.lax.Precision.HIGHEST)
                    + dt * tau_net[g.dof_idx])
             L = cholesky_unrolled(Mi)
             qd_g = cho_solve_unrolled(L, rhs)
@@ -221,10 +226,107 @@ class SolverFeatherstone(SolverBase):
                 qd_new = qd_new.at[g.dof_idx.reshape(-1)].set(qd_g2.reshape(-1))
                 self._last_contact_impulses.append((plan, lam, dirs))
 
+        # bilateral equality constraints (CONNECT/WELD/JOINT): exact solve
+        for gi, g in enumerate(gc.groups):
+            eplan = self.equality_plans[gi]
+            if eplan is None or eplan.rows == 0:
+                continue
+            M, L, _ = group_data[gi]
+            qd_g = qd_new[g.dof_idx]
+            qd_g2 = self._solve_equality(model, g, eplan, L, qd_g,
+                                         v_o, w_o, body_q, q, dt)
+            qd_new = qd_new.at[g.dof_idx.reshape(-1)].set(qd_g2.reshape(-1))
+
         # integrate coordinates and recompute kinematics for the output state
         q_new = integrate_coords(model, q, qd_new, body_q, dt)
         out = eval_fk(model, q_new, qd_new, state_in)
         return out
+
+    def _solve_equality(self, model, g, eplan, L, qd_g, v_o, w_o,
+                        body_q, q_coords, dt):
+        """Exact bilateral impulse solve for equality constraints
+        (reference: mujoco equality rows; kamino bilateral constraints)."""
+        from ...math import quat_conjugate, quat_mul, transform_point
+        dtype = qd_g.dtype
+        n_env, d = qd_g.shape
+        anc = jnp.asarray(g.anc, dtype=dtype)               # (b, d)
+        vg = v_o[g.dof_idx]                                 # (n, d, 3)
+        wg = w_o[g.dof_idx]
+        beta = self.baumgarte / dt
+
+        rows_J = []   # list of (n, d)
+        rows_b = []   # list of (n,)
+
+        bq_g = body_q[g.body_idx]                           # (n, b, 7)
+        eye3 = jnp.eye(3, dtype=dtype)
+
+        def body_anc(lb):
+            if lb < 0:
+                return jnp.zeros((g.d,), dtype=dtype)
+            return anc[lb]
+
+        for m_i in range(len(eplan.kinds)):
+            kind = int(eplan.kinds[m_i])
+            if kind == 2:  # JOINT: qd1 - poly'(q2) qd2 = 0
+                ld1, ld2 = int(eplan.dof1[m_i]), int(eplan.dof2[m_i])
+                lc1, lc2 = int(eplan.coord1[m_i]), int(eplan.coord2[m_i])
+                pc = jnp.asarray(eplan.polycoef[m_i], dtype=dtype)
+                row = jnp.zeros((n_env, g.d), dtype=dtype).at[:, ld1].set(1.0)
+                q1 = q_coords[g.coord_idx[:, lc1]]
+                if ld2 >= 0:
+                    x2 = q_coords[g.coord_idx[:, lc2]]
+                    dpoly = (pc[1] + 2 * pc[2] * x2 + 3 * pc[3] * x2 ** 2
+                             + 4 * pc[4] * x2 ** 3)
+                    row = row.at[:, ld2].set(-dpoly)
+                    target = (pc[0] + pc[1] * x2 + pc[2] * x2 ** 2
+                              + pc[3] * x2 ** 3 + pc[4] * x2 ** 4)
+                else:
+                    target = pc[0]
+                rows_J.append(row[:, None, :])
+                rows_b.append((beta * (q1 - target))[:, None])
+                continue
+            lb1, lb2 = int(eplan.lb1[m_i]), int(eplan.lb2[m_i])
+            a1 = jnp.asarray(eplan.anchor1[m_i], dtype=dtype)
+            a2 = jnp.asarray(eplan.anchor2[m_i], dtype=dtype)
+            p1 = (transform_point(bq_g[:, lb1], a1) if lb1 >= 0
+                  else jnp.broadcast_to(a1, (n_env, 3)))
+            p2 = (transform_point(bq_g[:, lb2], a2) if lb2 >= 0
+                  else jnp.broadcast_to(a2, (n_env, 3)))
+            anc1 = body_anc(lb1)
+            anc2 = body_anc(lb2)
+            # positional rows: world axes at each side's anchor
+            V1 = vg + jnp.cross(wg, p1[:, None, :])         # (n, d, 3)
+            V2 = vg + jnp.cross(wg, p2[:, None, :])
+            Jpos = (V1 * anc1[None, :, None]
+                    - V2 * anc2[None, :, None])             # (n, d, 3)
+            rows_J.append(jnp.swapaxes(Jpos, 1, 2))         # (n, 3, d)
+            rows_b.append(beta * (p1 - p2))                 # (n, 3)
+            if kind == 1:  # WELD adds angular rows
+                Jang = wg * (anc1 - anc2)[None, :, None]    # (n, d, 3)
+                rows_J.append(jnp.swapaxes(Jang, 1, 2))
+                q1r = bq_g[:, lb1, 3:7] if lb1 >= 0 else \
+                    jnp.broadcast_to(jnp.array([0, 0, 0, 1], dtype=dtype),
+                                     (n_env, 4))
+                q2r = bq_g[:, lb2, 3:7] if lb2 >= 0 else \
+                    jnp.broadcast_to(jnp.array([0, 0, 0, 1], dtype=dtype),
+                                     (n_env, 4))
+                rel = jnp.asarray(eplan.relpose[m_i], dtype=dtype)
+                target_q = quat_mul(q2r, jnp.broadcast_to(rel, (n_env, 4)))
+                qe = quat_mul(q1r, quat_conjugate(target_q))
+                qe = jnp.where(qe[:, 3:4] < 0, -qe, qe)
+                rows_b.append(beta * 2.0 * qe[:, 0:3])
+
+        J = jnp.concatenate(rows_J, axis=1)                 # (n, r, d)
+        b = jnp.concatenate(rows_b, axis=1)                 # (n, r)
+        hp = jax.lax.Precision.HIGHEST
+        MinvJt = cho_solve_unrolled(L, jnp.swapaxes(J, 1, 2))
+        A = jnp.einsum("nrd,nds->nrs", J, MinvJt, precision=hp)
+        r = A.shape[-1]
+        A = A + self.contact_reg * jnp.eye(r, dtype=dtype)
+        rhs = -(jnp.einsum("nrd,nd->nr", J, qd_g) + b)
+        from .linalg import solve_psd
+        lam = solve_psd(A, rhs)
+        return qd_g + jnp.einsum("ndr,nr->nd", MinvJt, lam)
 
     def step_with_contacts(self, state_in, state_out, control, contacts, dt):
         """Like step() but also returns contacts with per-slot force
@@ -292,8 +394,9 @@ class SolverFeatherstone(SolverBase):
         Jf = J.reshape(n_env, 3 * c, d)
 
         # Delassus and free velocity
+        hp = jax.lax.Precision.HIGHEST
         MinvJt = cho_solve_unrolled(L, jnp.swapaxes(Jf, 1, 2))  # (n, d, 3c)
-        A = jnp.einsum("nrd,nds->nrs", Jf, MinvJt)          # (n, 3c, 3c)
+        A = jnp.einsum("nrd,nds->nrs", Jf, MinvJt, precision=hp)  # (n, 3c, 3c)
         diag = jnp.diagonal(A, axis1=1, axis2=2) + self.contact_reg
         v_free = jnp.einsum("nrd,nd->nr", Jf, qd_g)         # (n, 3c)
 
@@ -310,14 +413,25 @@ class SolverFeatherstone(SolverBase):
         omega = self.contact_relaxation
         mu3 = mu  # (n, c)
 
+        use_cone = self.friction_cone == "cone"
+
         def pgs_iter(lam, _):
-            r = jnp.einsum("nrs,ns->nr", A, lam) + v_free - b
+            r = jnp.einsum("nrs,ns->nr", A, lam, precision=hp) + v_free - b
             lam_new = lam - omega * r / diag
             lam_new = lam_new.reshape(n_env, c, 3)
             ln = jnp.maximum(lam_new[:, :, 0], 0.0)
             cap = mu3 * ln
-            lt1 = jnp.clip(lam_new[:, :, 1], -cap, cap)
-            lt2 = jnp.clip(lam_new[:, :, 2], -cap, cap)
+            if use_cone:
+                # exact ice-cream-cone projection of the tangential part
+                # (the reference's kamino NCP treats friction as a true cone)
+                tmag = jnp.sqrt(lam_new[:, :, 1] ** 2
+                                + lam_new[:, :, 2] ** 2)
+                scale = jnp.minimum(cap / jnp.maximum(tmag, 1e-9), 1.0)
+                lt1 = lam_new[:, :, 1] * scale
+                lt2 = lam_new[:, :, 2] * scale
+            else:
+                lt1 = jnp.clip(lam_new[:, :, 1], -cap, cap)
+                lt2 = jnp.clip(lam_new[:, :, 2], -cap, cap)
             lam_new = jnp.stack([ln, lt1, lt2], axis=-1).reshape(n_env, 3 * c)
             lam_new = jnp.where(act3, lam_new, 0.0)
             return lam_new, None
@@ -325,7 +439,7 @@ class SolverFeatherstone(SolverBase):
         lam0 = jnp.zeros((n_env, 3 * c), dtype=dtype)
         lam, _ = jax.lax.scan(pgs_iter, lam0, None,
                               length=self.contact_iterations)
-        dqd = jnp.einsum("ndr,nr->nd", MinvJt, lam)
+        dqd = jnp.einsum("ndr,nr->nd", MinvJt, lam, precision=hp)
         return qd_g + dqd, lam, dirs
 
 
@@ -363,3 +477,141 @@ class SolverMuJoCo(SolverFeatherstone):
             if k in kwargs:
                 known[k] = kwargs[k]
         super().__init__(model, **known)
+
+
+class _GroupEquality:
+    """Static per-group equality-constraint plan (CONNECT/WELD/JOINT).
+
+    Mirrors the reference's mujoco equality handling
+    (reference: solvers/mujoco/equality.py:44-97) as bilateral rows in the
+    generalized velocity solve.
+    """
+
+    __slots__ = ("eq_idx", "lb1", "lb2", "kinds", "anchor1", "anchor2",
+                 "relpose", "dof1", "dof2", "coord1", "coord2", "polycoef",
+                 "rows")
+
+    def __init__(self, eq_idx, lb1, lb2, kinds, anchor1, anchor2, relpose,
+                 dof1, dof2, coord1, coord2, polycoef):
+        self.eq_idx = eq_idx        # (n_env, m) global equality indices
+        self.lb1 = lb1              # (m,) local body index (-1 world)
+        self.lb2 = lb2
+        self.kinds = kinds          # (m,) 0=connect 1=weld 2=joint
+        self.anchor1 = anchor1      # (m, 3) body1-local anchor
+        self.anchor2 = anchor2      # (m, 3) body2-local anchor
+        self.relpose = relpose      # (m, 4) rel orientation (weld)
+        self.dof1 = dof1            # (m,) local dof index (joint kind)
+        self.dof2 = dof2
+        self.coord1 = coord1        # (m,) local coord index (joint kind)
+        self.coord2 = coord2
+        self.polycoef = polycoef    # (m, 5)
+        self.rows = int(sum(3 if k == 0 else (6 if k == 1 else 1)
+                            for k in kinds))
+
+
+def _plan_group_equality(model, groups):
+    """Assign equality constraints to homogeneous (group, env) batches."""
+    st = model.structure
+    E = st.eq_count
+    plans = [None] * len(groups)
+    if E == 0:
+        return plans
+    import numpy as np
+    from ...core.host_math import (np_quat_mul, np_transform_inverse,
+                                   np_transform_multiply, np_transform_point)
+    body_to_env = {}
+    for gi, g in enumerate(groups):
+        for e in range(g.n):
+            for lb, b in enumerate(g.body_idx[e]):
+                body_to_env[int(b)] = (gi, e, lb)
+    dof_to_env = {}
+    for gi, g in enumerate(groups):
+        for e in range(g.n):
+            for ld, dglob in enumerate(g.dof_idx[e]):
+                dof_to_env[int(dglob)] = (gi, e, ld)
+
+    bq0 = np.asarray(model.body_q, dtype=np.float64)
+    anchors = np.asarray(model.eq_anchor, dtype=np.float64)
+    relposes = np.asarray(model.eq_relpose, dtype=np.float64)
+    polys = np.asarray(model.eq_polycoef, dtype=np.float64)
+    per_env = [dict() for _ in groups]
+    from ...sim.enums import EqType
+    for e_i in range(E):
+        kind = int(st.eq_type[e_i])
+        o1, o2 = int(model.eq_obj1[e_i]), int(model.eq_obj2[e_i])
+        if kind == int(EqType.JOINT):
+            d1 = int(st.joint_qd_start[o1]) if o1 >= 0 else -1
+            d2 = int(st.joint_qd_start[o2]) if o2 >= 0 else -1
+            owner = dof_to_env.get(d1)
+            if owner is None:
+                continue
+            gi, env, ld1 = owner
+            ld2 = dof_to_env.get(d2, (gi, env, -1))[2] if d2 >= 0 else -1
+            c_base = int(groups[gi].coord_idx[env][0])
+            lc1 = int(st.joint_q_start[o1]) - c_base
+            lc2 = (int(st.joint_q_start[o2]) - c_base) if o2 >= 0 else -1
+            per_env[gi].setdefault(env, []).append(
+                (e_i, -1, -1, 2, np.zeros(3), np.zeros(3),
+                 np.array([0., 0, 0, 1]), ld1, ld2, lc1, lc2, polys[e_i]))
+        else:
+            owner = body_to_env.get(o1) or body_to_env.get(o2)
+            if owner is None:
+                continue
+            gi, env, _ = owner
+            lb1 = body_to_env[o1][2] if o1 in body_to_env else -1
+            lb2 = body_to_env[o2][2] if o2 in body_to_env else -1
+            a1 = anchors[e_i]
+            # body2-local anchor from initial poses
+            p_w = (np_transform_point(bq0[o1], a1) if o1 >= 0 else a1)
+            a2 = (np_transform_point(np_transform_inverse(bq0[o2]), p_w)
+                  if o2 >= 0 else p_w)
+            k = 0 if kind == int(EqType.CONNECT) else 1
+            per_env[gi].setdefault(env, []).append(
+                (e_i, lb1, lb2, k, a1, a2, relposes[e_i][3:7], -1, -1,
+                 -1, -1, polys[e_i]))
+
+    for gi, g in enumerate(groups):
+        envs = per_env[gi]
+        if not envs or len(envs) != g.n:
+            continue
+        counts = {len(v) for v in envs.values()}
+        if len(counts) != 1:
+            continue
+        key0 = lambda x: x[0]
+        rows0 = sorted(envs[0], key=key0)
+        m = len(rows0)
+        eq_idx = np.zeros((g.n, m), dtype=np.int32)
+        for env, lst in envs.items():
+            eq_idx[env] = [x[0] for x in sorted(lst, key=key0)]
+        plans[gi] = _GroupEquality(
+            eq_idx,
+            np.asarray([x[1] for x in rows0], dtype=np.int32),
+            np.asarray([x[2] for x in rows0], dtype=np.int32),
+            np.asarray([x[3] for x in rows0], dtype=np.int32),
+            np.stack([x[4] for x in rows0]),
+            np.stack([x[5] for x in rows0]),
+            np.stack([np.asarray(x[6]) for x in rows0]),
+            np.asarray([x[7] for x in rows0], dtype=np.int32),
+            np.asarray([x[8] for x in rows0], dtype=np.int32),
+            np.asarray([x[9] for x in rows0], dtype=np.int32),
+            np.asarray([x[10] for x in rows0], dtype=np.int32),
+            np.stack([x[11] for x in rows0]),
+        )
+    return plans
+
+
+class SolverKamino(SolverFeatherstone):
+    """Constrained multibody solver for kinematic loops and hard frictional
+    contact (reference: kamino/solver_kamino.py:110 — Disney's NCP solver
+    with Moreau-Jean integration and PADMM). This build realizes the same
+    contract on the batched generalized pipeline: bilateral equality rows
+    (CONNECT/WELD/JOINT — kinematic loops) solved exactly against the mass
+    matrix, frictional contacts projected onto true second-order cones, and
+    more solve iterations for hard-contact accuracy."""
+
+    def __init__(self, model: Model, iterations: int = 32, rho: float = 0.9,
+                 **kwargs):
+        kwargs.setdefault("friction_cone", "cone")
+        kwargs.setdefault("contact_relaxation", rho)
+        kwargs.setdefault("baumgarte", 0.3)
+        super().__init__(model, contact_iterations=iterations, **kwargs)
