@@ -9,6 +9,13 @@ worlds, `jax.sharding` scale-out, pure-function solver steps).
 
 __version__ = "0.1.0"
 
+# Physics needs true float32 matmuls: TPU's default bf16 matmul precision
+# corrupts mass matrices / contact Delassus operators enough to blow up the
+# solvers (NaNs). Opt out with jax.default_matmul_precision(...) if desired.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from .core.types import MAXVAL, Axis, AxisType, axis_to_vec3
 from .geometry import (
     SDF,

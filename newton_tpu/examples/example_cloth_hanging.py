@@ -19,7 +19,7 @@ class Example:
         self.solver = SolverXPBD(self.model, iterations=8)
         self.state = self.model.state()
         self.control = self.model.control()
-        self.sim_dt = 1.0 / 120.0
+        self.sim_dt = 1.0 / 480.0
         self.substeps = 4
         self.time = 0.0
         viewer.set_model(self.model)

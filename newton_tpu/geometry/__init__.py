@@ -29,3 +29,19 @@ __all__ = [
     "compute_sphere_inertia",
     "transform_inertia",
 ]
+
+from .broad_phase import (
+    BroadPhaseAllPairs,
+    BroadPhaseExplicit,
+    BroadPhaseSAP,
+    compute_shape_aabbs,
+)
+from .hashgrid import HashGrid, neighbor_pairs
+from .raycast import raycast_model
+from .terrain import generate_fractal_terrain, generate_stairs, heightfield_to_mesh
+
+__all__ += [
+    "BroadPhaseAllPairs", "BroadPhaseExplicit", "BroadPhaseSAP", "HashGrid",
+    "compute_shape_aabbs", "generate_fractal_terrain", "generate_stairs",
+    "heightfield_to_mesh", "neighbor_pairs", "raycast_model",
+]

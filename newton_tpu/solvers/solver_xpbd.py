@@ -168,7 +168,9 @@ class SolverXPBD(SolverBase):
                 q = quat_normalize(q + 0.5 * self.relaxation * dq)
             if model.particle_count:
                 dpx = plan.solve_particles(model, px, px_prev, contacts, dt, nbr)
-                px = px + self.relaxation * dpx
+                # averaged Jacobi (divide by constraint degree, like bodies)
+                px = px + self.relaxation * dpx \
+                    / jnp.asarray(plan.particle_degree)[:, None]
             return (x, q, px, lam_n), None
 
         (x, q, px, lam_n), _ = jax.lax.scan(
@@ -246,11 +248,26 @@ class _XPBDPlan:
         self.slot_shape0 = getattr(st, "slot_shape0", np.zeros(0, np.int32))
         self.slot_shape1 = getattr(st, "slot_shape1", np.zeros(0, np.int32))
 
-        # particle constraint topology
+        # particle constraint topology + static Jacobi averaging degree
         self.has_springs = st.spring_count > 0
         self.has_tris = st.tri_count > 0
         self.has_tets = st.tet_count > 0
         self.has_edges = st.edge_count > 0
+        N = st.particle_count
+        deg = np.zeros(N, dtype=np.float32)
+        if N:
+            import numpy as _np
+            if st.spring_count:
+                si = _np.asarray(model.spring_indices)
+                _np.add.at(deg, si.reshape(-1), 1.0)
+            if st.tri_count:
+                ti = _np.asarray(model.tri_indices)
+                _np.add.at(deg, ti.reshape(-1), 2.0)  # 3 edges / 3 verts x2
+            if st.tet_count:
+                tt = _np.asarray(model.tet_indices)
+                _np.add.at(deg, tt.reshape(-1), 4.0)  # volume + 6 edges / 4
+            deg += 1.0  # contact slot
+        self.particle_degree = np.maximum(deg, 1.0)
 
     # ------------------------------------------------------------------
     @staticmethod
