@@ -24,6 +24,9 @@ EXAMPLES = {
     "robot_humanoid_batch": "newton_tpu.examples.example_robot_humanoid_batch",
     "cloth_hanging": "newton_tpu.examples.example_cloth_hanging",
     "selection_reset": "newton_tpu.examples.example_selection_reset",
+    "mpm_sand": "newton_tpu.examples.example_mpm_sand",
+    "coupled_cloth_ball": "newton_tpu.examples.example_coupled_cloth_ball",
+    "camera_sensor": "newton_tpu.examples.example_camera_sensor",
 }
 
 

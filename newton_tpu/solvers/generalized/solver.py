@@ -128,6 +128,9 @@ class SolverFeatherstone(SolverBase):
                  contact_slop: float = 1e-4,
                  angular_damping: float = 0.0,
                  friction_cone: str = "pyramid",
+                 limit_mode: str = "constraint",
+                 sleep_threshold: float = 0.0,
+                 sleep_steps: int = 16,
                  update_mass_matrix_interval: int = 1):
         super().__init__(model)
         st = model.structure
@@ -139,7 +142,34 @@ class SolverFeatherstone(SolverBase):
         self.contact_slop = float(contact_slop)
         self.angular_damping = float(angular_damping)
         self.friction_cone = friction_cone
+        self.limit_mode = limit_mode
+        # sleeping (reference: mujoco SleepPolicy, solver_mujoco.py:541):
+        # envs whose dofs stay below sleep_threshold for sleep_steps steps
+        # freeze until disturbed (functional: counters live in State.custom)
+        self.sleep_threshold = float(sleep_threshold)
+        self.sleep_steps = int(sleep_steps)
         self.contact_plans = _plan_group_contacts(st, self.gc.groups)
+        # per-group dofs with finite limits (local dof + local coord index)
+        self.limit_plans = []
+        gc0 = self.gc
+        lim_lo = np.asarray(model.joint_limit_lower)
+        lim_hi = np.asarray(model.joint_limit_upper)
+        glob_pairs = dict(zip(gc0.lin_coord_dof.tolist(),
+                              gc0.lin_coord_idx.tolist()))
+        from ...core.types import MAXVAL
+        for g in gc0.groups:
+            ld, lc = [], []
+            for k, dglob in enumerate(g.dof_idx[0]):
+                cglob = glob_pairs.get(int(dglob))
+                if cglob is None:
+                    continue
+                if (lim_lo[int(dglob)] > -0.5 * MAXVAL
+                        or lim_hi[int(dglob)] < 0.5 * MAXVAL):
+                    ld.append(k)
+                    lc.append(int(cglob) - int(g.coord_idx[0][0]))
+            self.limit_plans.append(
+                (np.asarray(ld, dtype=np.int32),
+                 np.asarray(lc, dtype=np.int32)))
         self.equality_plans = _plan_group_equality(model, self.gc.groups) \
             if st.eq_count else [None] * len(self.gc.groups)
         # per-slot shape indices for material lookup
@@ -181,9 +211,10 @@ class SolverFeatherstone(SolverBase):
                 pd = ke * err + kd * errd
                 tau = tau.at[ld].add(pd)
                 kd_implicit = kd_implicit.at[ld].add(kd)
-        # joint limits: one-sided penalty springs
+        # joint limits: one-sided penalty springs (constraint mode moves
+        # limits into the unified impulse solve instead)
         li, ld = gc.lin_coord_idx, gc.lin_coord_dof
-        if len(li):
+        if len(li) and self.limit_mode == "penalty":
             lo = model.joint_limit_lower[ld]
             hi = model.joint_limit_upper[ld]
             ke_l = model.joint_limit_ke[ld]
@@ -222,7 +253,9 @@ class SolverFeatherstone(SolverBase):
                 M, L, qd_g = group_data[gi]
                 qd_g2, lam, dirs = self._solve_contacts(
                     model, contacts, g, plan, L, qd_g, v_o, w_o,
-                    state_in, body_q, dt)
+                    state_in, body_q, dt, q_coords=q,
+                    limit_plan=self.limit_plans[gi]
+                    if self.limit_mode == "constraint" else None)
                 qd_new = qd_new.at[g.dof_idx.reshape(-1)].set(qd_g2.reshape(-1))
                 self._last_contact_impulses.append((plan, lam, dirs))
 
@@ -240,7 +273,55 @@ class SolverFeatherstone(SolverBase):
         # integrate coordinates and recompute kinematics for the output state
         q_new = integrate_coords(model, q, qd_new, body_q, dt)
         out = eval_fk(model, q_new, qd_new, state_in)
+
+        if self.sleep_threshold > 0.0:
+            if f"sleep:count:0" not in state_in.custom:
+                raise ValueError(
+                    "sleeping enabled: initialize the state with "
+                    "solver.init_state(state) to allocate sleep counters")
+            out = self._apply_sleep(model, state_in, out, control)
         return out
+
+    def init_state(self, state: State) -> State:
+        """Allocate sleep counters in State.custom (no-op when disabled)."""
+        if self.sleep_threshold <= 0.0:
+            return state
+        custom = dict(state.custom)
+        for gi, g in enumerate(self.gc.groups):
+            custom.setdefault(f"sleep:count:{gi}",
+                              jnp.zeros((g.n,), dtype=jnp.int32))
+        return state.replace(custom=custom)
+
+    def _apply_sleep(self, model, state_in, out, control):
+        """Freeze quiescent articulations (per-group env masks)."""
+        gc = self.gc
+        counters = dict(state_in.custom)
+        q_new, qd_new = out.joint_q, out.joint_qd
+        bq, bqd = out.body_q, out.body_qd
+        for gi, g in enumerate(gc.groups):
+            key = f"sleep:count:{gi}"
+            cnt = counters.get(key, jnp.zeros((g.n,), dtype=jnp.int32))
+            speed = jnp.max(jnp.abs(qd_new[g.dof_idx]), axis=-1)
+            # external drive wakes an env up
+            drive = (jnp.max(jnp.abs(control.joint_f[g.dof_idx]), axis=-1)
+                     if control is not None else jnp.zeros_like(speed))
+            quiet = (speed < self.sleep_threshold) & (drive == 0.0)
+            cnt = jnp.where(quiet, cnt + 1, 0)
+            asleep = cnt >= self.sleep_steps
+            counters[key] = cnt
+            mq = asleep[:, None]
+            q_new = q_new.at[g.coord_idx].set(
+                jnp.where(mq, state_in.joint_q[g.coord_idx],
+                          q_new[g.coord_idx]))
+            qd_new = qd_new.at[g.dof_idx].set(
+                jnp.where(mq, 0.0, qd_new[g.dof_idx]))
+            mb = asleep[:, None, None]
+            bq = bq.at[g.body_idx].set(
+                jnp.where(mb, state_in.body_q[g.body_idx], bq[g.body_idx]))
+            bqd = bqd.at[g.body_idx].set(
+                jnp.where(mb, 0.0, bqd[g.body_idx]))
+        return out.replace(joint_q=q_new, joint_qd=qd_new, body_q=bq,
+                           body_qd=bqd, custom=counters)
 
     def _solve_equality(self, model, g, eplan, L, qd_g, v_o, w_o,
                         body_q, q_coords, dt):
@@ -350,7 +431,8 @@ class SolverFeatherstone(SolverBase):
 
     # ------------------------------------------------------------------
     def _solve_contacts(self, model, contacts, g, plan, L, qd_g,
-                        v_o, w_o, state_in, body_q, dt):
+                        v_o, w_o, state_in, body_q, dt,
+                        q_coords=None, limit_plan=None):
         """Projected-Jacobi impulse solve with pyramidal friction.
 
         Rows: 3 per contact slot (normal, 2 tangents). Returns updated
@@ -393,6 +475,25 @@ class SolverFeatherstone(SolverBase):
         J = jnp.einsum("nckx,ncdx->nckd", dirs, Vp) * sign  # (n, c, 3, d)
         Jf = J.reshape(n_env, 3 * c, d)
 
+        # joint-limit rows: unilateral constraints in dof space
+        # (reference mujoco limit rows; replaces explicit penalty springs)
+        nl = 0
+        if limit_plan is not None and len(limit_plan[0]):
+            ld, lc = limit_plan
+            nl = len(ld)
+            qv = q_coords[g.coord_idx[:, lc]]               # (n, nl)
+            lo_l = model.joint_limit_lower[g.dof_idx[:, ld]]
+            hi_l = model.joint_limit_upper[g.dof_idx[:, ld]]
+            eye_rows = jnp.zeros((nl, d), dtype=dtype)
+            eye_rows = eye_rows.at[jnp.arange(nl), ld].set(1.0)
+            J_lo = jnp.broadcast_to(eye_rows, (n_env, nl, d))
+            J_hi = -J_lo
+            b_lo = self.baumgarte / dt * jnp.maximum(lo_l - qv, 0.0)
+            b_hi = self.baumgarte / dt * jnp.maximum(qv - hi_l, 0.0)
+            act_lo = qv <= lo_l + 1e-4
+            act_hi = qv >= hi_l - 1e-4
+            Jf = jnp.concatenate([Jf, J_lo, J_hi], axis=1)
+
         # Delassus and free velocity
         hp = jax.lax.Precision.HIGHEST
         MinvJt = cho_solve_unrolled(L, jnp.swapaxes(Jf, 1, 2))  # (n, d, 3c)
@@ -409,6 +510,9 @@ class SolverFeatherstone(SolverBase):
         b = b.at[:, :, 0].set(jnp.where(active, b_n, 0.0))
         b = b.reshape(n_env, 3 * c)
         act3 = jnp.repeat(active, 3, axis=-1).reshape(n_env, 3 * c)
+        if nl:
+            b = jnp.concatenate([b, b_lo, b_hi], axis=1)
+            act3 = jnp.concatenate([act3, act_lo, act_hi], axis=1)
 
         omega = self.contact_relaxation
         mu3 = mu  # (n, c)
@@ -417,8 +521,11 @@ class SolverFeatherstone(SolverBase):
 
         def pgs_iter(lam, _):
             r = jnp.einsum("nrs,ns->nr", A, lam, precision=hp) + v_free - b
-            lam_new = lam - omega * r / diag
-            lam_new = lam_new.reshape(n_env, c, 3)
+            lam_full = lam - omega * r / diag
+            if nl:
+                lam_lim = jnp.maximum(lam_full[:, 3 * c:], 0.0)
+                lam_lim = jnp.where(act3[:, 3 * c:], lam_lim, 0.0)
+            lam_new = lam_full[:, :3 * c].reshape(n_env, c, 3)
             ln = jnp.maximum(lam_new[:, :, 0], 0.0)
             cap = mu3 * ln
             if use_cone:
@@ -433,14 +540,16 @@ class SolverFeatherstone(SolverBase):
                 lt1 = jnp.clip(lam_new[:, :, 1], -cap, cap)
                 lt2 = jnp.clip(lam_new[:, :, 2], -cap, cap)
             lam_new = jnp.stack([ln, lt1, lt2], axis=-1).reshape(n_env, 3 * c)
-            lam_new = jnp.where(act3, lam_new, 0.0)
+            lam_new = jnp.where(act3[:, :3 * c], lam_new, 0.0)
+            if nl:
+                lam_new = jnp.concatenate([lam_new, lam_lim], axis=1)
             return lam_new, None
 
-        lam0 = jnp.zeros((n_env, 3 * c), dtype=dtype)
+        lam0 = jnp.zeros((n_env, 3 * c + 2 * nl), dtype=dtype)
         lam, _ = jax.lax.scan(pgs_iter, lam0, None,
                               length=self.contact_iterations)
         dqd = jnp.einsum("ndr,nr->nd", MinvJt, lam, precision=hp)
-        return qd_g + dqd, lam, dirs
+        return qd_g + dqd, lam[:, :3 * c], dirs
 
 
 def _point_vel(state_in, model, g, plan, pos):

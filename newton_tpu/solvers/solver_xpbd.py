@@ -216,7 +216,24 @@ class SolverXPBD(SolverBase):
         if model.structure.joint_count:
             jq, jqd = eval_ik(model, out)
             out = out.replace(joint_q=jq, joint_qd=jqd)
+        self._last_lam_n = lam_n
         return out
+
+    def step_with_contacts(self, state_in, state_out, control, contacts, dt):
+        """step() + contact force report from accumulated normal impulses
+        (reference: xpbd/solver_xpbd.py:865 update_contacts)."""
+        out = self.step(state_in, state_out, control, contacts, dt)
+        if contacts is None or contacts.rigid_contact_max == 0:
+            return out, contacts
+        # positional lambda -> force: f = relax * lambda / dt^2 (XPBD;
+        # only the relaxed fraction of each accumulated impulse is applied)
+        force = contacts.rigid_contact_normal * (
+            self.rigid_contact_relaxation * self._last_lam_n / (dt * dt))[:, None]
+        return out, contacts.replace(rigid_contact_force=force)
+
+    def update_contacts(self, contacts, state_in, state_out, dt):
+        _, c2 = self.step_with_contacts(state_in, None, None, contacts, dt)
+        return c2
 
 
 class _XPBDPlan:
