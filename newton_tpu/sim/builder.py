@@ -421,7 +421,15 @@ class ModelBuilder:
                   spacing: Optional[Vec3] = None) -> None:
         """Add ``count`` copies of ``builder``, one world each
         (reference: builder.py:2553). Enables the homogeneous vmap fast path.
+
+        Pure replication (no spacing) takes a vectorized bulk-merge path:
+        per-entity Python loops are O(count * entities) and dominate
+        model-build time at RL world counts (the reference tracks build time
+        in its setup benchmarks, asv/benchmarks/setup/bench_model.py).
         """
+        if spacing is None and self._current_world == -1:
+            self._replicate_bulk(builder, count)
+            return
         for i in range(count):
             xform = None
             if spacing is not None:
@@ -432,6 +440,178 @@ class ModelBuilder:
                                    0.0 if len(s) < 3 else (0.0)])
                 xform = np_transform(p=offset)
             self.add_world(builder, xform=xform)
+
+    def _replicate_bulk(self, o: "ModelBuilder", count: int) -> None:
+        """Vectorized N-copy merge of a sub-builder, one world per copy."""
+        w0 = self.world_count
+        b0 = self.body_count
+        s0 = self.shape_count
+        j0 = self.joint_count
+        p0 = self.particle_count
+        a0 = self.articulation_count
+        e0 = len(self.eq_type)
+        nb, ns, nj = o.body_count, o.shape_count, o.joint_count
+        npart, na, ne = o.particle_count, o.articulation_count, len(o.eq_type)
+        nq = o.joint_coord_count
+        nd = o.joint_dof_count
+
+        self.world_count += count
+        self.world_key += [f"world_{w0 + i}" for i in range(count)]
+        self.world_gravity += [self._gravity_vec()] * count
+
+        def rep_list(lst):
+            return [x.copy() if isinstance(x, np.ndarray) else x
+                    for _ in range(count) for x in lst]
+
+        def rep_offset(lst, base, stride, keep_neg=True):
+            out = []
+            for i in range(count):
+                off = base + i * stride
+                out.extend((x + off if (x >= 0 or not keep_neg) else x)
+                           for x in lst)
+            return out
+
+        # bodies
+        self.body_q += rep_list(o.body_q)
+        self.body_qd += rep_list(o.body_qd)
+        self.body_com += rep_list(o.body_com)
+        self.body_mass += list(o.body_mass) * count
+        self.body_inertia += rep_list(o.body_inertia)
+        self.body_flags += list(o.body_flags) * count
+        self.body_world += [w0 + i for i in range(count) for _ in range(nb)]
+        self.body_key += [k for i in range(count) for k in o.body_key]
+
+        # shapes
+        self.shape_transform += rep_list(o.shape_transform)
+        self.shape_body += rep_offset(o.shape_body, b0, nb)
+        self.shape_type += list(o.shape_type) * count
+        self.shape_scale += rep_list(o.shape_scale)
+        self.shape_flags += list(o.shape_flags) * count
+        self.shape_thickness += list(o.shape_thickness) * count
+        self.shape_material_mu += list(o.shape_material_mu) * count
+        self.shape_material_restitution += list(o.shape_material_restitution) * count
+        self.shape_material_ke += list(o.shape_material_ke) * count
+        self.shape_material_kd += list(o.shape_material_kd) * count
+        self.shape_material_kf += list(o.shape_material_kf) * count
+        self.shape_collision_group += list(o.shape_collision_group) * count
+        self.shape_contype += list(o.shape_contype) * count
+        self.shape_conaffinity += list(o.shape_conaffinity) * count
+        self.shape_world += [w0 + i for i in range(count) for _ in range(ns)]
+        self.shape_source += list(o.shape_source) * count
+        self.shape_key += list(o.shape_key) * count
+        for i in range(count):
+            off = s0 + i * ns
+            self.shape_collision_filter_pairs.update(
+                (a + off, b + off) for (a, b) in o.shape_collision_filter_pairs)
+            boff = b0 + i * nb
+            self._body_filter_pairs.update(
+                (a + boff, b + boff) for (a, b) in o._body_filter_pairs)
+
+        # articulations
+        self.articulation_start += [a + j0 + i * nj
+                                    for i in range(count)
+                                    for a in o.articulation_start]
+        self.articulation_key += list(o.articulation_key) * count
+        self.articulation_world += [w0 + i for i in range(count)
+                                    for _ in range(na)]
+
+        # joints
+        self.joint_type += list(o.joint_type) * count
+        self.joint_parent += rep_offset(o.joint_parent, b0, nb)
+        self.joint_child += rep_offset(o.joint_child, b0, nb, keep_neg=False)
+        self.joint_X_p += rep_list(o.joint_X_p)
+        self.joint_X_c += rep_list(o.joint_X_c)
+        self.joint_key += list(o.joint_key) * count
+        self.joint_world += [w0 + i for i in range(count) for _ in range(nj)]
+        self.joint_enabled += list(o.joint_enabled) * count
+        self.joint_articulation += [a + a0 + i * na for i in range(count)
+                                    for a in o.joint_articulation]
+        self.joint_dof_dim += list(o.joint_dof_dim) * count
+        qs_base = self.joint_q_start[-1]
+        ds_base = self.joint_qd_start[-1]
+        oqs = o.joint_q_start[1:]
+        ods = o.joint_qd_start[1:]
+        self.joint_q_start += [qs_base + i * nq + x
+                               for i in range(count) for x in oqs]
+        self.joint_qd_start += [ds_base + i * nd + x
+                                for i in range(count) for x in ods]
+        self.joint_axis += rep_list(o.joint_axis)
+        for name in ("joint_armature", "joint_target_ke", "joint_target_kd",
+                     "joint_limit_lower", "joint_limit_upper",
+                     "joint_limit_ke", "joint_limit_kd", "joint_friction",
+                     "joint_effort_limit", "joint_velocity_limit", "joint_qd",
+                     "joint_dof_mode"):
+            getattr(self, name).extend(getattr(o, name) * count)
+        self.joint_q += list(o.joint_q) * count
+        self.joint_target_q += list(o.joint_target_q) * count
+
+        # particles / soft topology
+        self.particle_q += rep_list(o.particle_q)
+        self.particle_qd += rep_list(o.particle_qd)
+        self.particle_mass += list(o.particle_mass) * count
+        self.particle_radius += list(o.particle_radius) * count
+        self.particle_flags += list(o.particle_flags) * count
+        self.particle_world += [w0 + i for i in range(count)
+                                for _ in range(npart)]
+        for i in range(count):
+            off = p0 + i * npart
+            self.spring_indices += [(a + off, b + off)
+                                    for a, b in o.spring_indices]
+            self.tri_indices += [(a + off, b + off, c + off)
+                                 for a, b, c in o.tri_indices]
+            self.edge_indices += [tuple(x + off if x >= 0 else -1 for x in e)
+                                  for e in o.edge_indices]
+            self.tet_indices += [tuple(x + off for x in t)
+                                 for t in o.tet_indices]
+        self.spring_rest_length += list(o.spring_rest_length) * count
+        self.spring_stiffness += list(o.spring_stiffness) * count
+        self.spring_damping += list(o.spring_damping) * count
+        self.tri_poses += rep_list(o.tri_poses)
+        self.tri_materials += list(o.tri_materials) * count
+        self.tri_areas += list(o.tri_areas) * count
+        self.edge_rest_angle += list(o.edge_rest_angle) * count
+        self.edge_rest_length += list(o.edge_rest_length) * count
+        self.edge_bending_properties += list(o.edge_bending_properties) * count
+        self.tet_poses += rep_list(o.tet_poses)
+        self.tet_materials += list(o.tet_materials) * count
+
+        # equality constraints
+        for i in range(count):
+            for e in range(ne):
+                ct = EqType(o.eq_type[e])
+                off = (j0 + i * nj) if ct == EqType.JOINT else (b0 + i * nb)
+                self.eq_type.append(o.eq_type[e])
+                self.eq_obj1.append(o.eq_obj1[e] + off if o.eq_obj1[e] >= 0 else -1)
+                self.eq_obj2.append(o.eq_obj2[e] + off if o.eq_obj2[e] >= 0 else -1)
+                self.eq_anchor.append(o.eq_anchor[e].copy())
+                self.eq_relpose.append(o.eq_relpose[e].copy())
+                self.eq_polycoef.append(o.eq_polycoef[e].copy())
+                self.eq_enabled.append(o.eq_enabled[e])
+                self.eq_torquescale.append(o.eq_torquescale[e])
+                self.eq_world.append(w0 + i)
+                self.eq_key.append(o.eq_key[e])
+
+        # custom attributes
+        FREQ_OFF = {
+            AttributeFrequency.BODY: (b0, nb),
+            AttributeFrequency.SHAPE: (s0, ns),
+            AttributeFrequency.JOINT: (j0, nj),
+            AttributeFrequency.PARTICLE: (p0, npart),
+            AttributeFrequency.ARTICULATION: (a0, na),
+            AttributeFrequency.EQUALITY: (e0, ne),
+            AttributeFrequency.JOINT_DOF: (ds_base, nd),
+            AttributeFrequency.JOINT_COORD: (qs_base, nq),
+        }
+        for name, attr in o.custom_attributes.items():
+            mine = self.add_custom_attribute(name, attr.frequency,
+                                             attr.assignment, attr.shape,
+                                             attr.dtype, attr.default)
+            base, stride = FREQ_OFF.get(attr.frequency, (0, 0))
+            for i in range(count):
+                for k, v in attr.values.items():
+                    mine.values[base + i * stride + k] = v
+        self._requested_state_attrs.update(o._requested_state_attrs)
+        self._requested_contact_attrs.update(o._requested_contact_attrs)
 
     # ------------------------------------------------------------------
     # bodies & articulations
@@ -1648,18 +1828,15 @@ class ModelBuilder:
             "articulation": self.articulation_world, "eq": self.eq_world,
         }
         for name, worlds in groups.items():
-            per_world = [0] * W
-            for w in worlds:
-                if w == -1:
-                    continue
-                per_world[w] += 1
-            if len(set(per_world)) > 1:
+            wa = np.asarray(worlds, dtype=np.int64)
+            local = wa[wa >= 0]
+            per_world = np.bincount(local, minlength=W) if len(local) else \
+                np.zeros(W, dtype=np.int64)
+            if len(np.unique(per_world)) > 1:
                 return False, counts
-            counts[name] = per_world[0] if per_world else 0
-        # entities must be contiguous per world and ordered by world
-        for worlds in groups.values():
-            local = [w for w in worlds if w != -1]
-            if local != sorted(local):
+            counts[name] = int(per_world[0]) if W else 0
+            # entities must be contiguous per world and ordered by world
+            if len(local) and (np.diff(local) < 0).any():
                 return False, counts
         return True, counts
 
@@ -1806,12 +1983,18 @@ class ModelBuilder:
                 if self._should_collide(min(a, b), max(a, b)):
                     needs_sdf.add(a)
                     break
+        _sp_cache: Dict[tuple, np.ndarray] = {}
         for sidx in range(self.shape_count):
             t = GeoType(self.shape_type[sidx])
             sc = self.shape_scale[sidx]
             if t not in (GeoType.MESH, GeoType.CONVEX, GeoType.PLANE,
                          GeoType.NONE, GeoType.SDF, GeoType.HFIELD):
-                sample_points[sidx] = _primitive_sample_points(t, sc, sample_K)
+                key = (int(t), float(sc[0]), float(sc[1]), float(sc[2]))
+                pts = _sp_cache.get(key)
+                if pts is None:
+                    pts = _primitive_sample_points(t, sc, sample_K)
+                    _sp_cache[key] = pts
+                sample_points[sidx] = pts
         for sidx, src in enumerate(self.shape_source):
             if self.shape_type[sidx] in mesh_types and isinstance(src, Mesh):
                 pts = src.vertices * self.shape_scale[sidx]
@@ -1854,12 +2037,15 @@ class ModelBuilder:
             self._compute_candidate_pairs())
         # static slot -> shape/body maps (solvers index contacts without
         # dynamic gathers; slot addressing is build-time constant)
-        slot_shape0 = np.full(st.rigid_contact_max, -1, dtype=np.int32)
-        slot_shape1 = np.full(st.rigid_contact_max, -1, dtype=np.int32)
-        for i, (a, bsh) in enumerate(st.candidate_pairs):
-            lo, hi = st.candidate_pair_slots[i], st.candidate_pair_slots[i + 1]
-            slot_shape0[lo:hi] = a
-            slot_shape1[lo:hi] = bsh
+        slot_counts = np.diff(st.candidate_pair_slots)
+        if len(st.candidate_pairs):
+            slot_shape0 = np.repeat(st.candidate_pairs[:, 0],
+                                    slot_counts).astype(np.int32)
+            slot_shape1 = np.repeat(st.candidate_pairs[:, 1],
+                                    slot_counts).astype(np.int32)
+        else:
+            slot_shape0 = np.full(st.rigid_contact_max, -1, dtype=np.int32)
+            slot_shape1 = np.full(st.rigid_contact_max, -1, dtype=np.int32)
         st.slot_shape0 = slot_shape0
         st.slot_shape1 = slot_shape1
         sb = st.shape_body
@@ -1890,11 +2076,16 @@ class ModelBuilder:
         D, Q, N = st.joint_dof_count, st.joint_coord_count, st.particle_count
 
         body_inertia = (np.stack(self.body_inertia) if B else np.zeros((0, 3, 3)))
-        inv_mass = np.array([1.0 / m if m > 0 else 0.0 for m in self.body_mass])
+        mass_arr = np.asarray(self.body_mass, dtype=np.float64)
+        inv_mass = np.where(mass_arr > 0, 1.0 / np.maximum(mass_arr, 1e-30), 0.0)
         inv_inertia = np.zeros_like(body_inertia)
-        for i in range(B):
-            if self.body_mass[i] > 0 and np.linalg.det(body_inertia[i]) > 1e-18:
-                inv_inertia[i] = np.linalg.inv(body_inertia[i])
+        if B:
+            dets = np.linalg.det(body_inertia)
+            ok = (mass_arr > 0) & (dets > 1e-18)
+            safe = np.where(ok[:, None, None], body_inertia,
+                            np.eye(3)[None])
+            inv_all = np.linalg.inv(safe)
+            inv_inertia = np.where(ok[:, None, None], inv_all, 0.0)
         kin = np.array([bool(f & int(BodyFlags.KINEMATIC)) for f in self.body_flags],
                        dtype=bool)
         inv_mass[kin] = 0.0
