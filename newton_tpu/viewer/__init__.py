@@ -2,4 +2,17 @@ from .viewer import ViewerBase
 from .viewer_file import ViewerFile
 from .viewer_null import ViewerNull
 
-__all__ = ["ViewerBase", "ViewerFile", "ViewerNull"]
+__all__ = ["ViewerBase", "ViewerFile", "ViewerNull", "ViewerPlot",
+           "ViewerRerun"]
+
+
+def __getattr__(name):
+    # optional-dependency backends load lazily (reference gates GL/rerun/
+    # viser backends on their imports the same way)
+    if name == "ViewerRerun":
+        from .viewer_rerun import ViewerRerun
+        return ViewerRerun
+    if name == "ViewerPlot":
+        from .viewer_plot import ViewerPlot
+        return ViewerPlot
+    raise AttributeError(name)
