@@ -118,3 +118,22 @@ def orthonormal_basis(n: jnp.ndarray):
     )
     t2 = jnp.stack([b, s + n[..., 1] * n[..., 1] * a, -n[..., 1]], axis=-1)
     return t1, t2
+
+
+def safe_norm(v, axis=-1, eps=1e-12):
+    """Norm with finite gradients at ||v|| = 0 (double-where: the norm's
+    subgradient at zero otherwise leaks NaN through jnp.where branches)."""
+    n2 = jnp.sum(v * v, axis=axis)
+    ok = n2 > eps
+    safe = jnp.where(ok, n2, 1.0)
+    return jnp.where(ok, jnp.sqrt(safe), 0.0)
+
+
+def safe_normalize(v, axis=-1, eps=1e-12):
+    """Unit vector with finite gradients at ||v|| = 0 (returns 0 there)."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    ok = n2 > eps
+    safe_v = jnp.where(ok, v, 1.0)
+    unit = safe_v / jnp.sqrt(jnp.sum(safe_v * safe_v, axis=axis,
+                                     keepdims=True))
+    return jnp.where(ok, unit, 0.0)

@@ -31,6 +31,8 @@ import numpy as np
 
 from ..math import (
     quat_conjugate,
+    safe_norm,
+    safe_normalize,
     quat_mul,
     quat_normalize,
     quat_rotate,
@@ -388,8 +390,8 @@ class _XPBDPlan:
         e = jnp.where(pris, e_pris, e)
         e = jnp.where(free, 0.0, e)
 
-        c = jnp.linalg.norm(e, axis=-1)
-        n = e / jnp.maximum(c, 1e-9)[:, None]
+        c = safe_norm(e)
+        n = safe_normalize(e)
         r_p = X_pj[:, 0:3] - jnp.where(hasp, x[parent], 0.0)
         r_c = X_cj[:, 0:3] - x[child]
         rpn = jnp.cross(r_p, n)
@@ -429,8 +431,8 @@ class _XPBDPlan:
         dO = jnp.where(lock, dO_lock,
                        jnp.where(rev, dO_align + dO_limit, 0.0))
 
-        th = jnp.linalg.norm(dO, axis=-1)
-        n_a = dO / jnp.maximum(th, 1e-9)[:, None]
+        th = safe_norm(dO)
+        n_a = safe_normalize(dO)
         wa_p = jnp.einsum("jc,jcd,jd->j", n_a, Iinv_p, n_a)
         wa_c = jnp.einsum("jc,jcd,jd->j", n_a, Iinv_c, n_a)
         alpha_a = ang_compliance / (dt * dt)
@@ -454,10 +456,9 @@ class _XPBDPlan:
             alpha_d = 1.0 / jnp.maximum(ke, 1e-9) / (dt * dt)
             wd = wa_p + wa_c
             dlam_d = jnp.where(jnp.asarray(has_drive) & (ke > 0),
-                               jnp.linalg.norm(drive_err_rot, axis=-1)
+                               safe_norm(drive_err_rot)
                                / jnp.maximum(wd + alpha_d, 1e-9), 0.0)
-            nd = drive_err_rot / jnp.maximum(
-                jnp.linalg.norm(drive_err_rot, axis=-1), 1e-9)[:, None]
+            nd = safe_normalize(drive_err_rot)
             imp_d = nd * dlam_d[:, None] * jnp.asarray(self.is_rev)[:, None]
             dth = dth.at[child].add(-jnp.einsum("jcd,jd->jc", Iinv_c, imp_d))
             dth = dth.at[parent].add(jnp.einsum("jcd,jd->jc", Iinv_p, imp_d) * hasp)
@@ -465,10 +466,9 @@ class _XPBDPlan:
             drive_err_lin = a_p * (s_along - tq)[:, None]
             wdp = w_p + w_c
             dlam_p = jnp.where(jnp.asarray(self.is_pris) & (ke > 0),
-                               jnp.linalg.norm(drive_err_lin, axis=-1)
+                               safe_norm(drive_err_lin)
                                / jnp.maximum(wdp + alpha_d, 1e-9), 0.0)
-            ndp = drive_err_lin / jnp.maximum(
-                jnp.linalg.norm(drive_err_lin, axis=-1), 1e-9)[:, None]
+            ndp = safe_normalize(drive_err_lin)
             imp_p2 = ndp * dlam_p[:, None]
             dx = dx.at[child].add(-imp_p2 * im_c[:, None])
             dx = dx.at[parent].add(imp_p2 * im_p[:, None])
@@ -586,10 +586,10 @@ class _XPBDPlan:
         v_rel = v1 - v0
         vn = jnp.sum(v_rel * n, axis=-1)
         vt = v_rel - n * vn[:, None]
-        vt_norm = jnp.linalg.norm(vt, axis=-1)
+        vt_norm = safe_norm(vt)
 
         # generalized masses along n and t
-        t_dir = vt / jnp.maximum(vt_norm, 1e-9)[:, None]
+        t_dir = safe_normalize(vt)
         r0t = jnp.cross(r0, t_dir)
         r1t = jnp.cross(r1, t_dir)
         w_t = (im0 + jnp.einsum("cd,cde,ce->c", r0t, I0, r0t)
@@ -650,8 +650,8 @@ class _XPBDPlan:
 
         def add_distance(dx, i, j, rest, compliance):
             d = px[j] - px[i]
-            dist = jnp.linalg.norm(d, axis=-1)
-            n = d / jnp.maximum(dist, 1e-9)[:, None]
+            dist = safe_norm(d)
+            n = safe_normalize(d)
             c = dist - rest
             wsum = inv_m[i] + inv_m[j]
             dlam = c / jnp.maximum(wsum + compliance / (dt * dt), 1e-9)
@@ -716,8 +716,8 @@ class _XPBDPlan:
         if nbr is not None:
             idx, nmask = nbr
             d = px[idx] - px[:, None, :]                  # (N, M, 3)
-            dist = jnp.linalg.norm(d, axis=-1)
-            nrm = d / jnp.maximum(dist, 1e-9)[..., None]
+            dist = safe_norm(d)
+            nrm = safe_normalize(d)
             overlap = (model.particle_radius[:, None]
                        + model.particle_radius[idx] - dist)
             act = nmask & (overlap > 0)
