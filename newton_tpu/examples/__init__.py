@@ -27,6 +27,7 @@ EXAMPLES = {
     "mpm_sand": "newton_tpu.examples.example_mpm_sand",
     "coupled_cloth_ball": "newton_tpu.examples.example_coupled_cloth_ball",
     "camera_sensor": "newton_tpu.examples.example_camera_sensor",
+    "robot_policy": "newton_tpu.examples.example_robot_policy",
 }
 
 

@@ -1,0 +1,81 @@
+"""Convex-convex distance via support functions (batched, branch-free).
+
+TPU-native stand-in for reference newton/_src/geometry/mpr.py,
+simplex_solver.py and support_function.py (GJK/MPR, ~2100 LoC). Classic GJK
+walks a simplex with data-dependent branching — hostile to SIMD batching —
+so this uses the Frank-Wolfe formulation on the Minkowski difference: each
+iteration takes the support point along the negative gradient and does an
+exact line-search step. Converges to the separating distance/closest points
+for disjoint convex sets; contact *generation* for penetrating convexes
+runs through the sample-vs-SDF pipeline (sim/collide.py mesh classes).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..math import quat_rotate, quat_rotate_inv, transform_point
+
+__all__ = ["support_point", "gjk_distance"]
+
+
+def support_point(verts: jnp.ndarray, X: jnp.ndarray, d: jnp.ndarray):
+    """Farthest point of a convex vertex cloud along world direction d.
+
+    verts: (..., K, 3) shape-local; X: (..., 7); d: (..., 3).
+    Returns the world-space support point (reference:
+    support_function.py:49 SupportMapDataProvider).
+    """
+    d_local = quat_rotate_inv(X[..., 3:7], d)
+    dots = jnp.einsum("...kc,...c->...k", verts, d_local)
+    idx = jnp.argmax(dots, axis=-1)
+    p_local = jnp.take_along_axis(verts, idx[..., None, None]
+                                  .repeat(3, axis=-1), axis=-2)[..., 0, :]
+    return transform_point(X, p_local)
+
+
+def gjk_distance(verts_a: jnp.ndarray, X_a: jnp.ndarray,
+                 verts_b: jnp.ndarray, X_b: jnp.ndarray,
+                 iterations: int = 32) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                jnp.ndarray]:
+    """Distance and closest points between convex vertex clouds.
+
+    All inputs batched over leading dims. Returns (dist, p_a, p_b); dist is
+    0 for touching/penetrating pairs (use the SDF contact path for
+    penetration depth).
+    """
+    # work on the Minkowski difference A - B, tracking the convex combination
+    # witness points on each body
+    ca = X_a[..., 0:3]
+    cb = X_b[..., 0:3]
+    # initial point: difference of centroids' supports
+    d0 = cb - ca
+    pa = support_point(verts_a, X_a, -d0)
+    pb = support_point(verts_b, X_b, d0)
+    x = pa - pb            # point in the Minkowski difference
+    wa, wb = pa, pb
+
+    def body(carry, _):
+        x, wa, wb = carry
+        # gradient of ||x||^2 is x; support of (A - B) along -x
+        sa = support_point(verts_a, X_a, -x)
+        sb = support_point(verts_b, X_b, x)
+        s = sa - sb
+        # exact line search: min_t || x + t (s - x) ||^2, t in [0, 1]
+        dxs = s - x
+        denom = jnp.sum(dxs * dxs, axis=-1)
+        t = jnp.where(denom > 1e-12,
+                      -jnp.sum(x * dxs, axis=-1)
+                      / jnp.maximum(denom, 1e-12), 0.0)
+        t = jnp.clip(t, 0.0, 1.0)[..., None]
+        x_new = x + t * dxs
+        wa_new = wa + t * (sa - wa)
+        wb_new = wb + t * (sb - wb)
+        return (x_new, wa_new, wb_new), None
+
+    (x, wa, wb), _ = jax.lax.scan(body, (x, wa, wb), None, length=iterations)
+    dist = jnp.linalg.norm(x, axis=-1)
+    return dist, wa, wb

@@ -129,3 +129,26 @@ def test_native_parity():
     g = native_bake_sdf(verts, faces.reshape(-1), 11, lo, hi)
     assert g[5, 5, 5] < -0.25     # inside
     assert g[0, 0, 0] > 0.2       # outside
+
+
+def test_gjk_distance_boxes():
+    from newton_tpu.geometry.gjk import gjk_distance
+    corners = jnp.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                         for z in (-0.5, 0.5)], dtype=jnp.float32)
+    Xa = jnp.array([[0, 0, 0, 0, 0, 0, 1.0]])
+    Xb = jnp.array([[2.0, 0, 0, 0, 0, 0, 1.0]])
+    d, pa, pb = gjk_distance(corners[None], Xa, corners[None], Xb)
+    np.testing.assert_allclose(float(d[0]), 1.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pa)[0, 0], 0.5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pb)[0, 0], 1.5, atol=1e-3)
+    # rotated 45 deg: corner-to-face distance
+    import newton_tpu.math as nm
+    q = nm.quat_from_axis_angle(jnp.array([0.0, 0, 1]), jnp.pi / 4)
+    Xc = jnp.concatenate([jnp.array([2.0, 0, 0.0]), q])[None]
+    d2, _, _ = gjk_distance(corners[None], Xa, corners[None], Xc)
+    np.testing.assert_allclose(float(d2[0]), 2.0 - 0.5 - np.sqrt(2) / 2,
+                               atol=5e-3)
+    # overlapping -> 0
+    Xd = jnp.array([[0.5, 0, 0, 0, 0, 0, 1.0]])
+    d3, _, _ = gjk_distance(corners[None], Xa, corners[None], Xd)
+    assert float(d3[0]) < 1e-3
