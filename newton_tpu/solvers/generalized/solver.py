@@ -491,10 +491,13 @@ class SolverFeatherstone(SolverBase):
                          anc[np.maximum(plan.lb1, 0)], zero)   # (c, d)
         anc0 = jnp.where((plan.lb0 >= 0)[:, None],
                          anc[np.maximum(plan.lb0, 0)], zero)
-        sign = (anc1 - anc0)[None, :, None, :]              # (1, c, 1, d)
         dirs = jnp.stack([nrm, t1, t2], axis=2)             # (n, c, 3, 3)
-        J = jnp.einsum("nckx,ncdx->nckd", dirs, Vp) * sign  # (n, c, 3, d)
-        Jf = J.reshape(n_env, 3 * c, d)
+        # store the Jacobian TRANSPOSED, (n, d, rows): the row count (~91)
+        # rides the 128-lane axis with ~1.4x padding, where (rows, d=14)
+        # layouts pad 14 -> 128 lanes and 9x every PGS matvec's HBM traffic
+        sign_t = jnp.swapaxes(anc1 - anc0, 0, 1)[None, :, :, None]  # (1,d,c,1)
+        Jt = (jnp.einsum("nckx,ncdx->ndck", dirs, Vp)
+              * sign_t).reshape(n_env, d, 3 * c)
 
         # joint-limit rows: unilateral constraints in dof space
         # (reference mujoco limit rows; replaces explicit penalty springs)
@@ -505,25 +508,24 @@ class SolverFeatherstone(SolverBase):
             qv = q_coords[g.coord_idx[:, lc]]               # (n, nl)
             lo_l = model.joint_limit_lower[g.dof_idx[:, ld]]
             hi_l = model.joint_limit_upper[g.dof_idx[:, ld]]
-            eye_rows = jnp.zeros((nl, d), dtype=dtype)
-            eye_rows = eye_rows.at[jnp.arange(nl), ld].set(1.0)
-            J_lo = jnp.broadcast_to(eye_rows, (n_env, nl, d))
-            J_hi = -J_lo
+            eye_cols = jnp.zeros((d, nl), dtype=dtype)
+            eye_cols = eye_cols.at[ld, jnp.arange(nl)].set(1.0)
+            Jt_lo = jnp.broadcast_to(eye_cols, (n_env, d, nl))
             b_lo = self.baumgarte / dt * jnp.maximum(lo_l - qv, 0.0)
             b_hi = self.baumgarte / dt * jnp.maximum(qv - hi_l, 0.0)
             act_lo = qv <= lo_l + 1e-4
             act_hi = qv >= hi_l - 1e-4
-            Jf = jnp.concatenate([Jf, J_lo, J_hi], axis=1)
+            Jt = jnp.concatenate([Jt, Jt_lo, -Jt_lo], axis=2)
 
         # Delassus in matvec form: materializing A = J M^-1 J^T is (n, r, r)
         # — 135 MB at 4096 ant envs, re-read every PGS iteration (~1.2 GB of
         # HBM traffic per substep). Two (n, r, d) matvecs per iteration move
         # ~60x less.
         hp = jax.lax.Precision.HIGHEST
-        MinvJt = jnp.einsum("nde,nre->ndr", Minv, Jf, precision=hp)
-        diag = (jnp.einsum("nrd,ndr->nr", Jf, MinvJt, precision=hp)
+        MinvJt = jnp.einsum("nde,ner->ndr", Minv, Jt, precision=hp)
+        diag = (jnp.einsum("ndr,ndr->nr", Jt, MinvJt, precision=hp)
                 + self.contact_reg)
-        v_free = jnp.einsum("nrd,nd->nr", Jf, qd_g)         # (n, r)
+        v_free = jnp.einsum("ndr,nd->nr", Jt, qd_g)         # (n, r)
 
         # desired normal velocity: restitution + Baumgarte stabilization
         vn_pre = jnp.einsum("ncx,ncx->nc", nrm,
@@ -544,7 +546,7 @@ class SolverFeatherstone(SolverBase):
         use_cone = self.friction_cone == "cone"
 
         def pgs_iter(lam, _):
-            Alam = jnp.einsum("nrd,nd->nr", Jf,
+            Alam = jnp.einsum("ndr,nd->nr", Jt,
                               jnp.einsum("ndr,nr->nd", MinvJt, lam,
                                          precision=hp), precision=hp)
             r = Alam + v_free - b
@@ -572,14 +574,16 @@ class SolverFeatherstone(SolverBase):
                 lam_new = jnp.concatenate([lam_new, lam_lim], axis=1)
             return lam_new, None
 
-        lam0 = jnp.zeros((n_env, 3 * c + 2 * nl), dtype=dtype)
+        lam = jnp.zeros((n_env, 3 * c + 2 * nl), dtype=dtype)
         if self.warm_start and group_index is not None:
             prev = state_in.custom.get(f"contact:lam:{group_index}")
             if prev is not None:
-                lam0 = lam0.at[:, :3 * c].set(
+                lam = lam.at[:, :3 * c].set(
                     jnp.where(act3[:, :3 * c], prev, 0.0))
-        lam, _ = jax.lax.scan(pgs_iter, lam0, None,
-                              length=self.contact_iterations)
+        # trace-time unrolled (small static count): avoids the while-loop
+        # carry copies that showed up in the op trace
+        for _ in range(self.contact_iterations):
+            lam, _ = pgs_iter(lam, None)
         dqd = jnp.einsum("ndr,nr->nd", MinvJt, lam, precision=hp)
         return qd_g + dqd, lam[:, :3 * c], dirs
 
