@@ -3,7 +3,7 @@ from .viewer_file import ViewerFile
 from .viewer_null import ViewerNull
 
 __all__ = ["ViewerBase", "ViewerFile", "ViewerNull", "ViewerPlot",
-           "ViewerRerun"]
+           "ViewerRerun", "ViewerUSD"]
 
 
 def __getattr__(name):
@@ -15,4 +15,7 @@ def __getattr__(name):
     if name == "ViewerPlot":
         from .viewer_plot import ViewerPlot
         return ViewerPlot
+    if name == "ViewerUSD":
+        from .viewer_usd import ViewerUSD
+        return ViewerUSD
     raise AttributeError(name)
