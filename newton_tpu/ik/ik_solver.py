@@ -108,7 +108,8 @@ class IKSolver:
                  joint_limit_weight: float = 0.0, iterations: int = 16,
                  lambda_init: float = 1e-2, n_seeds: int = 1,
                  sampling: IKSampling = IKSampling.GAUSS,
-                 seed_scale: float = 0.3, key=None):
+                 seed_scale: float = 0.3, key=None,
+                 method: str = "lm"):
         self.model = model
         self.objectives = objectives
         self.joint_limit_weight = float(joint_limit_weight)
@@ -118,6 +119,8 @@ class IKSolver:
         self.sampling = sampling
         self.seed_scale = float(seed_scale)
         self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.method = method  # "lm" | "bfgs" (reference: ik_lm_optimizer.py,
+        # ik_lbfgs_optimizer.py)
 
     # ------------------------------------------------------------------
     def _residual(self, q, targets):
@@ -159,6 +162,16 @@ class IKSolver:
             lam = jnp.where(improved, lam * 0.5, lam * 4.0)
             lam = jnp.clip(lam, 1e-8, 1e6)
             return (q, lam), cost_new
+
+        if self.method == "bfgs":
+            from jax.scipy.optimize import minimize
+
+            def cost(q):
+                return jnp.sum(res(q) ** 2)
+
+            out = minimize(cost, q0, method="BFGS",
+                           options={"maxiter": self.iterations})
+            return out.x, out.fun
 
         (q, _), _ = jax.lax.scan(
             lm_step, (q0, jnp.asarray(self.lambda_init, dtype=q0.dtype)),

@@ -2204,6 +2204,27 @@ class ModelBuilder:
         return model
 
 
+    def color(self, include_bending: bool = True,
+              balance_colors: bool = True):
+        """Color the particle constraint graph for parallel Gauss-Seidel
+        solvers (reference: builder.py:10131 -> sim/graph_coloring.py:243).
+        Returns per-color particle index arrays."""
+        from .graph_coloring import ColoringAlgorithm, color_graph
+        edges = []
+        edges += [(a, b) for a, b in self.spring_indices]
+        for a, b, c in self.tri_indices:
+            edges += [(a, b), (b, c), (c, a)]
+        if include_bending:
+            for e in self.edge_indices:
+                if e[0] >= 0 and e[1] >= 0:
+                    edges.append((e[0], e[1]))
+        for t in self.tet_indices:
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    edges.append((t[i], t[j]))
+        return color_graph(self.particle_count, np.asarray(edges or [[0, 0]]),
+                           ColoringAlgorithm.MCS, balance_colors)
+
     def collapse_fixed_joints(self) -> None:
         """Merge fixed-jointed bodies into their parents
         (reference: builder.py:5493)."""

@@ -118,3 +118,63 @@ def test_event_tracer():
     with ScopedTimer("t", print_=False) as t:
         pass
     assert t.elapsed >= 0
+
+
+def test_ik_bfgs_method():
+    from newton_tpu.ik import IKObjectivePosition, IKSolver
+    b = nt.ModelBuilder()
+    l1 = b.add_body(xform=[0.5, 0, 0, 0, 0, 0, 1])
+    b.add_shape_capsule(l1, radius=0.05, half_height=0.25)
+    b.add_joint_revolute(parent=-1, child=l1, axis="Z",
+                         xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+    m = b.finalize()
+    ik = IKSolver(m, [IKObjectivePosition(link=0, offset=(0.5, 0, 0))],
+                  iterations=40, method="bfgs")
+    target = jnp.array([0.0, 1.0, 0.0])
+    q = ik.solve(jnp.zeros(1), [target])
+    np.testing.assert_allclose(float(q[0]) % (2 * np.pi), np.pi / 2,
+                               atol=0.05)
+
+
+def test_sleep_and_warm_start():
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers import SolverFeatherstone
+    b = nt.ModelBuilder()
+    b.add_mjcf("/opt/venv/lib/python3.12/site-packages/gymnasium/envs/"
+               "mujoco/assets/ant.xml")
+    m = b.finalize()
+    pipe = CollisionPipeline(m)
+    solver = SolverFeatherstone(m, contact_iterations=4, warm_start=True,
+                                sleep_threshold=0.05, sleep_steps=8)
+    s = solver.init_state(eval_fk(m, m.joint_q0, m.joint_qd0, m.state()))
+    assert "sleep:count:0" in s.custom
+    assert "contact:lam:0" in s.custom
+    ctrl = m.control()
+
+    @jax.jit
+    def frame(st):
+        def sub(ss, _):
+            return solver.step(ss, None, ctrl, pipe.collide(ss), 1 / 240.), None
+        return jax.lax.scan(sub, st, None, length=4)[0]
+
+    for _ in range(60):
+        s = frame(s)
+    assert np.isfinite(np.asarray(s.joint_q)).all()
+    assert 0.3 < float(s.joint_q[2]) < 0.8
+
+
+def test_viewer_usd_writer(tmp_path):
+    from newton_tpu.viewer import ViewerUSD
+    m = pendulum()
+    path = str(tmp_path / "stage.usda")
+    v = ViewerUSD(path)
+    v.set_model(m)
+    s = m.state()
+    for i in range(2):
+        v.begin_frame(i / 60.)
+        v.log_state(s)
+        v.end_frame()
+    v.save()
+    from newton_tpu.usd import parse_usda
+    root = parse_usda(open(path).read())
+    assert any(p.type_name == "Cube" for p in root.walk())
