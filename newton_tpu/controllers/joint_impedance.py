@@ -63,7 +63,7 @@ class JointImpedanceModelBased:
         a_des_full = a_des_full.at[np.asarray(dof_indices)].set(
             self.kp * (qt - q) + self.kd * (qdt - qd))
 
-        v_o, w_o = dof_subspace(model, state.body_q)
+        v_o, w_o = dof_subspace(model, state.body_q, state.joint_q)
         tau_bias = group_bias_forces(model, state.body_q, state.body_qd,
                                      v_o, w_o)
         tau = jnp.zeros_like(state.joint_qd)

@@ -36,7 +36,7 @@ __all__ = ["eval_mass_matrix", "eval_jacobian", "eval_inverse_dynamics",
 def eval_mass_matrix(model: Model, state: State) -> List[jnp.ndarray]:
     """Joint-space mass matrices, one ``(n, d, d)`` array per articulation
     group (reference: articulation.py:1594)."""
-    v_o, w_o = dof_subspace(model, state.body_q)
+    v_o, w_o = dof_subspace(model, state.body_q, state.joint_q)
     gc = get_generalized_cache(model.structure)
     return [group_mass_matrix(model, state.body_q, g, v_o, w_o)
             for g in gc.groups]
@@ -46,7 +46,7 @@ def eval_jacobian(model: Model, state: State) -> List[jnp.ndarray]:
     """Body Jacobians ``(n, bodies, 6, d)`` per articulation group — the
     twist ``[v_com, w]`` of each body per unit dof velocity
     (reference: articulation.py:1172)."""
-    v_o, w_o = dof_subspace(model, state.body_q)
+    v_o, w_o = dof_subspace(model, state.body_q, state.joint_q)
     gc = get_generalized_cache(model.structure)
     bq = state.body_q
     x_com = bq[:, 0:3] + quat_rotate(bq[:, 3:7], model.body_com)
@@ -70,7 +70,7 @@ def eval_dense_jacobian_rows(model: Model, state: State, points: jnp.ndarray,
                              group_index: int = 0) -> jnp.ndarray:
     """Task-space Jacobian rows dir . v(point) for arbitrary attachment
     points — the building block the IK/OSC layers use."""
-    v_o, w_o = dof_subspace(model, state.body_q)
+    v_o, w_o = dof_subspace(model, state.body_q, state.joint_q)
     gc = get_generalized_cache(model.structure)
     g = gc.groups[group_index]
     vg = v_o[g.dof_idx]
@@ -88,7 +88,7 @@ def eval_inverse_dynamics(model: Model, state: State,
     tau = M qdd + bias(q, qd) (RNEA; reference articulation.py:1472).
     With ``qdd=None`` returns the passive bias forces alone
     (reference inverse_dynamics.py:364)."""
-    v_o, w_o = dof_subspace(model, state.body_q)
+    v_o, w_o = dof_subspace(model, state.body_q, state.joint_q)
     tau = group_bias_forces(model, state.body_q, state.body_qd, v_o, w_o)
     if qdd is not None:
         gc = get_generalized_cache(model.structure)

@@ -88,6 +88,19 @@ class GeneralizedCache:
         self.dof_joint = dof_joint
         self.dof_is_linear = dof_is_linear
         self.dof_anchor_is_com = dof_anchor_is_com
+        # angular slot of each dof within its joint's angular block (-1 for
+        # linear/ball/free dofs); used to pick the TRANSPORTED axis
+        dof_ang_slot = -np.ones(D, dtype=np.int32)
+        for j in range(J):
+            t = JointType(int(st.joint_type[j]))
+            if t in (JointType.BALL, JointType.FREE, JointType.DISTANCE):
+                continue
+            s0 = int(st.joint_qd_start[j])
+            ln = int(st.joint_dof_dim[j, 0])
+            an = int(st.joint_dof_dim[j, 1])
+            for k in range(an):
+                dof_ang_slot[s0 + ln + k] = k
+        self.dof_ang_slot = dof_ang_slot
         self.dof_body = st.joint_child[dof_joint] if D else np.zeros(0, np.int32)
 
         # ancestor mask: dof d moves body b iff d's joint is on the path
@@ -172,7 +185,8 @@ def get_generalized_cache(st: ModelStructure) -> GeneralizedCache:
     return cache
 
 
-def dof_subspace(model: Model, body_q: jnp.ndarray):
+def dof_subspace(model: Model, body_q: jnp.ndarray,
+                 joint_q: Optional[jnp.ndarray] = None):
     """World-frame motion subspace of every dof, referenced at the origin.
 
     Returns (v_o (D, 3), w (D, 3)): twist of a unit velocity of dof d.
@@ -180,6 +194,11 @@ def dof_subspace(model: Model, body_q: jnp.ndarray):
     v_o = x_anchor x w (rotation about the axis through the anchor; free
     joints rotate about the child COM per the reference's COM-twist
     convention, articulation.py:402).
+
+    ``joint_q`` enables the intrinsic axis transport for multi-angular D6
+    joints (matching FK, articulation.py transform_3d_rotational_axes);
+    without it the joint's reference axes are used — WRONG away from q=0
+    (columns of M can align and the factorization explodes).
     """
     st = model.structure
     gc = get_generalized_cache(st)
@@ -195,7 +214,28 @@ def dof_subspace(model: Model, body_q: jnp.ndarray):
     X_wp = jnp.where(hasp, body_q[parent], identity)
     X_pj = transform_multiply(X_wp, model.joint_X_p[dj])   # (D, 7)
 
-    axis_w = quat_rotate(X_pj[:, 3:7], model.joint_axis)   # (D, 3)
+    local_axis = model.joint_axis
+    if joint_q is not None and (gc.dof_ang_slot >= 0).any():
+        from ...sim.articulation import get_kinematic_cache
+        from ...math import quat_from_axis_angle, quat_mul
+        kc = get_kinematic_cache(st)
+        ang_mask = jnp.asarray(kc.ang_mask, dtype=dtype)
+        A_raw = model.joint_axis[kc.ang_axis_idx]           # (J, 3, 3)
+        pad = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=dtype),
+                               A_raw.shape)
+        A = jnp.where(ang_mask[..., None] > 0, A_raw, pad)
+        q_ang = joint_q[kc.ang_q_idx] * ang_mask            # (J, 3)
+        a0 = A[:, 0]
+        r0 = quat_from_axis_angle(a0, q_ang[:, 0])
+        a1 = quat_rotate(r0, A[:, 1])
+        r10 = quat_mul(quat_from_axis_angle(a1, q_ang[:, 1]), r0)
+        a2 = quat_rotate(r10, A[:, 2])
+        transported = jnp.stack([a0, a1, a2], axis=1)       # (J, 3, 3)
+        slot = np.maximum(gc.dof_ang_slot, 0)
+        use = jnp.asarray(gc.dof_ang_slot >= 0)[:, None]
+        local_axis = jnp.where(use, transported[dj, slot], local_axis)
+
+    axis_w = quat_rotate(X_pj[:, 3:7], local_axis)          # (D, 3)
 
     child = gc.dof_body
     com_w = body_q[child][:, 0:3] + quat_rotate(

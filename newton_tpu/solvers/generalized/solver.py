@@ -124,6 +124,7 @@ class SolverFeatherstone(SolverBase):
                  contact_iterations: int = 16,
                  contact_relaxation: float = 0.85,
                  contact_reg: float = 1e-6,
+                 impratio: float = 0.9,
                  baumgarte: float = 0.2,
                  contact_slop: float = 1e-4,
                  angular_damping: float = 0.0,
@@ -139,6 +140,10 @@ class SolverFeatherstone(SolverBase):
         self.contact_iterations = int(contact_iterations)
         self.contact_relaxation = float(contact_relaxation)
         self.contact_reg = float(contact_reg)
+        # MuJoCo-style constraint softness: R = diag * (1 - d) / d keeps the
+        # diagonally-scaled Jacobi sweep convergent in dense contact pile-ups
+        # (pure 1/diag steps diverge when many rows couple)
+        self.impratio = float(impratio)
         self.baumgarte = float(baumgarte)
         self.contact_slop = float(contact_slop)
         self.angular_damping = float(angular_damping)
@@ -197,7 +202,7 @@ class SolverFeatherstone(SolverBase):
         # would double the kinematics cost per substep for nothing.
         body_q, body_qd = state_in.body_q, state_in.body_qd
 
-        v_o, w_o = dof_subspace(model, body_q)
+        v_o, w_o = dof_subspace(model, body_q, q)
         tau_bias = group_bias_forces(model, body_q, body_qd, v_o, w_o)
 
         # applied generalized forces
@@ -523,7 +528,8 @@ class SolverFeatherstone(SolverBase):
         # ~60x less.
         hp = jax.lax.Precision.HIGHEST
         MinvJt = jnp.einsum("nde,ner->ndr", Minv, Jt, precision=hp)
-        diag = (jnp.einsum("ndr,ndr->nr", Jt, MinvJt, precision=hp)
+        diag_raw = jnp.einsum("ndr,ndr->nr", Jt, MinvJt, precision=hp)
+        diag = (diag_raw * (1.0 + (1.0 - self.impratio) / self.impratio)
                 + self.contact_reg)
         v_free = jnp.einsum("ndr,nd->nr", Jt, qd_g)         # (n, r)
 
@@ -543,14 +549,30 @@ class SolverFeatherstone(SolverBase):
         omega = self.contact_relaxation
         mu3 = mu  # (n, c)
 
+        def Avec(x):
+            return jnp.einsum("ndr,nd->nr", Jt,
+                              jnp.einsum("ndr,nr->nd", MinvJt, x,
+                                         precision=hp), precision=hp)
+
+        # diagonally-scaled Jacobi diverges when many rows couple (humanoid
+        # pile-ups); cap the step by a matrix-free power-iteration estimate
+        # of lambda_max(D^-1/2 A D^-1/2) so the sweep stays a contraction
+        inv_sqrt_d = jax.lax.rsqrt(diag)
+        u = jnp.where(act3, 1.0, 0.0)
+        u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1.0)
+        for _ in range(6):
+            u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act3
+            u = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True),
+                                 1e-9)
+        lam_max = jnp.sum(u * (inv_sqrt_d * Avec(inv_sqrt_d * u)), axis=-1)
+        step_scale = jnp.minimum(1.0, 1.8 / jnp.maximum(lam_max, 1e-9))
+        step = (omega * step_scale)[:, None] / diag
+
         use_cone = self.friction_cone == "cone"
 
         def pgs_iter(lam, _):
-            Alam = jnp.einsum("ndr,nd->nr", Jt,
-                              jnp.einsum("ndr,nr->nd", MinvJt, lam,
-                                         precision=hp), precision=hp)
-            r = Alam + v_free - b
-            lam_full = lam - omega * r / diag
+            r = Avec(lam) + v_free - b
+            lam_full = lam - step * r
             if nl:
                 lam_lim = jnp.maximum(lam_full[:, 3 * c:], 0.0)
                 lam_lim = jnp.where(act3[:, 3 * c:], lam_lim, 0.0)
@@ -572,6 +594,9 @@ class SolverFeatherstone(SolverBase):
             lam_new = jnp.where(act3[:, :3 * c], lam_new, 0.0)
             if nl:
                 lam_new = jnp.concatenate([lam_new, lam_lim], axis=1)
+            # divergence guard: a non-finite row resets instead of poisoning
+            # the whole environment
+            lam_new = jnp.where(jnp.isfinite(lam_new), lam_new, 0.0)
             return lam_new, None
 
         lam = jnp.zeros((n_env, 3 * c + 2 * nl), dtype=dtype)

@@ -120,3 +120,18 @@ def test_reset_world_mask():
     out = solver.reset(moved, world_mask=jnp.array([True, False, True]))
     z = np.asarray(out.body_q)[:, 2]
     np.testing.assert_allclose(z, [1.0, 9.0, 1.0], atol=1e-6)
+
+
+def test_generalized_humanoid_crash_survival():
+    """Humanoid falls, piles onto the ground, and the contact solve stays
+    convergent (regression for the Jacobi divergence in dense pile-ups)."""
+    b = nt.ModelBuilder()
+    b.add_mjcf("/opt/venv/lib/python3.12/site-packages/gymnasium/envs/"
+               "mujoco/assets/humanoid.xml")
+    m = b.finalize()
+    solver = SolverFeatherstone(m, contact_iterations=12)
+    s, _ = run(m, solver, CollisionPipeline(m), frames=260)
+    assert_finite(s)
+    h = float(s.joint_q[2])
+    assert 0.02 < h < 0.4, f"humanoid rest height {h}"
+    assert float(jnp.max(jnp.abs(s.joint_qd))) < 2.0
