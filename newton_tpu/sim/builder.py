@@ -2204,6 +2204,93 @@ class ModelBuilder:
         return model
 
 
+    def approximate_meshes(self, method: str = "convex_hull",
+                           maxhullvert: int = 64) -> None:
+        """Replace mesh collision sources with convex approximations
+        (reference: builder.py:7270 — the reference uses coacd convex
+        decomposition; without that dependency each mesh becomes its
+        convex hull)."""
+        for s_i, src in enumerate(self.shape_source):
+            if isinstance(src, Mesh) and self.shape_type[s_i] == int(GeoType.MESH):
+                hull = _convex_hull_mesh(src)
+                hull.maxhullvert = maxhullvert
+                self.shape_source[s_i] = hull
+                self.shape_type[s_i] = int(GeoType.CONVEX)
+
+    def plot_articulation(self, articulation: int = 0) -> str:
+        """Text tree of an articulation's kinematic structure
+        (reference: builder.py:5355 renders a graph; this returns an
+        indented tree for terminals/logs)."""
+        lines = []
+        start = self.articulation_start[articulation]
+        end = (self.articulation_start[articulation + 1]
+               if articulation + 1 < len(self.articulation_start)
+               else self.joint_count)
+        children: Dict[int, List[int]] = {}
+        roots = []
+        for j in range(start, end):
+            p = self.joint_parent[j]
+            children.setdefault(p, []).append(j)
+        for j in children.get(-1, []):
+            roots.append(j)
+
+        def walk(j, depth):
+            t = JointType(self.joint_type[j]).name
+            child = self.joint_child[j]
+            lines.append("  " * depth
+                         + f"{self.joint_key[j]} [{t}] -> "
+                         + f"{self.body_key[child]}")
+            for j2 in range(start, end):
+                if self.joint_parent[j2] == child:
+                    walk(j2, depth + 1)
+
+        for r in roots:
+            walk(r, 0)
+        return "\n".join(lines)
+
+    def add_rod(self, start_pos, end_pos, segments: int = 8,
+                radius: float = 0.02, density: float = 1000.0,
+                bend_ke: float = 100.0, bend_kd: float = 1.0,
+                key: Optional[str] = None) -> List[int]:
+        """Discrete elastic rod as a capsule chain with compliant ball
+        joints (reference: builder.py:7632 add_rod; the reference's CABLE
+        joint stretch/bend maps to ball-joint drive stiffness here).
+        Returns the body indices."""
+        p0 = np.asarray(start_pos, dtype=np.float64)
+        p1 = np.asarray(end_pos, dtype=np.float64)
+        axis = p1 - p0
+        length = float(np.linalg.norm(axis))
+        axis = axis / max(length, 1e-9)
+        seg_len = length / segments
+        q = np_quat_between_axes(np.array([0.0, 0, 1]), axis)
+        bodies = []
+        cfg = self.default_shape_cfg.copy()
+        cfg.density = density
+        prev = -1
+        for i in range(segments):
+            center = p0 + axis * (i + 0.5) * seg_len
+            b = self.add_body(xform=np_transform(center, q),
+                              key=(key or "rod") + f"_{i}")
+            self.add_shape_capsule(b, radius=radius,
+                                   half_height=seg_len / 2 - radius * 0.5,
+                                   cfg=cfg, key=(key or "rod") + f"_shape_{i}")
+            if i == 0:
+                self.add_joint_free(b, key=(key or "rod") + "_root")
+            else:
+                anchor_p = np_transform(np.array([0.0, 0, seg_len / 2]))
+                anchor_c = np_transform(np.array([0.0, 0, -seg_len / 2]))
+                j = self.add_joint_ball(prev, b, xform_p=anchor_p,
+                                        xform_c=anchor_c,
+                                        key=(key or "rod") + f"_j{i}")
+                # bending stiffness via the dof drive gains
+                d0 = self.joint_qd_start[j]
+                for k in range(3):
+                    self.joint_target_ke[d0 + k] = bend_ke
+                    self.joint_target_kd[d0 + k] = bend_kd
+            prev = b
+            bodies.append(b)
+        return bodies
+
     def color(self, include_bending: bool = True,
               balance_colors: bool = True):
         """Color the particle constraint graph for parallel Gauss-Seidel
