@@ -54,6 +54,12 @@ def main():
     D = model.joint_dof_count
     gear = model.custom.get("mjc:actuator_gear",
                             jnp.zeros((D,), dtype=state1.joint_q.dtype))
+    # sample within the model's ctrlrange (reference KPI randomizes inside
+    # ctrlrange, bench_mujoco.py)
+    cr_lo = jnp.clip(model.custom.get(
+        "mjc:actuator_ctrlrange_lo", -jnp.ones((D,))), -1.0, 0.0)
+    cr_hi = jnp.clip(model.custom.get(
+        "mjc:actuator_ctrlrange_hi", jnp.ones((D,))), 0.0, 1.0)
 
     def env_substep(s, ctl):
         c = pipeline.collide(s)
@@ -62,8 +68,8 @@ def main():
     def frame(carry, _):
         state, key = carry
         key, sub = jax.random.split(key)
-        ctrl_vec = jax.random.uniform(sub, (args.worlds, D),
-                                      minval=-1.0, maxval=1.0)
+        u = jax.random.uniform(sub, (args.worlds, D))
+        ctrl_vec = cr_lo[None] + u * (cr_hi - cr_lo)[None]
 
         def substep(s, _):
             ctl = jax.vmap(lambda f: control.replace(joint_f=f))(

@@ -133,6 +133,7 @@ class SolverFeatherstone(SolverBase):
                  sleep_threshold: float = 0.0,
                  sleep_steps: int = 16,
                  warm_start: bool = False,
+                 max_velocity: float = 1.0e3,
                  update_mass_matrix_interval: int = 1):
         super().__init__(model)
         st = model.structure
@@ -158,6 +159,10 @@ class SolverFeatherstone(SolverBase):
         # frame-to-frame correspondence free (the reference needs its
         # ContactMatcher, geometry/contact_match.py:623, to get this)
         self.warm_start = bool(warm_start)
+        # hard velocity ceiling: keeps a single pathological env finite
+        # instead of poisoning the batch (MuJoCo's MAXVAL guards play the
+        # same role; per-dof model.joint_velocity_limit still applies)
+        self.max_velocity = float(max_velocity)
         self.contact_plans = _plan_group_contacts(st, self.gc.groups)
         # per-group dofs with finite limits (local dof + local coord index)
         self.limit_plans = []
@@ -289,6 +294,12 @@ class SolverFeatherstone(SolverBase):
             qd_g2 = self._solve_equality(model, g, eplan, Minv, qd_g,
                                          v_o, w_o, body_q, q, dt)
             qd_new = qd_new.at[g.dof_idx.reshape(-1)].set(qd_g2.reshape(-1))
+
+        # velocity limits: per-dof model limits + the global safety ceiling
+        qd_new = jnp.clip(qd_new, -model.joint_velocity_limit,
+                          model.joint_velocity_limit)
+        qd_new = jnp.clip(qd_new, -self.max_velocity, self.max_velocity)
+        qd_new = jnp.where(jnp.isfinite(qd_new), qd_new, 0.0)
 
         # integrate coordinates and recompute kinematics for the output state
         q_new = integrate_coords(model, q, qd_new, body_q, dt)
