@@ -122,8 +122,9 @@ def main():
     throughput = env_steps / elapsed
     # vs_baseline: no published reference numbers in-repo (BASELINE.md);
     # report ratio vs the BASELINE.json north-star placeholder 1.0
+    dt_total = args.frames * args.substeps * dt
     print(json.dumps({
-        "metric": "ant_env_steps_per_s",
+        "metric": f"{args.robot}_env_steps_per_s",
         "value": round(throughput, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(throughput / 1.0e6, 4),
@@ -131,6 +132,9 @@ def main():
         "frames": args.frames,
         "substeps": args.substeps,
         "elapsed_s": round(elapsed, 3),
+        # reference asv metric definitions (benchmark_metrics.py:16-120)
+        "ms_per_world_step": round(1e3 * elapsed / env_steps, 6),
+        "rtf": round(args.worlds * dt_total / elapsed, 1),
     }))
 
 
