@@ -306,6 +306,13 @@ class ModelBuilder:
         self.tet_poses: List[np.ndarray] = []
         self.tet_materials: List[Tuple[float, float, float]] = []
 
+        # muscles (reference: builder.py:6303)
+        self.muscle_start: List[int] = []
+        self.muscle_params: List[Tuple[float, float, float, float, float]] = []
+        self.muscle_bodies: List[int] = []
+        self.muscle_points: List[np.ndarray] = []
+        self.muscle_activations: List[float] = []
+
         # equality constraints
         self.eq_type: List[int] = []
         self.eq_obj1: List[int] = []
@@ -1428,6 +1435,22 @@ class ModelBuilder:
     # ------------------------------------------------------------------
     # equality constraints (reference: builder.py:5292 + solvers/mujoco/equality.py)
     # ------------------------------------------------------------------
+    def add_muscle(self, bodies: Sequence[int], positions: Sequence[Vec3],
+                   f0: float, lm: float, lt: float, lmax: float,
+                   pen: float) -> int:
+        """Muscle-tendon unit routed through body-frame waypoints
+        (reference: builder.py:6303). Activation drives contraction forces
+        along the waypoint path (applied by SolverSemiImplicit)."""
+        idx = len(self.muscle_params)
+        self.muscle_start.append(len(self.muscle_bodies))
+        self.muscle_params.append((float(f0), float(lm), float(lt),
+                                   float(lmax), float(pen)))
+        self.muscle_activations.append(0.0)
+        for b, p in zip(bodies, positions):
+            self.muscle_bodies.append(int(b))
+            self.muscle_points.append(np.asarray(p, dtype=np.float64))
+        return idx
+
     def add_equality_constraint(
         self, constraint_type: EqType,
         body1: int = -1, body2: int = -1,
@@ -1890,6 +1913,9 @@ class ModelBuilder:
         st.tet_count = self.tet_count
         st.eq_count = len(self.eq_type)
         st.up_axis = int(self.up_axis)
+        st.muscle_count = len(self.muscle_params)
+        st.muscle_start = np.asarray(
+            self.muscle_start + [len(self.muscle_bodies)], dtype=np.int32)
 
         st.joint_type = np.asarray(self.joint_type, dtype=np.int32)
         st.joint_parent = np.asarray(self.joint_parent, dtype=np.int32)
@@ -2179,6 +2205,9 @@ class ModelBuilder:
             tet_indices=dev_i(np.asarray(self.tet_indices, dtype=np.int32).reshape(-1, 4)),
             tet_poses=dev(np.stack(self.tet_poses) if self.tet_count else np.zeros((0, 3, 3))),
             tet_materials=dev(np.asarray(self.tet_materials).reshape(-1, 3)),
+            muscle_params=dev(np.asarray(self.muscle_params).reshape(-1, 5)),
+            muscle_bodies=dev_i(np.asarray(self.muscle_bodies, dtype=np.int32)),
+            muscle_points=dev(np.asarray(self.muscle_points).reshape(-1, 3)),
             mesh_points=dev(mesh_points),
             mesh_indices=dev_i(mesh_indices),
             shape_sample_points=dev(sample_points),

@@ -25,6 +25,7 @@ class Control(struct.PyTreeNode):
     joint_target_q: jnp.ndarray
     joint_target_qd: jnp.ndarray
     joint_f: jnp.ndarray
+    muscle_activations: jnp.ndarray = None  # (muscle_count,) in [0, 1]
     custom: Dict[str, Any] = struct.field(default_factory=dict)
 
     def clear(self) -> "Control":

@@ -46,11 +46,62 @@ class SolverSemiImplicit(SolverBase):
             f = f + self._particle_forces(model, state, contacts)
             state = state.replace(particle_f=f)
 
+        # muscle-tendon forces along waypoint paths
+        # (reference: semi_implicit eval_muscles)
+        if (getattr(model.structure, "muscle_count", 0)
+                and control is not None
+                and control.muscle_activations is not None):
+            state = state.replace(
+                body_f=state.body_f
+                + self._muscle_forces(model, state, control))
+
         body_q, body_qd = integrate_bodies(model, state, dt,
                                            self.angular_damping)
         particle_q, particle_qd = integrate_particles(model, state, dt)
         return state_in.replace(body_q=body_q, body_qd=body_qd,
                                 particle_q=particle_q, particle_qd=particle_qd)
+
+    # ------------------------------------------------------------------
+    def _muscle_forces(self, model: Model, state: State, control):
+        """Contractile force act*f0 along each waypoint segment, applied as
+        equal/opposite wrenches on the attached bodies."""
+        import numpy as np
+        from ..math import transform_point
+        st = model.structure
+        B = model.body_count
+        dtype = state.body_q.dtype
+        starts = st.muscle_start
+        nseg_bodies0, nseg_bodies1, seg_muscle = [], [], []
+        for mi in range(st.muscle_count):
+            for w in range(int(starts[mi]), int(starts[mi + 1]) - 1):
+                nseg_bodies0.append(w)
+                nseg_bodies1.append(w + 1)
+                seg_muscle.append(mi)
+        if not seg_muscle:
+            return jnp.zeros((B, 6), dtype=dtype)
+        w0 = np.asarray(nseg_bodies0)
+        w1 = np.asarray(nseg_bodies1)
+        sm = np.asarray(seg_muscle)
+        b0 = np.asarray(model.muscle_bodies)[w0]
+        b1 = np.asarray(model.muscle_bodies)[w1]
+        p0 = transform_point(state.body_q[b0], model.muscle_points[w0])
+        p1 = transform_point(state.body_q[b1], model.muscle_points[w1])
+        d = p1 - p0
+        ln = jnp.linalg.norm(d, axis=-1)
+        n = d / jnp.maximum(ln, 1e-9)[:, None]
+        act = control.muscle_activations[sm]
+        f0 = model.muscle_params[sm, 0]
+        fmag = act * f0
+        fvec = n * fmag[:, None]                       # pulls p0 toward p1
+        from ..math import quat_rotate
+        x_com = state.body_q[:, 0:3] + quat_rotate(state.body_q[:, 3:7],
+                                                   model.body_com)
+        tau0 = jnp.cross(p0 - x_com[b0], fvec)
+        tau1 = jnp.cross(p1 - x_com[b1], -fvec)
+        wr = jnp.zeros((B, 6), dtype=dtype)
+        wr = wr.at[b0].add(jnp.concatenate([fvec, tau0], axis=-1))
+        wr = wr.at[b1].add(jnp.concatenate([-fvec, tau1], axis=-1))
+        return wr
 
     # ------------------------------------------------------------------
     def _particle_forces(self, model: Model, state: State,

@@ -135,3 +135,45 @@ def test_generalized_humanoid_crash_survival():
     h = float(s.joint_q[2])
     assert 0.02 < h < 0.4, f"humanoid rest height {h}"
     assert float(jnp.max(jnp.abs(s.joint_qd))) < 2.0
+
+
+def test_muscle_contracts_bodies():
+    """A muscle spanning two free bodies pulls them together when activated
+    (reference: builder add_muscle / semi-implicit eval_muscles)."""
+    from newton_tpu.solvers import SolverSemiImplicit
+    b = nt.ModelBuilder(gravity=0.0)
+    b1 = b.add_body(xform=[0, 0, 1, 0, 0, 0, 1])
+    b.add_shape_box(b1, hx=0.1, hy=0.1, hz=0.1)
+    b.add_joint_free(b1)
+    b2 = b.add_body(xform=[1, 0, 1, 0, 0, 0, 1])
+    b.add_shape_box(b2, hx=0.1, hy=0.1, hz=0.1)
+    b.add_joint_free(b2)
+    b.add_muscle([b1, b2], [(0.1, 0, 0), (-0.1, 0, 0)],
+                 f0=50.0, lm=0.5, lt=0.1, lmax=1.0, pen=0.1)
+    m = b.finalize()
+    assert m.structure.muscle_count == 1
+    solver = SolverSemiImplicit(m)
+    ctrl = m.control()
+    assert ctrl.muscle_activations.shape == (1,)
+
+    s0 = m.state()
+
+    @jax.jit
+    def roll(s, act):
+        c = ctrl.replace(muscle_activations=act)
+
+        def sub(s, _):
+            s = s.clear_forces()
+            return solver.step(s, None, c, None, 1 / 1000.), None
+        return jax.lax.scan(sub, s, None, length=200)[0]
+
+    # zero activation: nothing moves
+    s_off = roll(s0, jnp.zeros(1))
+    np.testing.assert_allclose(np.asarray(s_off.body_q), np.asarray(s0.body_q),
+                               atol=1e-6)
+    # full activation: bodies approach each other symmetrically
+    s_on = roll(s0, jnp.ones(1))
+    gap = float(jnp.linalg.norm(s_on.body_q[1, :3] - s_on.body_q[0, :3]))
+    assert gap < 0.9, f"muscle did not contract: gap={gap}"
+    mid = np.asarray(s_on.body_q[0, :3] + s_on.body_q[1, :3]) / 2
+    np.testing.assert_allclose(mid, [0.5, 0, 1.0], atol=1e-5)

@@ -178,3 +178,19 @@ def test_viewer_usd_writer(tmp_path):
     from newton_tpu.usd import parse_usda
     root = parse_usda(open(path).read())
     assert any(p.type_name == "Cube" for p in root.walk())
+
+
+def test_validation_helpers():
+    from newton_tpu.utils.validation import (
+        check_state_valid, find_nonfinite_members, nan_sweep)
+    m = pendulum()
+    s = m.state()
+    assert check_state_valid(s)["valid"]
+    bad = s.replace(body_q=s.body_q.at[0, 0].set(jnp.nan))
+    assert find_nonfinite_members(bad)
+    assert not check_state_valid(bad)["valid"]
+    try:
+        nan_sweep(bad)
+        assert False, "should have raised"
+    except AssertionError:
+        pass
