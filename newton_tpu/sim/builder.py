@@ -2280,6 +2280,7 @@ class ModelBuilder:
     def add_rod(self, start_pos, end_pos, segments: int = 8,
                 radius: float = 0.02, density: float = 1000.0,
                 bend_ke: float = 100.0, bend_kd: float = 1.0,
+                root_joint: str = "free", root_parent: int = -1,
                 key: Optional[str] = None) -> List[int]:
         """Discrete elastic rod as a capsule chain with compliant ball
         joints (reference: builder.py:7632 add_rod; the reference's CABLE
@@ -2304,7 +2305,26 @@ class ModelBuilder:
                                    half_height=seg_len / 2 - radius * 0.5,
                                    cfg=cfg, key=(key or "rod") + f"_shape_{i}")
             if i == 0:
-                self.add_joint_free(b, key=(key or "rod") + "_root")
+                if root_joint == "fixed":
+                    self.add_joint_fixed(
+                        root_parent, b,
+                        xform_p=np_transform(p0, q) if root_parent < 0
+                        else np_transform(np.array([0.0, 0, 0]), q),
+                        xform_c=np_transform(np.array([0.0, 0, -seg_len / 2])),
+                        key=(key or "rod") + "_root")
+                elif root_joint == "ball":
+                    j = self.add_joint_ball(
+                        root_parent, b,
+                        xform_p=np_transform(p0, q) if root_parent < 0
+                        else np_transform(np.array([0.0, 0, 0]), q),
+                        xform_c=np_transform(np.array([0.0, 0, -seg_len / 2])),
+                        key=(key or "rod") + "_root")
+                    d0 = self.joint_qd_start[j]
+                    for k in range(3):
+                        self.joint_target_ke[d0 + k] = bend_ke
+                        self.joint_target_kd[d0 + k] = bend_kd
+                else:
+                    self.add_joint_free(b, key=(key or "rod") + "_root")
             else:
                 anchor_p = np_transform(np.array([0.0, 0, seg_len / 2]))
                 anchor_c = np_transform(np.array([0.0, 0, -seg_len / 2]))
@@ -2317,6 +2337,53 @@ class ModelBuilder:
                     self.joint_target_ke[d0 + k] = bend_ke
                     self.joint_target_kd[d0 + k] = bend_kd
             prev = b
+            bodies.append(b)
+        return bodies
+
+    def add_rod_graph(self, points, edges, radius: float = 0.02,
+                      density: float = 1000.0, bend_ke: float = 100.0,
+                      bend_kd: float = 1.0,
+                      key: Optional[str] = None) -> List[int]:
+        """Branching rod network: one capsule body per edge, compliant ball
+        joints where edges share a point (reference: builder.py:7861
+        add_rod_graph). ``points`` is (P, 3); ``edges`` is a list of (i, j)
+        point-index pairs forming a tree (first edge's start point is the
+        free root). Returns the per-edge body indices."""
+        pts = np.asarray(points, dtype=np.float64)
+        cfg = self.default_shape_cfg.copy()
+        cfg.density = density
+        point_body = {}          # point index -> (body, local offset end)
+        bodies = []
+        for ei, (i, j) in enumerate(edges):
+            p0, p1 = pts[int(i)], pts[int(j)]
+            axis = p1 - p0
+            length = float(np.linalg.norm(axis))
+            axis = axis / max(length, 1e-9)
+            q = np_quat_between_axes(np.array([0.0, 0, 1]), axis)
+            center = (p0 + p1) / 2
+            b = self.add_body(xform=np_transform(center, q),
+                              key=(key or "rodg") + f"_{ei}")
+            self.add_shape_capsule(b, radius=radius,
+                                   half_height=max(length / 2 - radius * 0.5,
+                                                   radius * 0.25),
+                                   cfg=cfg,
+                                   key=(key or "rodg") + f"_shape_{ei}")
+            if int(i) in point_body:
+                parent, off = point_body[int(i)]
+                jt = self.add_joint_ball(
+                    parent, b, xform_p=np_transform(off),
+                    xform_c=np_transform(np.array([0.0, 0, -length / 2])),
+                    key=(key or "rodg") + f"_j{ei}")
+                d0 = self.joint_qd_start[jt]
+                for k in range(3):
+                    self.joint_target_ke[d0 + k] = bend_ke
+                    self.joint_target_kd[d0 + k] = bend_kd
+            else:
+                self.add_joint_free(b, key=(key or "rodg") + f"_root{ei}")
+            # register both endpoints in this body's local frame (z-aligned)
+            if int(i) not in point_body:
+                point_body[int(i)] = (b, np.array([0.0, 0, -length / 2]))
+            point_body[int(j)] = (b, np.array([0.0, 0, length / 2]))
             bodies.append(b)
         return bodies
 

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...math import quat_rotate
+from ...math import (quat_conjugate, quat_mul, quat_normalize, quat_rotate,
+                     quat_to_axis_angle)
 from ...sim.articulation import eval_fk
 from ...sim.contacts import Contacts
 from ...sim.control import Control
@@ -226,6 +227,25 @@ class SolverFeatherstone(SolverBase):
                 pd = ke * err + kd * errd
                 tau = tau.at[ld].add(pd)
                 kd_implicit = kd_implicit.at[ld].add(kd)
+            # PD drives on BALL joints: quaternion-error axis-angle torque in
+            # the joint-parent frame, matching the ball dof subspace basis
+            # (the reference drives ball dofs the same way via joint_target_ke;
+            # this is what gives add_rod its bending stiffness)
+            bp = gc.quat_coord_starts
+            if len(bp):
+                q4 = bp[:, 0:1] + np.arange(4)[None]       # (B, 4) coord idx
+                d3 = bp[:, 1:2] + np.arange(3)[None]       # (B, 3) dof idx
+                ke_b = model.joint_target_ke[d3]
+                kd_b = model.joint_target_kd[d3]
+                qcur = quat_normalize(q[q4])
+                qtar = quat_normalize(control.joint_target_q[q4])
+                axis, ang = quat_to_axis_angle(
+                    quat_mul(qtar, quat_conjugate(qcur)))
+                e = axis * ang[:, None]
+                pd_b = ke_b * e + kd_b * (control.joint_target_qd[d3] - qd[d3])
+                tau = tau.at[d3.reshape(-1)].add(pd_b.reshape(-1))
+                kd_implicit = kd_implicit.at[d3.reshape(-1)].add(
+                    kd_b.reshape(-1))
         # joint limits: one-sided penalty springs (constraint mode moves
         # limits into the unified impulse solve instead)
         li, ld = gc.lin_coord_idx, gc.lin_coord_dof

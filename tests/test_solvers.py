@@ -177,3 +177,59 @@ def test_muscle_contracts_bodies():
     assert gap < 0.9, f"muscle did not contract: gap={gap}"
     mid = np.asarray(s_on.body_q[0, :3] + s_on.body_q[1, :3]) / 2
     np.testing.assert_allclose(mid, [0.5, 0, 1.0], atol=1e-5)
+
+
+def test_rod_bend_stiffness_cantilever():
+    """add_rod bend stiffness acts through ball-joint PD drives: a stiff
+    cantilever holds nearly horizontal, a soft one droops
+    (reference: builder.py:7632 add_rod, CABLE joint bend/twist)."""
+    def tip_z(bend_ke):
+        b = nt.ModelBuilder()
+        bodies = b.add_rod([0, 0, 1], [1, 0, 1], segments=6, radius=0.02,
+                           bend_ke=bend_ke, bend_kd=2.0, root_joint="fixed")
+        m = b.finalize()
+        solver = SolverFeatherstone(m)
+        s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+        ctrl = m.control()
+
+        @jax.jit
+        def frame(s):
+            def sub(s, _):
+                return solver.step(s, None, ctrl, None, 1 / 480.), None
+            return jax.lax.scan(sub, s, None, length=8)[0]
+        for _ in range(120):
+            s = frame(s)
+        assert np.isfinite(np.asarray(s.body_q)).all()
+        return float(s.body_q[len(bodies) - 1, 2])
+
+    stiff = tip_z(500.0)
+    soft = tip_z(1.0)
+    assert stiff > 0.9, f"stiff rod sags too much: {stiff}"
+    assert soft < 0.35, f"soft rod barely sags: {soft}"
+
+
+def test_rod_graph_builds_and_runs():
+    """Branching rod network (reference: builder.py:7861 add_rod_graph)."""
+    b = nt.ModelBuilder()
+    pts = [[0, 0, 1], [0.5, 0, 1], [1.0, 0.3, 1], [1.0, -0.3, 1]]
+    bodies = b.add_rod_graph(pts, [(0, 1), (1, 2), (1, 3)], bend_ke=50.0)
+    assert len(bodies) == 3
+    m = b.finalize()
+    solver = SolverFeatherstone(m)
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    ctrl = m.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, None, 1 / 480.), None
+        return jax.lax.scan(sub, s, None, length=8)[0]
+    for _ in range(30):
+        s = frame(s)
+    assert_finite(s)
+    # free-fall: branch joints stay attached (shared-point coincidence)
+    q = np.asarray(s.body_q)
+    tip1 = q[1, :3]
+    tip2 = q[2, :3]
+    root_end = q[0, :3]
+    assert np.isfinite(q).all()
