@@ -341,10 +341,20 @@ def box_box(X0, X1, s0, s1):
     face1 = jnp.einsum("nx,nx->n", X1[:, 0:3], n) - \
         jnp.take_along_axis(r1, a_best[:, None], axis=1)[:, 0]
     depth0 = jnp.einsum("nkx,nx->nk", c0, n) - face1[:, None]
+    # corners must also lie INSIDE the other box laterally — a corner past
+    # the slab face along n but outside the overlap footprint would apply a
+    # spurious off-center impulse (torques the stack apart)
+    tol = 1e-3 + 1e-3 * (jnp.maximum(jnp.max(s0, -1), jnp.max(s1, -1)))
+    l1_in0 = jnp.einsum("nkx,nxj->nkj", c1 - X0[:, None, 0:3], R0)
+    lat1 = jnp.max(jnp.abs(l1_in0) - s0[:, None, :], axis=-1)  # (n, 8)
+    l0_in1 = jnp.einsum("nkx,nxj->nkj", c0 - X1[:, None, 0:3], R1)
+    lat0 = jnp.max(jnp.abs(l0_in1) - s1[:, None, :], axis=-1)
     # cap by the SAT overlap and mask separated pairs
     cap = jnp.maximum(min_overlap, 0.0)[:, None]
-    depth1 = jnp.where(separated[:, None], -1.0, jnp.minimum(depth1, cap))
-    depth0 = jnp.where(separated[:, None], -1.0, jnp.minimum(depth0, cap))
+    depth1 = jnp.where(separated[:, None] | (lat1 > tol[:, None]), -1.0,
+                       jnp.minimum(depth1, cap))
+    depth0 = jnp.where(separated[:, None] | (lat0 > tol[:, None]), -1.0,
+                       jnp.minimum(depth0, cap))
     pos1 = c1 + n[:, None, :] * (0.5 * depth1)[..., None]
     pos0 = c0 - n[:, None, :] * (0.5 * depth0)[..., None]
     pos = jnp.concatenate([pos1, pos0], axis=1)

@@ -187,6 +187,9 @@ class ModelBuilder:
         self.gravity = float(gravity)
 
         self.default_shape_cfg = ShapeConfig()
+        # contact sample points per mesh/primitive shape (mesh narrow phase
+        # budget; reference uses triangle-pair expansion instead)
+        self.mesh_sample_count = 32
         self.default_joint_cfg = JointDofConfig()
         self.default_site_cfg = ShapeConfig().mark_as_site()
 
@@ -1988,7 +1991,7 @@ class ModelBuilder:
             mesh_indices = np.zeros((0,), dtype=np.int32)
 
         # mesh contact sampling + SDF baking for pairs that need them
-        sample_K = 16
+        sample_K = int(getattr(self, "mesh_sample_count", 32))
         sample_points = np.zeros((self.shape_count, sample_K, 3))
         shape_sdf_id = np.full(self.shape_count, -1, dtype=np.int32)
         sdf_res = 24
@@ -2023,7 +2026,8 @@ class ModelBuilder:
                 sample_points[sidx] = pts
         for sidx, src in enumerate(self.shape_source):
             if self.shape_type[sidx] in mesh_types and isinstance(src, Mesh):
-                pts = src.vertices * self.shape_scale[sidx]
+                pts = _surface_sample_candidates(
+                    src.vertices * self.shape_scale[sidx], src.indices)
                 sample_points[sidx] = _fps_sample(pts, sample_K)
                 if sidx in needs_sdf:
                     key = id(src)
@@ -2522,6 +2526,28 @@ def _quickhull(pts: np.ndarray, max_verts: int = 64) -> np.ndarray:
         if len(set(i for f in faces for i in f)) >= max_verts:
             break
     return np.asarray(faces, dtype=np.int64)
+
+
+def _surface_sample_candidates(verts: np.ndarray,
+                               indices: np.ndarray) -> np.ndarray:
+    """Contact-sample candidates covering a mesh SURFACE, not just its
+    vertices: triangle edge midpoints, centroids and interior points are
+    added so low-poly meshes (a box is 8 verts) still get face-interior
+    contacts. Large meshes contribute their biggest triangles only."""
+    verts = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(indices, dtype=np.int64).reshape(-1, 3)
+    if len(faces) == 0:
+        return verts
+    tri = verts[faces]                                     # (T, 3, 3)
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1)
+    order = np.argsort(-area)[:2048]                       # cap host cost
+    tri = tri[order]
+    mids = 0.5 * (tri + np.roll(tri, -1, axis=1))          # edge midpoints
+    cent = tri.mean(axis=1, keepdims=True)                 # centroids
+    interior = 0.5 * (tri + cent)                          # toward-center pts
+    return np.concatenate([verts, mids.reshape(-1, 3), cent.reshape(-1, 3),
+                           interior.reshape(-1, 3)])
 
 
 def _fps_sample(points: np.ndarray, k: int) -> np.ndarray:

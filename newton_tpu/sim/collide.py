@@ -69,10 +69,18 @@ class CollisionPipeline:
     """
 
     def __init__(self, model: Model, rigid_contact_margin: float = 0.01,
-                 soft_contact_margin: float = 0.01):
+                 soft_contact_margin: float = 0.01,
+                 hydroelastic: bool = False):
         self.model = model
         self.rigid_contact_margin = float(rigid_contact_margin)
         self.soft_contact_margin = float(soft_contact_margin)
+        # hydroelastic mode: mesh/SDF contacts are generated on the
+        # equal-pressure surface between the two penetrating elastic bodies
+        # (reference: geometry/sdf_hydroelastic.py:240 HydroelasticSDF).
+        # Per-shape elastic modulus comes from shape_material_ke; the series
+        # combination E0*E1/(E0+E1) softens the effective depth and the
+        # contact point sits where the two pressure fields balance.
+        self.hydroelastic = bool(hydroelastic)
         st = model.structure
         self.rigid_contact_max = st.rigid_contact_max
         self.soft_contact_max = st.soft_contact_max
@@ -346,7 +354,12 @@ def _install_mesh_classes(pipeline: "CollisionPipeline"):
             # samples (vs the primitive's analytic SDF) and the primitive's
             # samples (vs the mesh SDF) contribute — required when the mesh
             # is large and static (terrain) and the primitive small
-            bidir = int(st.shape_sdf_id[mesh]) >= 0
+            # (planes are excluded: infinite, no meaningful sample points —
+            # all K samples degenerate to the origin and would stack K
+            # duplicate contacts on the same spot)
+            t_other = t1 if in0 else t0
+            bidir = (int(st.shape_sdf_id[mesh]) >= 0
+                     and t_other != int(GeoType.PLANE))
             key = ("ma", k, bidir)
             pc = classes.setdefault(key, _MeshPairClass(k, bidir))
             pc.mesh_idx.append(mesh)
@@ -387,12 +400,26 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
         sid_o = st.shape_sdf_id[oi]
         sid_m = st.shape_sdf_id[mi]
         dA, gA = _sdf_of_shape(model, oi, sid_o, p_in_o)
-        nA = quat_rotate(X_o[:, None, 3:7], gA)
+        outA = quat_rotate(X_o[:, None, 3:7], gA)            # outward of oi
+        nA = -outA                                           # mi -> oi (0 -> 1)
         pts_local_o = model.shape_sample_points[oi]
         pts_w_o = transform_point(X_o[:, None, :], pts_local_o)
         p_in_m = transform_point_inv(X_m[:, None, :], pts_w_o)
         dB, gB = _sdf_of_shape(model, mi, sid_m, p_in_m)
-        nB = -quat_rotate(X_m[:, None, 3:7], gB)             # flip: 0 -> 1
+        outB = quat_rotate(X_m[:, None, 3:7], gB)            # outward of mi
+        nB = outB                                            # mi -> oi (0 -> 1)
+        if pipeline.hydroelastic:
+            # move each sample to the equal-pressure surface between the two
+            # elastic bodies: t = pen * E_other / (E_self + E_other) along the
+            # other shape's outward normal (reference sdf_hydroelastic.py:240)
+            Em = model.shape_material_ke[mi][:, None]
+            Eo = model.shape_material_ke[oi][:, None]
+            fA = (Eo / jnp.maximum(Em + Eo, 1e-12))[..., None]
+            fB = (Em / jnp.maximum(Em + Eo, 1e-12))[..., None]
+            penA = jnp.maximum(-dA, 0.0)[..., None]
+            penB = jnp.maximum(-dB, 0.0)[..., None]
+            pts_w = pts_w + outA * penA * fA
+            pts_w_o = pts_w_o + outB * penB * fB
         half = pc.slots // 2
         posA, nrmA, depA = _top_k(pts_w, nA, -dA, half)
         posB, nrmB, depB = _top_k(pts_w_o, nB, -dB, pc.slots - half)
@@ -405,6 +432,11 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
         d, g_loc = _sdf_of_shape(model, oi, st.shape_sdf_id[oi], p_in_o,
                                  analytic_only=True)
         n_w = quat_rotate(X_o[:, None, 3:7], g_loc)          # outward from other
+        if pipeline.hydroelastic:
+            Em = model.shape_material_ke[mi][:, None]
+            Eo = model.shape_material_ke[oi][:, None]
+            frac = (Eo / jnp.maximum(Em + Eo, 1e-12))[..., None]
+            pts_w = pts_w + n_w * jnp.maximum(-d, 0.0)[..., None] * frac
         # normal 0 -> 1: mesh_first means shape0 = mesh, so normal points
         # from mesh toward other = -outward
         pos, nrm_out, depth = _top_k(pts_w, n_w, -d, pc.slots)

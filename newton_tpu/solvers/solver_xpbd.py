@@ -77,7 +77,8 @@ class SolverXPBD(SolverBase):
                  angular_damping: float = 0.05,
                  enable_restitution: bool = True,
                  enable_particle_particle: bool = True,
-                 friction_epsilon: float = 1e-5):
+                 friction_epsilon: float = 1e-5,
+                 max_depenetration_velocity: float = 3.0):
         super().__init__(model)
         self.iterations = int(iterations)
         self.relaxation = float(relaxation)
@@ -88,6 +89,10 @@ class SolverXPBD(SolverBase):
         self.enable_restitution = bool(enable_restitution)
         self.enable_particle_particle = bool(enable_particle_particle)
         self.friction_epsilon = float(friction_epsilon)
+        # cap the positional push-out rate so resolving a deep overlap does
+        # not convert into a launch velocity at reconstruction
+        # (reference solver_xpbd max depenetration semantics)
+        self.max_depenetration_velocity = float(max_depenetration_velocity)
         self._plan = _XPBDPlan(model)
 
     # ------------------------------------------------------------------
@@ -156,7 +161,8 @@ class SolverXPBD(SolverBase):
                     control)
                 if contacts is not None and C:
                     dxc, dthc, ncc, lam_n2 = plan.solve_rigid_contacts(
-                        model, x, q, contacts, anchors, lam_n, dt)
+                        model, x, q, contacts, anchors, lam_n, dt,
+                        self.max_depenetration_velocity)
                     dx = dx + dxc * self.rigid_contact_relaxation / self.relaxation
                     dth = dth + dthc * self.rigid_contact_relaxation / self.relaxation
                     nconst = nconst + ncc
@@ -501,7 +507,7 @@ class _XPBDPlan:
         return l0, l1
 
     def solve_rigid_contacts(self, model: Model, x, q, contacts: Contacts,
-                             anchors, lam_n, dt):
+                             anchors, lam_n, dt, max_depen_vel=3.0):
         """Non-penetration positional corrections for all contact slots.
 
         Penetration is re-evaluated at current poses from the collide-time
@@ -528,6 +534,9 @@ class _XPBDPlan:
         # current penetration: at collide time (a1 - a0).n == -depth
         depth = -jnp.sum((a1 - a0) * n, axis=-1)
         active = contacts.rigid_contact_mask & (depth > 0.0)
+        # rate-limit push-out: deep overlaps resolve over several substeps
+        # instead of becoming launch velocity at reconstruction
+        depth = jnp.minimum(depth, max_depen_vel * dt)
 
         r0 = a0 - x[b0]
         r1 = a1 - x[b1]
@@ -540,6 +549,27 @@ class _XPBDPlan:
         # n points from shape0 toward shape1: separate by moving body1 +n,
         # body0 -n
         imp = n * dlam[:, None]
+
+        # positional (static) friction: cancel tangential drift of the anchor
+        # pair accumulated during the solve, limited to the mu*lam_n cone
+        # (reference xpbd rigid friction kernels; Macklin et al. XPBD rigids)
+        s0m = np.maximum(self.slot_shape0, 0)
+        s1m = np.maximum(self.slot_shape1, 0)
+        mu = 0.5 * (model.shape_material_mu[s0m] + model.shape_material_mu[s1m])
+        t_err = (a1 - a0)
+        t_err = t_err - n * jnp.sum(t_err * n, axis=-1, keepdims=True)
+        t_len = safe_norm(t_err)
+        t_dir = safe_normalize(t_err)
+        r0t = jnp.cross(r0, t_dir)
+        r1t = jnp.cross(r1, t_dir)
+        w0t = im0 + jnp.einsum("cd,cde,ce->c", r0t, I0, r0t)
+        w1t = im1 + jnp.einsum("cd,cde,ce->c", r1t, I1, r1t)
+        dlam_t = jnp.where(active & (t_len > 1e-9),
+                           t_len / jnp.maximum(w0t + w1t, 1e-9), 0.0)
+        dlam_t = jnp.minimum(dlam_t, mu * lam_n)
+        # tangential error is a1 - a0: reduce it by moving body1 -t, body0 +t
+        imp_t = -t_dir * dlam_t[:, None]
+        imp = imp + imp_t
 
         dx = _segment_add(jnp.concatenate([imp * im1[:, None] * dyn1[:, None],
                                            -imp * im0[:, None] * dyn0[:, None]], axis=0),

@@ -233,3 +233,84 @@ def test_rod_graph_builds_and_runs():
     tip2 = q[2, :3]
     root_end = q[0, :3]
     assert np.isfinite(q).all()
+
+
+def box_mesh(h):
+    v = np.array([[x, y, z] for x in (-h, h) for y in (-h, h)
+                  for z in (-h, h)])
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5],
+                  [0, 5, 1], [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4],
+                  [1, 5, 7], [1, 7, 3]])
+    return nt.Mesh(v.astype(np.float64), f.reshape(-1), is_solid=True)
+
+
+def _two_box_stack(mesh: bool, x_off=0.1, z0=1.45):
+    b = nt.ModelBuilder()
+    base = b.add_body(xform=[0, 0, 0.5, 0, 0, 0, 1])
+    top = b.add_body(xform=[x_off, 0, z0, 0, 0, 0, 1])
+    for body in (base, top):
+        if mesh:
+            b.add_shape_mesh(body, mesh=box_mesh(0.5))
+        else:
+            b.add_shape_box(body, hx=0.5, hy=0.5, hz=0.5)
+        b.add_joint_free(body)
+    b.add_ground_plane()
+    return b.finalize()
+
+
+def _roll(m, solver, pipe, frames=120):
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    ctrl = m.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, pipe.collide(s), 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+    for _ in range(frames):
+        s = frame(s)
+    return np.asarray(s.body_q)
+
+
+def test_xpbd_dynamic_dynamic_box_stack():
+    """Offset box-on-box (both dynamic, starting 5 cm interpenetrated) must
+    settle stacked: regression for (a) SAT corner contacts outside the
+    overlap footprint, (b) depenetration launch, (c) missing positional
+    friction."""
+    m = _two_box_stack(mesh=False)
+    from newton_tpu.solvers import SolverXPBD
+    q = _roll(m, SolverXPBD(m, iterations=8), CollisionPipeline(m))
+    assert np.isfinite(q).all()
+    assert abs(q[0, 2] - 0.5) < 0.05 and abs(q[1, 2] - 1.5) < 0.08, q[:, 2]
+
+
+def test_mesh_mesh_stack_generalized():
+    """Mesh-box on mesh-box via baked SDFs: regression for the inverted
+    normal convention in the bidirectional mesh-contact class and for
+    vertex-only sample candidates (no face-interior coverage)."""
+    m = _two_box_stack(mesh=True)
+    q = _roll(m, SolverFeatherstone(m, contact_iterations=8),
+              CollisionPipeline(m))
+    assert np.isfinite(q).all()
+    assert abs(q[0, 2] - 0.5) < 0.05 and abs(q[1, 2] - 1.5) < 0.08, q[:, 2]
+
+
+def test_hydroelastic_contacts():
+    """hydroelastic=True: contacts sit on the equal-pressure surface between
+    the overlapping elastic bodies, and the stack stays stable
+    (reference: geometry/sdf_hydroelastic.py HydroelasticSDF)."""
+    m = _two_box_stack(mesh=True)
+    pipe = CollisionPipeline(m, hydroelastic=True)
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    c = pipe.collide(s)
+    mask = np.asarray(c.rigid_contact_mask)
+    s0 = np.asarray(c.rigid_contact_shape0)[mask]
+    s1 = np.asarray(c.rigid_contact_shape1)[mask]
+    pos = np.asarray(c.rigid_contact_position)[mask]
+    mm = (s0 == 0) & (s1 == 1)
+    # equal moduli: interface points inside the overlap band [0.95, 1.0]
+    assert mm.any()
+    assert (pos[mm][:, 2] > 0.94).all() and (pos[mm][:, 2] < 1.01).all()
+    q = _roll(m, SolverFeatherstone(m, contact_iterations=8), pipe)
+    assert np.isfinite(q).all()
+    assert abs(q[1, 2] - 1.5) < 0.08, q[:, 2]
