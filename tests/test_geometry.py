@@ -152,3 +152,23 @@ def test_gjk_distance_boxes():
     Xd = jnp.array([[0.5, 0, 0, 0, 0, 0, 1.0]])
     d3, _, _ = gjk_distance(corners[None], Xa, corners[None], Xd)
     assert float(d3[0]) < 1e-3
+
+
+def test_marching_tets_sphere():
+    """SDF isosurface extraction (reference: geometry/sdf_mc.py marching
+    cubes): sphere grid -> closed outward-wound mesh at the right radius."""
+    import numpy as np
+    from newton_tpu.geometry.sdf_mc import marching_tets
+    n = 25
+    xs = np.linspace(-1.2, 1.2, n)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    grid = np.sqrt(X**2 + Y**2 + Z**2) - 1.0
+    v, f = marching_tets(grid, [-1.2] * 3, [1.2] * 3)
+    r = np.linalg.norm(v, axis=1)
+    assert len(f) > 100
+    assert np.abs(r - 1.0).max() < 0.02
+    tri = v[f]
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    assert (np.sum(nrm * tri.mean(1), axis=1) > 0).mean() > 0.99
+    area = 0.5 * np.linalg.norm(nrm, axis=1).sum()
+    assert abs(area - 4 * np.pi) < 0.4
