@@ -8,9 +8,11 @@ host-precomputed fixed-width adjacency, assemble per-vertex 3x3 Newton
 systems, closed-form solve) and colors iterate sequentially inside jit —
 the exact parallel structure VBD needs, with zero atomics.
 
-Scope (round 1): particle systems — springs, triangle-edge stretch, bending
-edges, particle-shape contacts. The reference's rigid-AVBD extension is the
-generalized/XPBD solvers' job here.
+Rigid bodies run the AVBD extension (reference rigid_vbd_kernels.py:83):
+implicit Euler as per-body block optimization — every body solves its own
+6x6 Newton system over inertia + contact/joint penalty energies with
+augmented-Lagrangian multipliers, all bodies in parallel per sweep (the
+reference's colored Gauss-Seidel maps to batched Jacobi here).
 """
 
 from __future__ import annotations
@@ -31,6 +33,10 @@ from .solver import SolverBase, integrate_bodies
 __all__ = ["SolverVBD"]
 
 
+def _qconj(q):
+    return q * jnp.array([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
+
+
 class SolverVBD(SolverBase):
     """Vertex block descent (reference: solver_vbd.py:94).
 
@@ -41,11 +47,31 @@ class SolverVBD(SolverBase):
 
     def __init__(self, model: Model, iterations: int = 4,
                  contact_ke: float = 1.0e4,
+                 rigid_contact_ke: float = 1.0e5,
+                 rigid_joint_ke: float = 1.0e6,
                  coloring: ColoringAlgorithm = ColoringAlgorithm.MCS):
         super().__init__(model)
         self.iterations = int(iterations)
         self.contact_ke = float(contact_ke)
+        self.rigid_contact_ke = float(rigid_contact_ke)
+        self.rigid_joint_ke = float(rigid_joint_ke)
         st = model.structure
+
+        # rigid AVBD static plans (reference rigid_vbd_kernels.py:83)
+        self.slot_body0 = getattr(st, "slot_body0", np.zeros(0, np.int32))
+        self.slot_body1 = getattr(st, "slot_body1", np.zeros(0, np.int32))
+        self.slot_shape0 = getattr(st, "slot_shape0", np.zeros(0, np.int32))
+        self.slot_shape1 = getattr(st, "slot_shape1", np.zeros(0, np.int32))
+        J = st.joint_count
+        if J:
+            from ..sim.enums import JointType
+            jt = np.asarray(st.joint_type)
+            self.j_parent = np.maximum(np.asarray(st.joint_parent), 0)
+            self.j_has_parent = np.asarray(st.joint_parent) >= 0
+            self.j_child = np.asarray(st.joint_child)
+            self.j_is_free = np.isin(jt, (int(JointType.FREE),
+                                          int(JointType.DISTANCE)))
+            self.j_lock_rot = (jt == int(JointType.FIXED))
         N = st.particle_count
 
         # build the stretch-constraint set: springs + unique tri edges
@@ -113,7 +139,7 @@ class SolverVBD(SolverBase):
         st = model.structure
         N = model.particle_count
         if N == 0:
-            body_q, body_qd = integrate_bodies(model, state_in, dt)
+            body_q, body_qd = self._rigid_avbd(state_in, control, contacts, dt)
             return state_in.replace(body_q=body_q, body_qd=body_qd)
         dtype = state_in.particle_q.dtype
 
@@ -191,6 +217,254 @@ class SolverVBD(SolverBase):
         x = jnp.where(active, x, x0)
         v = jnp.where(active, v, v0)
 
-        body_q, body_qd = integrate_bodies(model, state_in, dt)
+        body_q, body_qd = self._rigid_avbd(state_in, control, contacts, dt)
         return state_in.replace(particle_q=x, particle_qd=v,
                                 body_q=body_q, body_qd=body_qd)
+
+    # ------------------------------------------------------------------
+    def _rigid_avbd(self, state_in: State, control, contacts, dt: float):
+        """AVBD rigid phase (reference rigid_vbd_kernels.py:83): per-body
+        6x6 block Newton over inertia + contact/joint penalty energies with
+        augmented-Lagrangian contact multipliers, all bodies per sweep."""
+        from ..math import (quat_mul, quat_normalize, quat_rotate,
+                            quat_rotate_inv, quat_to_matrix,
+                            transform_multiply)
+        model = self.model
+        st = model.structure
+        B = model.body_count
+        if B == 0 or (contacts is None and st.joint_count == 0):
+            return integrate_bodies(model, state_in, dt)
+
+        dtype = state_in.body_q.dtype
+        eye3 = jnp.eye(3, dtype=dtype)
+        h2 = 1.0 / (dt * dt)
+
+        # inertia targets from unconstrained integration
+        bq_pred, bqd_pred = integrate_bodies(model, state_in, dt)
+        x_t = bq_pred[:, 0:3] + quat_rotate(bq_pred[:, 3:7], model.body_com)
+        q_t = bq_pred[:, 3:7]
+        x = x_t
+        q = q_t
+        x_prev = state_in.body_q[:, 0:3] + quat_rotate(
+            state_in.body_q[:, 3:7], model.body_com)
+        q_prev = state_in.body_q[:, 3:7]
+
+        m = model.body_mass
+        dyn = (model.body_inv_mass > 0)
+
+        C = contacts.rigid_contact_max if contacts is not None else 0
+        b0 = np.maximum(self.slot_body0, 0)
+        b1 = np.maximum(self.slot_body1, 0)
+        dyn0 = jnp.asarray(self.slot_body0 >= 0)
+        dyn1 = jnp.asarray(self.slot_body1 >= 0)
+        if C:
+            # collide-time body-local anchors (world-fixed for statics)
+            n = contacts.rigid_contact_normal
+            p = contacts.rigid_contact_position
+            d = contacts.rigid_contact_depth[:, None]
+            p0 = p + n * (0.5 * d)
+            p1 = p - n * (0.5 * d)
+            l0 = jnp.where(dyn0[:, None],
+                           quat_rotate_inv(q_prev[b0], p0 - x_prev[b0]), p0)
+            l1 = jnp.where(dyn1[:, None],
+                           quat_rotate_inv(q_prev[b1], p1 - x_prev[b1]), p1)
+            s0m = np.maximum(self.slot_shape0, 0)
+            s1m = np.maximum(self.slot_shape1, 0)
+            mu_c = 0.5 * (model.shape_material_mu[s0m]
+                          + model.shape_material_mu[s1m])
+            kc = self.rigid_contact_ke
+
+        J = st.joint_count
+        if J:
+            jp, jc = self.j_parent, self.j_child
+            hasp = jnp.asarray(self.j_has_parent)
+            nonfree = jnp.asarray(~self.j_is_free)
+            lockr = jnp.asarray(self.j_lock_rot)
+            kj = self.rigid_joint_ke
+
+        def assemble(x, q, lam):
+            g = jnp.zeros((B, 6), dtype=dtype)
+            H = jnp.zeros((B, 6, 6), dtype=dtype)
+
+            if C:
+                a0 = jnp.where(dyn0[:, None],
+                               x[b0] + quat_rotate(q[b0], l0), l0)
+                a1 = jnp.where(dyn1[:, None],
+                               x[b1] + quat_rotate(q[b1], l1), l1)
+                pen = -jnp.sum((a1 - a0) * n, axis=-1)
+                act = contacts.rigid_contact_mask & ((pen > 0) | (lam > 0))
+                f_mag = jnp.where(act, kc * jnp.maximum(pen, 0.0) + lam, 0.0)
+                r0 = a0 - x[b0]
+                r1 = a1 - x[b1]
+                # J rows wrt body1: +[n | r1 x n]; body0: -[n | r0 x n]
+                J1 = jnp.concatenate([n, jnp.cross(r1, n)], axis=-1)  # (C,6)
+                J0 = jnp.concatenate([n, jnp.cross(r0, n)], axis=-1)
+                # friction: tangential anchor drift penalty, cone-clamped
+                t_err = (a1 - a0) - n * jnp.sum((a1 - a0) * n, axis=-1,
+                                                keepdims=True)
+                t_len = jnp.linalg.norm(t_err, axis=-1)
+                t_dir = t_err / jnp.maximum(t_len, 1e-9)[:, None]
+                ft = jnp.minimum(kc * t_len, mu_c * f_mag)
+                ft = jnp.where(act, ft, 0.0)
+                T1 = jnp.concatenate([t_dir, jnp.cross(r1, t_dir)], axis=-1)
+                T0 = jnp.concatenate([t_dir, jnp.cross(r0, t_dir)], axis=-1)
+                # grad(E) per body; Newton pushes along -grad
+                g = g.at[b1].add(jnp.where(dyn1[:, None],
+                                           -f_mag[:, None] * J1
+                                           + ft[:, None] * T1, 0.0))
+                g = g.at[b0].add(jnp.where(dyn0[:, None],
+                                           f_mag[:, None] * J0
+                                           - ft[:, None] * T0, 0.0))
+                w_act = act.astype(dtype)
+                H = H.at[b1].add(w_act[:, None, None] * dyn1[:, None, None]
+                                 * kc * (J1[:, :, None] * J1[:, None, :]
+                                         + T1[:, :, None] * T1[:, None, :]))
+                H = H.at[b0].add(w_act[:, None, None] * dyn0[:, None, None]
+                                 * kc * (J0[:, :, None] * J0[:, None, :]
+                                         + T0[:, :, None] * T0[:, None, :]))
+
+            if J:
+                # body origin poses from (x_com, q)
+                p_org = x - quat_rotate(q, model.body_com)
+                pose = jnp.concatenate([p_org, q], axis=-1)
+                identity = jnp.zeros((7,), dtype=dtype).at[6].set(1.0)
+                X_wp = jnp.where(hasp[:, None], pose[jp], identity)
+                X_pj = transform_multiply(X_wp, model.joint_X_p)
+                X_cj = transform_multiply(pose[jc], model.joint_X_c)
+                Cv = (X_cj[:, 0:3] - X_pj[:, 0:3]) * nonfree[:, None]
+                rc = X_cj[:, 0:3] - x[jc]
+                rp = X_pj[:, 0:3] - x[jp]
+                # child: dC = dx + dth x rc -> Jc = [I | -[rc]x]
+                gc_lin = kj * Cv
+                gc_ang = kj * jnp.cross(rc, Cv)
+                gp_ang = -kj * jnp.cross(rp, Cv)
+                g = g.at[jc].add(jnp.concatenate([gc_lin, gc_ang], -1))
+                g = g.at[jp].add(jnp.where(hasp[:, None], jnp.concatenate(
+                    [-gc_lin, gp_ang], -1), 0.0))
+
+                def rx(r):
+                    zero = jnp.zeros_like(r[:, 0])
+                    return jnp.stack([
+                        jnp.stack([zero, -r[:, 2], r[:, 1]], -1),
+                        jnp.stack([r[:, 2], zero, -r[:, 0]], -1),
+                        jnp.stack([-r[:, 1], r[:, 0], zero], -1)], -2)
+                Rc = rx(rc)
+                Rp = rx(rp)
+                nf = nonfree.astype(dtype)[:, None, None]
+                top = jnp.broadcast_to(eye3, (J, 3, 3))
+                Hc = kj * nf * jnp.concatenate([
+                    jnp.concatenate([top, -Rc], -1),
+                    jnp.concatenate([Rc, -Rc @ Rc], -1)], -2)
+                Hp = kj * nf * jnp.concatenate([
+                    jnp.concatenate([top, -Rp], -1),
+                    jnp.concatenate([Rp, -Rp @ Rp], -1)], -2)
+                H = H.at[jc].add(Hc)
+                H = H.at[jp].add(jnp.where(hasp[:, None, None], Hp, 0.0))
+                # angular lock (FIXED): small-angle world rotvec penalty
+                q_rel = quat_mul(_qconj(X_pj[:, 3:7]), X_cj[:, 3:7])
+                q_rel = jnp.where(q_rel[:, 3:4] < 0, -q_rel, q_rel)
+                dO = quat_rotate(X_pj[:, 3:7], 2.0 * q_rel[:, 0:3]) \
+                    * lockr[:, None]
+                g = g.at[jc].add(jnp.concatenate(
+                    [jnp.zeros_like(dO), kj * dO], -1))
+                g = g.at[jp].add(jnp.where(hasp[:, None], jnp.concatenate(
+                    [jnp.zeros_like(dO), -kj * dO], -1), 0.0))
+                Hang = kj * lockr.astype(dtype)[:, None, None] * jnp.eye(
+                    6, dtype=dtype).at[:3, :3].set(0.0)[None]
+                H = H.at[jc].add(Hang)
+                H = H.at[jp].add(jnp.where(hasp[:, None, None], Hang, 0.0))
+            return g, H
+
+        Iw_init = self._world_inertia(q_t)
+
+        def sweep(carry, _):
+            x, q, lam = carry
+            g, H = assemble(x, q, lam)
+            # inertia term
+            Iw = self._world_inertia(q)
+            qe = quat_mul(q, _qconj(q_t))
+            qe = jnp.where(qe[:, 3:4] < 0, -qe, qe)
+            th_err = 2.0 * qe[:, 0:3]
+            g = g + h2 * jnp.concatenate(
+                [m[:, None] * (x - x_t),
+                 jnp.einsum("bij,bj->bi", Iw, th_err)], -1)
+            Hin = jnp.zeros((B, 6, 6), dtype=dtype)
+            Hin = Hin.at[:, :3, :3].set(h2 * m[:, None, None] * eye3)
+            Hin = Hin.at[:, 3:, 3:].set(h2 * Iw)
+            H = H + Hin + 1e-8 * jnp.eye(6, dtype=dtype)
+            delta = -jnp.linalg.solve(H, g[..., None])[..., 0]
+            delta = delta * dyn[:, None]
+            x = x + delta[:, 0:3]
+            dq = quat_mul(jnp.concatenate(
+                [delta[:, 3:6], jnp.zeros_like(delta[:, :1])], -1), q)
+            q = quat_normalize(q + 0.5 * dq)
+            # augmented-Lagrangian multiplier update
+            if C:
+                a0 = jnp.where(dyn0[:, None],
+                               x[b0] + quat_rotate(q[b0], l0), l0)
+                a1 = jnp.where(dyn1[:, None],
+                               x[b1] + quat_rotate(q[b1], l1), l1)
+                pen = -jnp.sum((a1 - a0) * n, axis=-1)
+                lam = jnp.maximum(lam + kc * pen, 0.0) \
+                    * contacts.rigid_contact_mask
+            return (x, q, lam), None
+
+        lam0 = jnp.zeros((C,), dtype=dtype) if C else jnp.zeros((0,), dtype)
+        (x, q, _), _ = jax.lax.scan(sweep, (x, q, lam0), None,
+                                    length=self.iterations)
+
+        v = (x - x_prev) / dt
+        dq_rel = quat_mul(q, _qconj(q_prev))
+        w = 2.0 / dt * dq_rel[:, 0:3]
+        w = jnp.where(dq_rel[:, 3:4] < 0.0, -w, w)
+        v = jnp.where(dyn[:, None], v, bqd_pred[:, 0:3])
+        w = jnp.where(dyn[:, None], w, bqd_pred[:, 3:6])
+
+        # velocity pass: penalty push-out is elastic — remove the residual
+        # normal velocity at persisting contacts (inelastic, e=0) and damp
+        # tangential slip inside the friction cone, as the reference's AVBD
+        # finalize phase does (rigid_vbd_kernels velocity finalization)
+        if C:
+            a0 = jnp.where(dyn0[:, None], x[b0] + quat_rotate(q[b0], l0), l0)
+            a1 = jnp.where(dyn1[:, None], x[b1] + quat_rotate(q[b1], l1), l1)
+            pen = -jnp.sum((a1 - a0) * n, axis=-1)
+            act = contacts.rigid_contact_mask & (pen > -1e-4)
+            inv_m_b = model.body_inv_mass
+            Iw = self._world_inertia(q)
+            Iinv = jnp.linalg.inv(Iw + 1e-9 * eye3[None])
+            im0 = jnp.where(dyn0, inv_m_b[b0], 0.0)
+            im1 = jnp.where(dyn1, inv_m_b[b1], 0.0)
+            I0 = jnp.where(dyn0[:, None, None], Iinv[b0], 0.0)
+            I1 = jnp.where(dyn1[:, None, None], Iinv[b1], 0.0)
+            r0 = a0 - x[b0]
+            r1 = a1 - x[b1]
+            vrel = (jnp.where(dyn1[:, None], v[b1] + jnp.cross(w[b1], r1), 0.)
+                    - jnp.where(dyn0[:, None], v[b0] + jnp.cross(w[b0], r0),
+                                0.))
+            vn = jnp.sum(vrel * n, axis=-1)
+            r0n = jnp.cross(r0, n)
+            r1n = jnp.cross(r1, n)
+            w_eff = (im0 + im1
+                     + jnp.einsum("cd,cde,ce->c", r0n, I0, r0n)
+                     + jnp.einsum("cd,cde,ce->c", r1n, I1, r1n))
+            dlam_v = jnp.where(act, -vn / jnp.maximum(w_eff, 1e-9), 0.0)
+            impv = n * dlam_v[:, None]
+            v = v.at[b1].add(jnp.where(dyn1[:, None], impv * im1[:, None],
+                                       0.0))
+            v = v.at[b0].add(jnp.where(dyn0[:, None], -impv * im0[:, None],
+                                       0.0))
+            w = w.at[b1].add(jnp.where(dyn1[:, None], jnp.einsum(
+                "cde,ce->cd", I1, jnp.cross(r1, impv)), 0.0))
+            w = w.at[b0].add(jnp.where(dyn0[:, None], -jnp.einsum(
+                "cde,ce->cd", I0, jnp.cross(r0, impv)), 0.0))
+
+        p_org = x - quat_rotate(q, model.body_com)
+        body_q = jnp.concatenate([p_org, q], axis=-1)
+        body_qd = jnp.concatenate([v, w], axis=-1)
+        return body_q, body_qd
+
+    def _world_inertia(self, q):
+        from ..math import quat_to_matrix
+        R = quat_to_matrix(q)
+        I_local = self.model.body_inertia
+        return jnp.einsum("bij,bjk,blk->bil", R, I_local, R)

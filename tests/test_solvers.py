@@ -314,3 +314,38 @@ def test_hydroelastic_contacts():
     q = _roll(m, SolverFeatherstone(m, contact_iterations=8), pipe)
     assert np.isfinite(q).all()
     assert abs(q[1, 2] - 1.5) < 0.08, q[:, 2]
+
+
+def test_avbd_rigid_stack_and_pendulum():
+    """Rigid AVBD (reference rigid_vbd_kernels.py:83): per-body 6x6 block
+    Newton with AL contact multipliers handles a dynamic box stack and a
+    ball-jointed pendulum."""
+    from newton_tpu.solvers import SolverVBD
+    m = _two_box_stack(mesh=False, z0=1.51)
+    q = _roll(m, SolverVBD(m, iterations=6), CollisionPipeline(m))
+    assert np.isfinite(q).all()
+    assert abs(q[0, 2] - 0.5) < 0.05 and abs(q[1, 2] - 1.5) < 0.08, q[:, 2]
+
+    b = nt.ModelBuilder()
+    link = b.add_body(xform=[0.5, 0, 0, 0, 0, 0, 1])
+    b.add_shape_box(link, hx=0.5, hy=0.05, hz=0.05)
+    b.add_joint_ball(-1, link, xform_p=[0, 0, 0, 0, 0, 0, 1],
+                     xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+    m = b.finalize()
+    solver = SolverVBD(m, iterations=6)
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    ctrl = m.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, None, 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+    traj = []
+    for _ in range(60):
+        s = frame(s)
+        traj.append(np.asarray(s.body_q[0, :3]))
+    traj = np.stack(traj)
+    d = np.linalg.norm(traj, axis=1)
+    np.testing.assert_allclose(d, 0.5, atol=2e-3)
+    assert traj[:, 2].min() > -0.501 and traj[:, 2].max() < 0.05
