@@ -28,6 +28,9 @@ EXAMPLES = {
     "coupled_cloth_ball": "newton_tpu.examples.example_coupled_cloth_ball",
     "camera_sensor": "newton_tpu.examples.example_camera_sensor",
     "robot_policy": "newton_tpu.examples.example_robot_policy",
+    "rod_swing": "newton_tpu.examples.example_rod_swing",
+    "muscle": "newton_tpu.examples.example_muscle",
+    "mesh_stack": "newton_tpu.examples.example_mesh_stack",
 }
 
 
