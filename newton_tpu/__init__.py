@@ -51,7 +51,7 @@ from . import math  # noqa: E402
 from . import actuators, controllers, geometry, ik, parallel, sensors  # noqa: E402
 from . import solvers, utils, viewer  # noqa: E402
 from .sim.articulation import eval_fk, eval_ik  # noqa: E402
-from .sim.collide import CollisionPipeline  # noqa: E402
+from .sim.collide import CollisionPipeline, match_contacts  # noqa: E402
 from .sim.dynamics_api import (  # noqa: E402
     eval_inverse_dynamics,
     eval_jacobian,

@@ -40,7 +40,7 @@ from .contacts import Contacts
 from .model import Model
 from .state import State
 
-__all__ = ["CollisionPipeline", "collide"]
+__all__ = ["CollisionPipeline", "collide", "match_contacts"]
 
 
 class _PairClass:
@@ -291,6 +291,22 @@ def _shape_sdf(shape_types: np.ndarray, p_local: jnp.ndarray,
                   jnp.where(is_sphere[:, None], g_sphere,
                             jnp.where(is_box[:, None], g_box, g_cap)))
     return d, g
+
+
+def match_contacts(prev: Contacts, curr: Contacts):
+    """Frame-to-frame contact correspondence and new/broken events.
+
+    The reference needs a hashtable matcher (geometry/contact_match.py:623
+    ContactMatcher) because its contacts land at arbitrary compacted indices
+    each frame. Here every contact lives at a build-time-static slot, so
+    correspondence is the identity and the events are two mask ops.
+
+    Returns ``(matched, new, broken)`` boolean slot masks (all jit-safe).
+    """
+    matched = prev.rigid_contact_mask & curr.rigid_contact_mask
+    new = curr.rigid_contact_mask & ~prev.rigid_contact_mask
+    broken = prev.rigid_contact_mask & ~curr.rigid_contact_mask
+    return matched, new, broken
 
 
 def collide(model: Model, state: State,

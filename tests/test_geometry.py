@@ -172,3 +172,32 @@ def test_marching_tets_sphere():
     assert (np.sum(nrm * tri.mean(1), axis=1) > 0).mean() > 0.99
     area = 0.5 * np.linalg.norm(nrm, axis=1).sum()
     assert abs(area - 4 * np.pi) < 0.4
+
+
+def test_match_contacts_events():
+    """Static slots make frame-to-frame contact correspondence the identity
+    (reference: geometry/contact_match.py ContactMatcher new/broken events)."""
+    import jax
+    import numpy as np
+    import newton_tpu as nt
+    from newton_tpu.sim.articulation import eval_fk
+    from newton_tpu.sim.collide import CollisionPipeline, match_contacts
+
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 0.6, 0, 0, 0, 1])
+    b.add_shape_sphere(body, radius=0.5)
+    b.add_joint_free(body)
+    b.add_ground_plane()
+    m = b.finalize()
+    pipe = CollisionPipeline(m)
+    s_air = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    s_gnd = s_air.replace(body_q=s_air.body_q.at[0, 2].set(0.49))
+    c_air = pipe.collide(s_air)
+    c_gnd = pipe.collide(s_gnd)
+    matched, new, broken = match_contacts(c_air, c_gnd)
+    assert not np.asarray(matched).any()
+    assert np.asarray(new).sum() == 1 and not np.asarray(broken).any()
+    matched, new, broken = match_contacts(c_gnd, c_air)
+    assert np.asarray(broken).sum() == 1 and not np.asarray(new).any()
+    matched, _, _ = match_contacts(c_gnd, c_gnd)
+    assert np.asarray(matched).sum() == 1
