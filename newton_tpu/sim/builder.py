@@ -1098,6 +1098,28 @@ class ModelBuilder:
         cfg = cfg or self.default_site_cfg
         return self.add_shape(body, GeoType.NONE, xform, cfg=cfg, key=key)
 
+    def add_shape_gaussian(self, body: int, xform: Optional[Transform] = None,
+                           means=None, scales=None, quats=None, colors=None,
+                           opacities=None, key: Optional[str] = None) -> int:
+        """Gaussian-splat cloud attached to a body — visual only, never
+        collides (reference: geometry/types.py:2334 Gaussian,
+        builder add_shape_gaussian). Rendered by viewers via
+        ``log_gaussian`` and by the tiled camera's splat channel."""
+        import numpy as _np
+        cfg = self.default_site_cfg.copy()   # massless, non-colliding
+        splat = {
+            "means": _np.asarray(means if means is not None
+                                 else _np.zeros((0, 3)), dtype=_np.float64),
+            "scales": _np.asarray(scales if scales is not None
+                                  else _np.full((0, 3), 0.01)),
+            "quats": _np.asarray(quats if quats is not None
+                                 else _np.tile([0.0, 0, 0, 1],
+                                               (0, 1))),
+            "colors": colors, "opacities": opacities,
+        }
+        return self.add_shape(body, GeoType.GAUSSIAN, xform, cfg=cfg,
+                              source=splat, key=key)
+
     def _axis_shape_xform(self, xform: Optional[Transform], axis: AxisType) -> np.ndarray:
         base = _as_transform(xform)
         a = axis_to_vec3(axis)

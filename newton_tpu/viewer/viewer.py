@@ -74,6 +74,12 @@ class ViewerBase:
     def log_mesh(self, name: str, vertices, indices, xform=None, colors=None):
         pass
 
+    def log_gaussian(self, name: str, means, scales, quats=None,
+                     colors=None, opacities=None):
+        """Log a Gaussian-splat cloud (reference viewer.py log_gaussian;
+        geometry/types.py:2334 Gaussian). Headless backends ignore it."""
+        pass
+
     def log_scalar(self, name: str, value):
         self.scalars.setdefault(name, []).append(float(value))
 
@@ -87,3 +93,16 @@ class ViewerBase:
     def apply_forces(self, state: State) -> State:
         """Interactive picking force hook; headless backends are identity."""
         return state
+
+    def pick(self, state: State, origin, direction):
+        """Raycast pick: returns (shape_index, t) of the closest hit or
+        (-1, inf) (reference viewer/picking.py:17 GPU raycast picking)."""
+        import jax.numpy as jnp
+
+        from ..geometry.raycast import raycast_model
+        if self.model is None:
+            return -1, float("inf")
+        o = jnp.asarray(origin, dtype=state.body_q.dtype)[None]
+        d = jnp.asarray(direction, dtype=state.body_q.dtype)[None]
+        t, sidx, _ = raycast_model(self.model, state, o, d)
+        return int(sidx[0]), float(t[0])
