@@ -300,3 +300,77 @@ class ArticulationView:
         (reference: selection.py:1755)."""
         return eval_fk(self.model, state.joint_q, state.joint_qd, state,
                        mask=self.articulation_mask(mask))
+
+    # ------------------------------------------------------------------
+    # per-view dynamics (reference: selection.py:1755-1925)
+    # ------------------------------------------------------------------
+    def _group_rows(self):
+        """(group, row-indices) of this view's articulations in the
+        generalized-dynamics batch layout."""
+        from ..solvers.generalized.dynamics import get_generalized_cache
+        gc = get_generalized_cache(self.model.structure)
+        want = set(self.articulation_indices)
+        for g in gc.groups:
+            rows = [i for i, a in enumerate(g.arts) if a in want]
+            if len(rows) == len(want):
+                return g, np.asarray(rows, dtype=np.int32)
+        raise ValueError("view articulations span multiple topology groups; "
+                         "narrow the pattern")
+
+    def eval_mass_matrix(self, state: State) -> jnp.ndarray:
+        """(n, d, d) joint-space mass matrices for the view
+        (reference: selection.py get_mass_matrices)."""
+        from ..sim.dynamics_api import eval_mass_matrix
+        from ..solvers.generalized.dynamics import get_generalized_cache
+        g, rows = self._group_rows()
+        gc = get_generalized_cache(self.model.structure)
+        gi = gc.groups.index(g)
+        return eval_mass_matrix(self.model, state)[gi][rows]
+
+    def eval_jacobian(self, state: State) -> jnp.ndarray:
+        """(n, links, 6, d) body Jacobians for the view
+        (reference: selection.py get_jacobians)."""
+        from ..sim.dynamics_api import eval_jacobian
+        from ..solvers.generalized.dynamics import get_generalized_cache
+        g, rows = self._group_rows()
+        gc = get_generalized_cache(self.model.structure)
+        gi = gc.groups.index(g)
+        return eval_jacobian(self.model, state)[gi][rows]
+
+    def eval_inverse_dynamics(self, state: State, qdd=None) -> jnp.ndarray:
+        """(n, d) generalized forces realizing qdd at the current state
+        (reference: selection.py inverse-dynamics accessors)."""
+        from ..sim.dynamics_api import eval_inverse_dynamics
+        full = None
+        if qdd is not None:
+            full = jnp.zeros_like(state.joint_qd)
+            full = full.at[self.dof_idx.reshape(-1)].set(
+                jnp.asarray(qdd).reshape(-1))
+        tau = eval_inverse_dynamics(self.model, state, full)
+        return tau[self.dof_idx]
+
+    # ------------------------------------------------------------------
+    # actuator gain access (reference: selection.py:1990-2030)
+    # ------------------------------------------------------------------
+    def get_gains(self):
+        """(n, d) (kp, kd) PD drive gains over the view's dofs."""
+        return (self.model.joint_target_ke[self.dof_idx],
+                self.model.joint_target_kd[self.dof_idx])
+
+    def set_gains(self, kp=None, kd=None) -> Model:
+        """Return a new Model with the view's PD gains replaced (the Model
+        pytree is frozen; reference mutates in place)."""
+        m = self.model
+        flat = self.dof_idx.reshape(-1)
+        if kp is not None:
+            ke = m.joint_target_ke.at[flat].set(
+                jnp.broadcast_to(jnp.asarray(kp, dtype=m.joint_target_ke.dtype),
+                                 self.dof_idx.shape).reshape(-1))
+            m = m.replace(joint_target_ke=ke)
+        if kd is not None:
+            kdv = m.joint_target_kd.at[flat].set(
+                jnp.broadcast_to(jnp.asarray(kd, dtype=m.joint_target_kd.dtype),
+                                 self.dof_idx.shape).reshape(-1))
+            m = m.replace(joint_target_kd=kdv)
+        self.model = m
+        return m

@@ -90,3 +90,33 @@ def test_dof_limits(scene):
     v = ArticulationView(scene, "*")
     lo, hi = v.get_dof_limits()
     assert lo.shape == (4, 7)
+
+
+def test_view_dynamics_and_gains():
+    """Per-view mass matrix / Jacobian / inverse dynamics and gain access
+    (reference: selection.py:1755-1925, :1990-2030), validated against the
+    analytic horizontal-rod pendulum (M = mL^2/3, tau = mgL/2)."""
+    import numpy as np
+    from newton_tpu.sim.articulation import eval_fk
+    from newton_tpu.utils.selection import ArticulationView
+
+    sub = nt.ModelBuilder()
+    link = sub.add_body(xform=[0.5, 0, 0, 0, 0, 0, 1])
+    sub.add_shape_box(link, hx=0.5, hy=0.05, hz=0.05)
+    sub.add_joint_revolute(parent=-1, child=link, axis="Y",
+                           xform_c=[-0.5, 0, 0, 0, 0, 0, 1], armature=0.0)
+    b = nt.ModelBuilder()
+    b.replicate(sub, 4)
+    m = b.finalize()
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    view = ArticulationView(m, "*")
+    M = view.eval_mass_matrix(s)
+    assert M.shape == (4, 1, 1)
+    np.testing.assert_allclose(np.asarray(M)[:, 0, 0], 10 / 3, rtol=0.02)
+    assert view.eval_jacobian(s).shape == (4, 1, 6, 1)
+    tau = view.eval_inverse_dynamics(s)
+    np.testing.assert_allclose(np.abs(np.asarray(tau)[:, 0]), 49.05,
+                               rtol=0.02)
+    m2 = view.set_gains(kp=100.0, kd=5.0)
+    kp, kd = view.get_gains()
+    assert (np.asarray(kp) == 100).all() and (np.asarray(kd) == 5).all()
