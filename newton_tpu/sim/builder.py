@@ -309,6 +309,13 @@ class ModelBuilder:
         self.tet_poses: List[np.ndarray] = []
         self.tet_materials: List[Tuple[float, float, float]] = []
 
+        # fixed tendons: linear joint-coordinate couplings
+        # (reference: mujoco tendon support, solver_mujoco.py fixed tendons)
+        self.tendon_joints: List[List[int]] = []
+        self.tendon_coefs: List[List[float]] = []
+        self.tendon_params: List[Tuple[float, float, float]] = []  # ke,kd,L0
+        self.tendon_key: List[str] = []
+
         # muscles (reference: builder.py:6303)
         self.muscle_start: List[int] = []
         self.muscle_params: List[Tuple[float, float, float, float, float]] = []
@@ -1476,6 +1483,23 @@ class ModelBuilder:
             self.muscle_points.append(np.asarray(p, dtype=np.float64))
         return idx
 
+    def add_tendon_fixed(self, joints: Sequence[int],
+                         coefs: Sequence[float], stiffness: float = 0.0,
+                         damping: float = 0.0, rest_length: float = 0.0,
+                         key: Optional[str] = None) -> int:
+        """Fixed tendon: length L = sum coef_i * q_i over 1-dof joints
+        (reference: SolverMuJoCo fixed tendons, solver_mujoco.py tendon
+        conversion). Passive force -ke (L - L0) - kd Ldot plus any actuator
+        force routed through ``control.tendon_f`` maps back to the joints as
+        tau_i += coef_i * f."""
+        idx = len(self.tendon_params)
+        self.tendon_joints.append([int(j) for j in joints])
+        self.tendon_coefs.append([float(c) for c in coefs])
+        self.tendon_params.append((float(stiffness), float(damping),
+                                   float(rest_length)))
+        self.tendon_key.append(key or f"tendon_{idx}")
+        return idx
+
     def add_equality_constraint(
         self, constraint_type: EqType,
         body1: int = -1, body2: int = -1,
@@ -1938,6 +1962,25 @@ class ModelBuilder:
         st.tet_count = self.tet_count
         st.eq_count = len(self.eq_type)
         st.up_axis = int(self.up_axis)
+        st.tendon_count = len(self.tendon_params)
+        if st.tendon_count:
+            W = max(len(js) for js in self.tendon_joints)
+            t_coord = np.zeros((st.tendon_count, W), dtype=np.int32)
+            t_dof = np.zeros((st.tendon_count, W), dtype=np.int32)
+            t_coef = np.zeros((st.tendon_count, W))
+            for t, (js, cs) in enumerate(zip(self.tendon_joints,
+                                             self.tendon_coefs)):
+                for k, (j, c) in enumerate(zip(js, cs)):
+                    t_coord[t, k] = self.joint_q_start[j]
+                    t_dof[t, k] = self.joint_qd_start[j]
+                    t_coef[t, k] = c
+            st.tendon_coord = t_coord
+            st.tendon_dof = t_dof
+            st.tendon_coef = t_coef
+        else:
+            st.tendon_coord = np.zeros((0, 1), dtype=np.int32)
+            st.tendon_dof = np.zeros((0, 1), dtype=np.int32)
+            st.tendon_coef = np.zeros((0, 1))
         st.muscle_count = len(self.muscle_params)
         st.muscle_start = np.asarray(
             self.muscle_start + [len(self.muscle_bodies)], dtype=np.int32)
@@ -2231,6 +2274,7 @@ class ModelBuilder:
             tet_indices=dev_i(np.asarray(self.tet_indices, dtype=np.int32).reshape(-1, 4)),
             tet_poses=dev(np.stack(self.tet_poses) if self.tet_count else np.zeros((0, 3, 3))),
             tet_materials=dev(np.asarray(self.tet_materials).reshape(-1, 3)),
+            tendon_params=dev(np.asarray(self.tendon_params).reshape(-1, 3)),
             muscle_params=dev(np.asarray(self.muscle_params).reshape(-1, 5)),
             muscle_bodies=dev_i(np.asarray(self.muscle_bodies, dtype=np.int32)),
             muscle_points=dev(np.asarray(self.muscle_points).reshape(-1, 3)),

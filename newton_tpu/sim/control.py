@@ -25,7 +25,8 @@ class Control(struct.PyTreeNode):
     joint_target_q: jnp.ndarray
     joint_target_qd: jnp.ndarray
     joint_f: jnp.ndarray
-    muscle_activations: jnp.ndarray = None  # (muscle_count,) in [0, 1]
+    muscle_activations: jnp.ndarray = None
+    tendon_f: jnp.ndarray = None  # (muscle_count,) in [0, 1]
     custom: Dict[str, Any] = struct.field(default_factory=dict)
 
     def clear(self) -> "Control":

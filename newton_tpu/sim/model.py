@@ -272,6 +272,7 @@ class Model(struct.PyTreeNode):
     tet_materials: jnp.ndarray    # (Tt, 3) k_mu, k_lambda, k_damp
 
     # --- muscles (reference: builder.py:6303 add_muscle) ---
+    tendon_params: jnp.ndarray   # (T, 3) ke, kd, rest_length
     muscle_params: jnp.ndarray    # (M, 5) f0, lm, lt, lmax, pen
     muscle_bodies: jnp.ndarray    # (Mw,) int32 waypoint body
     muscle_points: jnp.ndarray    # (Mw, 3) waypoint in body frame
@@ -407,6 +408,8 @@ class Model(struct.PyTreeNode):
             joint_target_q=self.joint_target_q0,
             joint_target_qd=jnp.zeros_like(self.joint_qd0),
             joint_f=jnp.zeros_like(self.joint_qd0),
+            tendon_f=jnp.zeros((self.tendon_params.shape[0],),
+                               dtype=self.joint_q0.dtype),
             muscle_activations=jnp.zeros((self.muscle_params.shape[0],),
                                          dtype=self.joint_q0.dtype),
             custom=custom,

@@ -246,6 +246,22 @@ class SolverFeatherstone(SolverBase):
                 tau = tau.at[d3.reshape(-1)].add(pd_b.reshape(-1))
                 kd_implicit = kd_implicit.at[d3.reshape(-1)].add(
                     kd_b.reshape(-1))
+        # fixed tendons: L = sum coef * q; passive spring/damper plus any
+        # actuator force in control.tendon_f, mapped back as tau += coef * f
+        # (reference: SolverMuJoCo fixed-tendon support)
+        if getattr(model.structure, "tendon_count", 0):
+            stt = model.structure
+            tc = jnp.asarray(stt.tendon_coef, dtype=dtype)       # (T, W)
+            L = jnp.sum(tc * q[stt.tendon_coord], axis=-1)
+            Ld = jnp.sum(tc * qd[stt.tendon_dof], axis=-1)
+            ke_t = model.tendon_params[:, 0]
+            kd_t = model.tendon_params[:, 1]
+            L0 = model.tendon_params[:, 2]
+            f_t = -ke_t * (L - L0) - kd_t * Ld
+            if control is not None and control.tendon_f is not None:
+                f_t = f_t + control.tendon_f
+            tau = tau.at[stt.tendon_dof.reshape(-1)].add(
+                (tc * f_t[:, None]).reshape(-1))
         # joint limits: one-sided penalty springs (constraint mode moves
         # limits into the unified impulse solve instead)
         li, ld = gc.lin_coord_idx, gc.lin_coord_dof

@@ -179,6 +179,7 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
 
     name_to_body: Dict[str, int] = {"world": -1, "": -1}
     name_to_joint: Dict[str, int] = {}
+    name_to_site: Dict[str, int] = {}
     name_to_shape: Dict[str, int] = {}
     joint_dof_start: Dict[str, int] = {}
     joint_coord_start: Dict[str, int] = {}
@@ -434,8 +435,10 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
             add_geom(g, body_idx, childclass)
         for s in elem.findall("site"):
             sa = resolve_attrs(s, "site", childclass)
-            builder.add_site(body_idx, xform=local_xform(sa),
-                             key=pre + sa.get("name", f"site_{builder.shape_count}"))
+            sidx = builder.add_site(body_idx, xform=local_xform(sa),
+                                    key=pre + sa.get("name", f"site_{builder.shape_count}"))
+            if sa.get("name"):
+                name_to_site[sa["name"]] = sidx
         for child in elem.findall("body"):
             parse_body(child, body_idx, X_world, childclass, depth + 1)
 
@@ -447,10 +450,47 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
         add_geom(g, -1, None)
     for s in worldbody.findall("site"):
         sa = resolve_attrs(s, "site", None)
-        builder.add_site(-1, xform=local_xform(sa),
-                         key=pre + sa.get("name", "site"))
+        sidx = builder.add_site(-1, xform=local_xform(sa),
+                                key=pre + sa.get("name", "site"))
+        if sa.get("name"):
+            name_to_site[sa["name"]] = sidx
     for body in worldbody.findall("body"):
         parse_body(body, -1, base_xform, None, 0)
+
+    # ---------------- tendons (fixed) ----------------
+    name_to_tendon: Dict[str, int] = {}
+    tendon_root = root.find("tendon")
+    if tendon_root is not None:
+        for fx in tendon_root.findall("fixed"):
+            a = resolve_attrs(fx, "tendon", None)
+            js, cs = [], []
+            for jel in fx.findall("joint"):
+                jn = jel.get("joint", "")
+                if jn in name_to_joint:
+                    js.append(name_to_joint[jn])
+                    cs.append(float(jel.get("coef", "1")))
+            if not js:
+                continue
+            tid = builder.add_tendon_fixed(
+                js, cs,
+                stiffness=_parse_float(a.get("stiffness"), 0.0),
+                damping=_parse_float(a.get("damping"), 0.0),
+                key=fx.get("name"))
+            if fx.get("name"):
+                name_to_tendon[fx.get("name")] = tid
+        # spatial tendons route through site waypoints -> muscle units
+        for sp in tendon_root.findall("spatial"):
+            bodies, points = [], []
+            for sel in sp.findall("site"):
+                sname = sel.get("site", "")
+                if sname in name_to_site:
+                    sidx = name_to_site[sname]
+                    bodies.append(int(builder.shape_body[sidx]))
+                    points.append(np.asarray(
+                        builder.shape_transform[sidx][:3]))
+            if len(bodies) >= 2:
+                builder.add_muscle(bodies, points, f0=0.0, lm=1.0, lt=0.0,
+                                   lmax=1.0, pen=0.0)
 
     # ---------------- actuators ----------------
     actuators = []
@@ -464,6 +504,15 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
                                      default=MAXVAL)
         for act in act_root:
             a = resolve_attrs(act, act.tag, None)
+            tname = a.get("tendon")
+            if tname is not None and tname in name_to_tendon:
+                actuators.append(dict(name=a.get("name", tname),
+                                      tendon=name_to_tendon[tname],
+                                      gear=_parse_float(
+                                          (a.get("gear") or "1").split()[0]
+                                          if a.get("gear") else None, 1.0),
+                                      type=act.tag))
+                continue
             jname = a.get("joint")
             if jname is None or jname not in joint_dof_start:
                 continue

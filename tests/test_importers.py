@@ -104,3 +104,82 @@ def test_collapse_fixed_joints():
     assert sum(b.body_mass) == pytest.approx(total)
     m = b.finalize()
     assert np.asarray(m.structure.shape_body).tolist() == [0, 0]
+
+
+def test_mjcf_fixed_tendon_coupling():
+    """Fixed tendons: L = sum coef*q with passive spring couples joints
+    (reference: SolverMuJoCo fixed-tendon support + MJCF <tendon>)."""
+    import jax
+    import jax.numpy as jnp
+    from newton_tpu.sim.articulation import eval_fk
+    from newton_tpu.solvers.generalized.solver import SolverFeatherstone
+
+    mjcf = """
+    <mujoco model="tendon_test">
+      <worldbody>
+        <body name="l1" pos="0 0 1">
+          <joint name="j1" type="hinge" axis="0 1 0"/>
+          <geom type="capsule" size="0.05" fromto="0 0 0 0.4 0 0"/>
+        </body>
+        <body name="l2" pos="0.5 0 1">
+          <joint name="j2" type="hinge" axis="0 1 0"/>
+          <geom type="capsule" size="0.05" fromto="0 0 0 0.4 0 0"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <fixed name="couple" stiffness="200" damping="5">
+          <joint joint="j1" coef="1"/>
+          <joint joint="j2" coef="-1"/>
+        </fixed>
+      </tendon>
+    </mujoco>
+    """
+    b = nt.ModelBuilder()
+    b.add_mjcf(mjcf)
+    m = b.finalize()
+    assert m.structure.tendon_count == 1
+    np.testing.assert_allclose(np.asarray(m.structure.tendon_coef),
+                               [[1.0, -1.0]])
+    np.testing.assert_allclose(np.asarray(m.tendon_params)[0, :2], [200, 5])
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    s = s.replace(joint_qd=s.joint_qd.at[0].set(3.0))
+    s = eval_fk(m, s.joint_q, s.joint_qd, s)
+    solver = SolverFeatherstone(m)
+    ctrl = m.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, None, 1 / 480.), None
+        return jax.lax.scan(sub, s, None, length=8)[0]
+    for _ in range(120):
+        s = frame(s)
+    q = np.asarray(s.joint_q)
+    assert np.isfinite(q).all()
+    assert abs(q[0] - q[1]) < 0.05, f"tendon coupling broken: {q}"
+
+
+def test_mjcf_spatial_tendon_maps_to_muscle():
+    """Spatial tendons route through site waypoints and become muscle units."""
+    mjcf = """
+    <mujoco>
+      <worldbody>
+        <body name="b1" pos="0 0 1">
+          <joint type="free"/><geom type="sphere" size="0.1"/>
+          <site name="s1" pos="0.1 0 0"/>
+        </body>
+        <body name="b2" pos="1 0 1">
+          <joint type="free"/><geom type="sphere" size="0.1"/>
+          <site name="s2" pos="-0.1 0 0"/>
+        </body>
+      </worldbody>
+      <tendon>
+        <spatial name="sp"><site site="s1"/><site site="s2"/></spatial>
+      </tendon>
+    </mujoco>
+    """
+    b = nt.ModelBuilder()
+    b.add_mjcf(mjcf)
+    m = b.finalize()
+    assert m.structure.muscle_count == 1
+    assert list(np.asarray(m.muscle_bodies)) == [0, 1]
