@@ -38,12 +38,14 @@ from .broad_phase import (
 )
 from .hashgrid import HashGrid, neighbor_pairs
 from .raycast import raycast_model
+from .remesh import point_distance_field, reconstruct_surface
 from .sdf_mc import marching_tets, sdf_to_mesh
 from .terrain import generate_fractal_terrain, generate_stairs, heightfield_to_mesh
 
 __all__ += [
     "BroadPhaseAllPairs", "BroadPhaseExplicit", "BroadPhaseSAP", "HashGrid",
     "compute_shape_aabbs", "generate_fractal_terrain", "generate_stairs",
-    "heightfield_to_mesh", "marching_tets", "neighbor_pairs", "raycast_model",
+    "heightfield_to_mesh", "marching_tets", "neighbor_pairs",
+    "point_distance_field", "raycast_model", "reconstruct_surface",
     "sdf_to_mesh",
 ]

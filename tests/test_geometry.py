@@ -201,3 +201,17 @@ def test_match_contacts_events():
     assert np.asarray(broken).sum() == 1 and not np.asarray(new).any()
     matched, _, _ = match_contacts(c_gnd, c_gnd)
     assert np.asarray(matched).sum() == 1
+
+
+def test_reconstruct_surface_sphere_cloud():
+    """Point-cloud surface reconstruction (reference: geometry/remesh.py
+    SurfaceReconstructor): r-offset shells around a spherical cloud."""
+    import numpy as np
+    from newton_tpu.geometry.remesh import reconstruct_surface
+    rng = np.random.RandomState(0)
+    p = rng.randn(1500, 3)
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    mesh = reconstruct_surface(p, radius=0.15, resolution=32)
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert len(mesh.vertices) > 100
+    assert 0.7 < r.min() < 0.95 and 1.05 < r.max() < 1.3
