@@ -2104,6 +2104,45 @@ class ModelBuilder:
                         sdf_lowers.append(sdfobj.lower)
                         sdf_uppers.append(sdfobj.upper)
                     shape_sdf_id[sidx] = baked[key]
+            elif (self.shape_type[sidx] == int(GeoType.HFIELD)
+                  and isinstance(src, Heightfield)):
+                # heightfield SDF: d(x, y, z) = z - h(x, y) over the padded
+                # field box (gentle-slope approximation; exact at contact
+                # depths within the margin). Centered at origin like
+                # heightfield_to_mesh (terrain.py).
+                hfv = src.heights.astype(np.float64) + src.base
+                nx, ny = src.nx, src.ny
+                R = sdf_res
+                pad = max(0.5, 0.1 * (hfv.max() - hfv.min() + 1.0))
+                lo = np.array([-src.size_x / 2, -src.size_y / 2,
+                               hfv.min() - pad])
+                hi = np.array([src.size_x / 2, src.size_y / 2,
+                               hfv.max() + pad])
+                xs = np.linspace(0, nx - 1, R)
+                ys = np.linspace(0, ny - 1, R)
+                ix = np.clip(xs.astype(int), 0, nx - 2)
+                iy = np.clip(ys.astype(int), 0, ny - 2)
+                fx = (xs - ix)[:, None]
+                fy = (ys - iy)[None, :]
+                h00 = hfv[np.ix_(ix, iy)]
+                h10 = hfv[np.ix_(ix + 1, iy)]
+                h01 = hfv[np.ix_(ix, iy + 1)]
+                h11 = hfv[np.ix_(ix + 1, iy + 1)]
+                hg = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
+                      + h01 * (1 - fx) * fy + h11 * fx * fy)      # (R, R)
+                zs = np.linspace(lo[2], hi[2], R)
+                grid = (zs[None, None, :] - hg[:, :, None]).astype(np.float32)
+                shape_sdf_id[sidx] = len(sdf_grids)
+                sdf_grids.append(grid)
+                sdf_lowers.append(lo)
+                sdf_uppers.append(hi)
+                # surface sample points (for hfield-vs-mesh reverse sampling)
+                gx, gy = np.meshgrid(
+                    np.linspace(-src.size_x / 2, src.size_x / 2, nx),
+                    np.linspace(-src.size_y / 2, src.size_y / 2, ny),
+                    indexing="ij")
+                surf = np.stack([gx, gy, hfv], axis=-1).reshape(-1, 3)
+                sample_points[sidx] = _fps_sample(surf, sample_K)
             elif self.shape_type[sidx] == int(GeoType.SDF) and isinstance(src, SDF):
                 shape_sdf_id[sidx] = len(sdf_grids)
                 sdf_grids.append(src.data)

@@ -116,7 +116,7 @@ class CollisionPipeline:
 
         # mesh/convex pairs: sample-vs-SDF classes
         self.mesh_classes = _install_mesh_classes(self)
-        mt = (int(GeoType.MESH), int(GeoType.CONVEX))
+        mt = (int(GeoType.MESH), int(GeoType.CONVEX), int(GeoType.HFIELD))
         unsupported = {(t0, t1) for (t0, t1) in self._unsupported
                        if t0 not in mt and t1 not in mt}
         if unsupported:
@@ -342,9 +342,13 @@ def _install_mesh_classes(pipeline: "CollisionPipeline"):
     types = st.shape_type
     pairs = st.candidate_pairs
     slots = st.candidate_pair_slots
-    mesh_types = (int(GeoType.MESH), int(GeoType.CONVEX))
+    # heightfields ride the same machinery: baked height-function SDF +
+    # surface sample points (reference: narrow_phase.py heightfield kernels)
+    mesh_types = (int(GeoType.MESH), int(GeoType.CONVEX),
+                  int(GeoType.HFIELD))
     analytic = (int(GeoType.PLANE), int(GeoType.SPHERE), int(GeoType.BOX),
-                int(GeoType.CAPSULE), int(GeoType.CYLINDER), int(GeoType.CONE))
+                int(GeoType.CAPSULE), int(GeoType.CYLINDER), int(GeoType.CONE),
+                int(GeoType.ELLIPSOID))
     classes: Dict[Tuple, _MeshPairClass] = {}
     for i, (a, b) in enumerate(pairs):
         t0, t1 = int(types[a]), int(types[b])

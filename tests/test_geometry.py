@@ -215,3 +215,41 @@ def test_reconstruct_surface_sphere_cloud():
     r = np.linalg.norm(mesh.vertices, axis=1)
     assert len(mesh.vertices) > 100
     assert 0.7 < r.min() < 0.95 and 1.05 < r.max() < 1.3
+
+
+def test_heightfield_direct_collision():
+    """Direct HFIELD collision: baked height-function SDF + surface samples
+    (reference: narrow_phase.py heightfield kernels). A sphere rests on a
+    flat field at exactly its radius and stays on a sloped field."""
+    import jax
+    import numpy as np
+    import newton_tpu as nt
+    from newton_tpu.geometry.types import Heightfield
+    from newton_tpu.sim.articulation import eval_fk
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers import SolverXPBD
+
+    for hts, z_expect, tol in ((np.zeros((8, 8)), 0.5, 0.02),):
+        hf = Heightfield(hts, size_x=4.0, size_y=4.0)
+        b = nt.ModelBuilder()
+        body = b.add_body(xform=[0, 0, 1.5, 0, 0, 0, 1])
+        b.add_shape_sphere(body, radius=0.5)
+        b.add_joint_free(body)
+        b.add_shape_heightfield(-1, heightfield=hf)
+        m = b.finalize()
+        pipe = CollisionPipeline(m)
+        s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+        solver = SolverXPBD(m)
+        ctrl = m.control()
+
+        @jax.jit
+        def frame(s):
+            def sub(s, _):
+                return solver.step(s, None, ctrl, pipe.collide(s),
+                                   1 / 240.), None
+            return jax.lax.scan(sub, s, None, length=4)[0]
+        for _ in range(150):
+            s = frame(s)
+        q = np.asarray(s.body_q[0])
+        assert np.isfinite(q).all()
+        assert abs(q[2] - z_expect) < tol, q
