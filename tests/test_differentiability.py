@@ -62,3 +62,39 @@ def test_grad_through_contact_step():
     eps = 1e-3
     fd = (loss(jnp.asarray(0.45 + eps)) - loss(jnp.asarray(0.45 - eps))) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), atol=0.05)
+
+
+def test_grad_through_tendon_actuation():
+    """jax.grad through the fixed-tendon force path matches finite
+    differences (asymmetric readout: the tendon drives q1 - q2)."""
+    from newton_tpu.sim.articulation import eval_fk
+    from newton_tpu.solvers.generalized.solver import SolverFeatherstone
+
+    b = nt.ModelBuilder()
+    l1 = b.add_body(xform=[0.5, 0, 1, 0, 0, 0, 1])
+    b.add_shape_box(l1, hx=0.4, hy=0.05, hz=0.05)
+    b.add_joint_revolute(-1, l1, axis="Y", xform_p=[0, 0, 1, 0, 0, 0, 1],
+                         xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+    l2 = b.add_body(xform=[1.5, 0, 1, 0, 0, 0, 1])
+    b.add_shape_box(l2, hx=0.4, hy=0.05, hz=0.05)
+    b.add_joint_revolute(-1, l2, axis="Y", xform_p=[1, 0, 1, 0, 0, 0, 1],
+                         xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+    b.add_tendon_fixed([0, 1], [1.0, -1.0], stiffness=50.0, damping=1.0)
+    m = b.finalize()
+    solver = SolverFeatherstone(m)
+    s0 = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    ctrl = m.control()
+
+    def loss(tf):
+        c = ctrl.replace(tendon_f=tf)
+
+        def sub(s, _):
+            return solver.step(s, None, c, None, 1 / 240.), None
+        s = jax.lax.scan(sub, s0, None, length=20)[0]
+        return s.joint_q[0] - s.joint_q[1]
+
+    g = float(jax.grad(loss)(jnp.zeros(1))[0])
+    e = 1e-2
+    fd = float((loss(jnp.array([e])) - loss(jnp.array([-e]))) / (2 * e))
+    assert np.isfinite(g)
+    assert abs(fd - g) / max(abs(fd), 1e-12) < 0.02
