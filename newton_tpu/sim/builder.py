@@ -1469,14 +1469,18 @@ class ModelBuilder:
     # ------------------------------------------------------------------
     def add_muscle(self, bodies: Sequence[int], positions: Sequence[Vec3],
                    f0: float, lm: float, lt: float, lmax: float,
-                   pen: float) -> int:
+                   pen: float, passive_ke: float = 0.0,
+                   passive_kd: float = 0.0) -> int:
         """Muscle-tendon unit routed through body-frame waypoints
         (reference: builder.py:6303). Activation drives contraction forces
-        along the waypoint path (applied by SolverSemiImplicit)."""
+        along the waypoint path (applied by SolverSemiImplicit); passive_ke/
+        passive_kd add tension when the path stretches past its rest length
+        lm + lt (spatial-tendon elasticity)."""
         idx = len(self.muscle_params)
         self.muscle_start.append(len(self.muscle_bodies))
         self.muscle_params.append((float(f0), float(lm), float(lt),
-                                   float(lmax), float(pen)))
+                                   float(lmax), float(pen),
+                                   float(passive_ke), float(passive_kd)))
         self.muscle_activations.append(0.0)
         for b, p in zip(bodies, positions):
             self.muscle_bodies.append(int(b))
@@ -2314,7 +2318,7 @@ class ModelBuilder:
             tet_poses=dev(np.stack(self.tet_poses) if self.tet_count else np.zeros((0, 3, 3))),
             tet_materials=dev(np.asarray(self.tet_materials).reshape(-1, 3)),
             tendon_params=dev(np.asarray(self.tendon_params).reshape(-1, 3)),
-            muscle_params=dev(np.asarray(self.muscle_params).reshape(-1, 5)),
+            muscle_params=dev(np.asarray(self.muscle_params).reshape(-1, 7)),
             muscle_bodies=dev_i(np.asarray(self.muscle_bodies, dtype=np.int32)),
             muscle_points=dev(np.asarray(self.muscle_points).reshape(-1, 3)),
             mesh_points=dev(mesh_points),

@@ -92,12 +92,27 @@ class SolverSemiImplicit(SolverBase):
         act = control.muscle_activations[sm]
         f0 = model.muscle_params[sm, 0]
         fmag = act * f0
+        # passive elasticity: tension when the full path stretches past its
+        # rest length lm + lt (spatial-tendon stiffness); tendons never push
+        ke_p = model.muscle_params[:, 5]
+        kd_p = model.muscle_params[:, 6]
+        L = jax.ops.segment_sum(ln, jnp.asarray(sm), st.muscle_count)
+        rest = model.muscle_params[:, 1] + model.muscle_params[:, 2]
+        # path-lengthening rate from endpoint velocities (body_qd is the
+        # COM twist, linear-first)
+        xc = state.body_q[:, 0:3] + quat_rotate(state.body_q[:, 3:7],
+                                                model.body_com)
+        v0 = (state.body_qd[b0, 0:3]
+              + jnp.cross(state.body_qd[b0, 3:6], p0 - xc[b0]))
+        v1 = (state.body_qd[b1, 0:3]
+              + jnp.cross(state.body_qd[b1, 3:6], p1 - xc[b1]))
+        Ldot = jax.ops.segment_sum(jnp.sum((v1 - v0) * n, axis=-1),
+                                   jnp.asarray(sm), st.muscle_count)
+        f_pass = jnp.maximum(ke_p * (L - rest) + kd_p * Ldot, 0.0)
+        fmag = fmag + f_pass[sm]
         fvec = n * fmag[:, None]                       # pulls p0 toward p1
-        from ..math import quat_rotate
-        x_com = state.body_q[:, 0:3] + quat_rotate(state.body_q[:, 3:7],
-                                                   model.body_com)
-        tau0 = jnp.cross(p0 - x_com[b0], fvec)
-        tau1 = jnp.cross(p1 - x_com[b1], -fvec)
+        tau0 = jnp.cross(p0 - xc[b0], fvec)
+        tau1 = jnp.cross(p1 - xc[b1], -fvec)
         wr = jnp.zeros((B, 6), dtype=dtype)
         wr = wr.at[b0].add(jnp.concatenate([fvec, tau0], axis=-1))
         wr = wr.at[b1].add(jnp.concatenate([-fvec, tau1], axis=-1))

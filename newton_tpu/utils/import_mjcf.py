@@ -489,8 +489,22 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
                     points.append(np.asarray(
                         builder.shape_transform[sidx][:3]))
             if len(bodies) >= 2:
-                builder.add_muscle(bodies, points, f0=0.0, lm=1.0, lt=0.0,
-                                   lmax=1.0, pen=0.0)
+                sa = resolve_attrs(sp, "tendon", None)
+                # rest length = world path length at build pose
+                wpts = []
+                for bi, pt in zip(bodies, points):
+                    if bi >= 0:
+                        bx = np.asarray(builder.body_q[bi])
+                        wpts.append(bx[:3] + np_quat_rotate(bx[3:7], pt))
+                    else:
+                        wpts.append(np.asarray(pt))
+                rest = float(np.sum(np.linalg.norm(
+                    np.diff(np.asarray(wpts), axis=0), axis=-1)))
+                builder.add_muscle(
+                    bodies, points, f0=0.0, lm=rest, lt=0.0, lmax=2 * rest,
+                    pen=0.0,
+                    passive_ke=_parse_float(sa.get("stiffness"), 0.0),
+                    passive_kd=_parse_float(sa.get("damping"), 0.0))
 
     # ---------------- actuators ----------------
     actuators = []

@@ -349,3 +349,35 @@ def test_avbd_rigid_stack_and_pendulum():
     d = np.linalg.norm(traj, axis=1)
     np.testing.assert_allclose(d, 0.5, atol=2e-3)
     assert traj[:, 2].min() > -0.501 and traj[:, 2].max() < 0.05
+
+
+def test_spatial_tendon_passive_elasticity():
+    """Passive spatial-tendon stiffness: a stretched waypoint path pulls the
+    endpoints back toward its rest length (reference: spatial tendons with
+    stiffness; muscle passive term)."""
+    from newton_tpu.solvers import SolverSemiImplicit
+    b = nt.ModelBuilder(gravity=0.0)
+    b1 = b.add_body(xform=[0, 0, 1, 0, 0, 0, 1])
+    b.add_shape_box(b1, hx=0.1, hy=0.1, hz=0.1)
+    b.add_joint_free(b1)
+    b2 = b.add_body(xform=[2, 0, 1, 0, 0, 0, 1])
+    b.add_shape_box(b2, hx=0.1, hy=0.1, hz=0.1)
+    b.add_joint_free(b2)
+    b.add_muscle([b1, b2], [(0.1, 0, 0), (-0.1, 0, 0)], f0=0.0, lm=1.0,
+                 lt=0.0, lmax=3.0, pen=0.0, passive_ke=100.0, passive_kd=5.0)
+    m = b.finalize()
+    solver = SolverSemiImplicit(m)
+    ctrl = m.control()
+    s = m.state()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            s = s.clear_forces()
+            return solver.step(s, None, ctrl, None, 1 / 1000.), None
+        return jax.lax.scan(sub, s, None, length=10)[0]
+    for _ in range(100):
+        s = frame(s)
+    gap = float(jnp.linalg.norm(s.body_q[1, :3] - s.body_q[0, :3]))
+    assert np.isfinite(np.asarray(s.body_q)).all()
+    assert gap < 1.6, f"passive tendon did not pull: {gap}"
