@@ -31,6 +31,8 @@ EXAMPLES = {
     "rod_swing": "newton_tpu.examples.example_rod_swing",
     "muscle": "newton_tpu.examples.example_muscle",
     "mesh_stack": "newton_tpu.examples.example_mesh_stack",
+    "ik_reach": "newton_tpu.examples.example_ik_reach",
+    "terrain_ant": "newton_tpu.examples.example_terrain_ant",
 }
 
 
