@@ -81,6 +81,19 @@ class ViewerFile(ViewerBase):
         if self.frames:
             self.frames[-1].setdefault("scalars", {})[name] = float(value)
 
+    def log_gaussian(self, name: str, means, scales, quats=None,
+                     colors=None, opacities=None):
+        if not self.frames:
+            return
+        rec = {"means": _to_list(means), "scales": _to_list(scales)}
+        if quats is not None:
+            rec["quats"] = _to_list(quats)
+        if colors is not None:
+            rec["colors"] = _to_list(colors)
+        if opacities is not None:
+            rec["opacities"] = _to_list(opacities)
+        self.frames[-1].setdefault("gaussians", {})[name] = rec
+
     def end_frame(self):
         if (self.auto_save_interval
                 and len(self.frames) % self.auto_save_interval == 0):
