@@ -187,10 +187,40 @@ def parse_usd(builder, source: str, xform=None, floating: bool = False,
         elif prim.type_name == "Plane":
             builder.add_shape_plane(body_idx, xform=xf, cfg=cfg, key=key)
 
+    def add_deformable(prim: UsdaPrim, X_here: np.ndarray,
+                       sc_here: np.ndarray):
+        """Deformable surface prim -> cloth particles/triangles
+        (reference: import_usd_deformable_cloth.py; PhysxSchema
+        PhysxDeformableSurfaceAPI / Newton deformable schema)."""
+        pts = prim.get("points")
+        idx = prim.get("faceVertexIndices")
+        counts = prim.get("faceVertexCounts")
+        if pts is None or idx is None:
+            return
+        verts = np.asarray(pts, dtype=np.float64) * sc_here
+        tris = []
+        k = 0
+        for c in (counts if counts is not None
+                  else [3] * (len(idx) // 3)):
+            c = int(c)
+            for t in range(1, c - 1):
+                tris.append([idx[k], idx[k + t], idx[k + t + 1]])
+            k += c
+        dens = prim.get("physxDeformable:density")
+        builder.add_cloth_mesh(
+            pos=np.asarray(X_here[:3]), rot=np.asarray(X_here[3:7]),
+            vel=(0, 0, 0), vertices=verts,
+            indices=np.asarray(tris, dtype=np.int64),
+            density=float(dens) if dens is not None else 1.0)
+
     def walk_body(prim: UsdaPrim, X_parent: np.ndarray,
                   parent_scale: np.ndarray):
         X_here = np_transform_multiply(X_parent, _xform_of(prim))
         sc_here = _scale_of(prim) * parent_scale
+        if (prim.has_api("PhysxDeformableSurfaceAPI")
+                or prim.has_api("NewtonDeformableSurfaceAPI")):
+            add_deformable(prim, X_here, sc_here)
+            return
         if prim.has_api("PhysicsRigidBodyAPI"):
             mass = prim.get("physics:mass")
             diag = prim.get("physics:diagonalInertia")

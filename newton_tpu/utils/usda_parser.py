@@ -171,8 +171,12 @@ def parse_usda(text: str) -> UsdaPrim:
             j += 1
         if j < n and (toks[j] in _TYPE_WORDS or toks[j].endswith("[]")):
             type_word = toks[j]
-            name = toks[j + 1]
-            j += 2
+            j += 1
+            # array types tokenize as 'point3f' '[' ']'
+            while j < n and toks[j] in ("[", "]"):
+                j += 1
+            name = toks[j]
+            j += 1
             # connect/timeSamples suffixes: name.connect etc.
             value = None
             if j < n and toks[j] == "=":

@@ -183,3 +183,45 @@ def test_mjcf_spatial_tendon_maps_to_muscle():
     m = b.finalize()
     assert m.structure.muscle_count == 1
     assert list(np.asarray(m.muscle_bodies)) == [0, 1]
+
+
+def test_usd_deformable_surface_to_cloth():
+    """USD deformable surface prims become cloth particles/triangles and
+    simulate (reference: import_usd_deformable_cloth.py). Also covers the
+    usda array-typed attribute parse (point3f[] points)."""
+    import jax
+    from newton_tpu.solvers import SolverXPBD
+
+    usda = '''#usda 1.0
+    def Xform "World"
+    {
+        def Mesh "flag" (
+            prepend apiSchemas = ["PhysxDeformableSurfaceAPI"]
+        )
+        {
+            point3f[] points = [(0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+            int[] faceVertexIndices = [0, 1, 2, 3]
+            int[] faceVertexCounts = [4]
+            float physxDeformable:density = 0.5
+        }
+    }
+    '''
+    b = nt.ModelBuilder()
+    b.add_usd(usda)
+    m = b.finalize()
+    assert m.particle_count == 4
+    assert m.structure.tri_count == 2
+    solver = SolverXPBD(m, iterations=4)
+    s = m.state()
+    ctrl = m.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, None, 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+    for _ in range(30):
+        s = frame(s)
+    q = np.asarray(s.particle_q)
+    assert np.isfinite(q).all()
+    assert q[:, 2].max() < 1.0   # cloth falls under gravity
