@@ -102,6 +102,24 @@ def main():
     jax.block_until_ready(state.joint_q)
     elapsed = time.perf_counter() - t0
     args.frames = n_chunks * chunk
+    # p95 synchronized step time (reference benchmark_metrics.py p95):
+    # separate short pass — per-chunk syncing inside the headline loop
+    # would bill tunnel sync latency (~5%) to the simulator
+    chunk_times = []
+    for _ in range(5):
+        tc = time.perf_counter()
+        state, key = rollout_j(state, key)
+        jax.block_until_ready(state.joint_q)
+        chunk_times.append(time.perf_counter() - tc)
+    p95_frame_ms = float(np.percentile(chunk_times, 95)) / chunk * 1e3
+    # steady-state device memory (reference: free-memory delta metric)
+    mem_mb = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            mem_mb = round(stats["bytes_in_use"] / 2**20, 1)
+    except Exception:
+        pass
 
     # validity gates (reference benchmark_metrics.py:160)
     jq = np.asarray(state.joint_q).reshape(-1)
@@ -135,6 +153,9 @@ def main():
         # reference asv metric definitions (benchmark_metrics.py:16-120)
         "ms_per_world_step": round(1e3 * elapsed / env_steps, 6),
         "rtf": round(args.worlds * dt_total / elapsed, 1),
+        "p95_frame_ms": round(p95_frame_ms, 3),
+        "device_mem_mb": mem_mb,
+        "solver_iterations": 8,
     }))
 
 
