@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,6 +143,47 @@ def raycast_model(model, state, origins: jnp.ndarray, dirs: jnp.ndarray,
                       jnp.where(is_s[:, None], n_sp,
                                 jnp.where(is_b[:, None], n_bx,
                                           jnp.where(is_c[:, None], n_cp, 0.0))))
+
+    # mesh / SDF / heightfield shapes: sphere-trace the baked SDF grid
+    # (reference raycast.py mesh query; precision set by the grid resolution)
+    sdf_id = np.asarray(st.shape_sdf_id) if hasattr(st, "shape_sdf_id") \
+        else np.full(S, -1)
+    if (sdf_id >= 0).any() and model.sdf_grids.shape[0] > 0:
+        from .sdf import sample_sdf_grad, sample_sdf_grid
+        sid = np.maximum(sdf_id, 0)
+        lo = model.sdf_lower[sid]                              # (S, 3)
+        hi = model.sdf_upper[sid]
+        grids = model.sdf_grids[sid]                           # (S, R, R, R)
+        # start at the shape's bounding-box entry to skip empty space
+        t0b = (lo[None] - o_loc) / jnp.where(jnp.abs(d_loc) > 1e-9, d_loc, 1e-9)
+        t1b = (hi[None] - o_loc) / jnp.where(jnp.abs(d_loc) > 1e-9, d_loc, 1e-9)
+        t_near = jnp.max(jnp.minimum(t0b, t1b), axis=-1)
+        t_far = jnp.min(jnp.maximum(t0b, t1b), axis=-1)
+        t_m = jnp.maximum(t_near, 0.0)
+        hit = jnp.zeros_like(t_m, dtype=bool)
+
+        def trace_step(carry, _):
+            t_m, hit = carry
+            p = o_loc + d_loc * t_m[..., None]                 # (R, S, 3)
+            d = jax.vmap(lambda g, l, u, pts: sample_sdf_grid(g, l, u, pts),
+                         in_axes=(0, 0, 0, 1), out_axes=1)(grids, model.sdf_lower[sid],
+                                                           model.sdf_upper[sid], p)
+            hit = hit | (d < 1e-3)
+            t_m = jnp.where(hit, t_m, t_m + jnp.maximum(d, 1e-3))
+            return (t_m, hit), None
+
+        (t_m, hit), _ = jax.lax.scan(trace_step, (t_m, hit), None, length=64)
+        miss = (~hit) | (t_m > t_far) | (t_far < 0.0)
+        t_sdf = jnp.where(miss, _INF, t_m)
+        p_hit = o_loc + d_loc * t_m[..., None]
+        g = jax.vmap(lambda gr, l, u, pts: sample_sdf_grad(gr, l, u, pts),
+                     in_axes=(0, 0, 0, 1), out_axes=1)(grids, model.sdf_lower[sid],
+                                                       model.sdf_upper[sid], p_hit)
+        n_sdf = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
+                                1e-9)
+        use = jnp.asarray(sdf_id >= 0)
+        t = jnp.where(use, t_sdf, t)
+        n_loc = jnp.where(use[:, None], n_sdf, n_loc)
     t = jnp.where(t <= max_dist, t, _INF)
     best = jnp.argmin(t, axis=-1)                              # (R,)
     t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]

@@ -253,3 +253,37 @@ def test_heightfield_direct_collision():
         q = np.asarray(s.body_q[0])
         assert np.isfinite(q).all()
         assert abs(q[2] - z_expect) < tol, q
+
+
+def test_raycast_mesh_sdf_trace():
+    """Rays hit mesh shapes via sphere-tracing the baked SDF grid
+    (reference: geometry/raycast.py mesh query). Regression: meshes were
+    invisible to picking and the tiled camera."""
+    import jax.numpy as jnp
+    import numpy as np
+    import newton_tpu as nt
+    from newton_tpu.geometry.raycast import raycast_model
+    from newton_tpu.sim.articulation import eval_fk
+
+    def box_mesh(h):
+        v = np.array([[x, y, z] for x in (-h, h) for y in (-h, h)
+                      for z in (-h, h)])
+        f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5],
+                      [0, 5, 1], [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4],
+                      [1, 5, 7], [1, 7, 3]])
+        return nt.Mesh(v.astype(np.float64), f.reshape(-1), is_solid=True)
+
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 1.0, 0, 0, 0, 1])
+    b.add_shape_mesh(body, mesh=box_mesh(0.5))
+    b.add_joint_free(body)
+    b.add_ground_plane()
+    m = b.finalize()
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    t, sidx, nrm = raycast_model(
+        m, s, jnp.array([[0., 0., 5.], [3., 0., 5.]]),
+        jnp.array([[0., 0., -1.], [0., 0., -1.]]))
+    assert int(sidx[0]) == 0 and abs(float(t[0]) - 3.5) < 0.06
+    assert float(nrm[0][2]) > 0.9
+    assert int(sidx[1]) == 1        # misses the mesh, hits the ground
+    assert abs(float(t[1]) - 5.0) < 1e-3
