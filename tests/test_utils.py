@@ -194,3 +194,61 @@ def test_validation_helpers():
         assert False, "should have raised"
     except AssertionError:
         pass
+
+
+def test_viewer_pick_and_gaussian_shapes():
+    """Viewer picking raycast + gaussian splat shapes
+    (reference: viewer/picking.py:17, geometry/types.py:2334 Gaussian)."""
+    import numpy as np
+    from newton_tpu.sim.articulation import eval_fk
+    from newton_tpu.viewer import ViewerNull
+
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 1.0, 0, 0, 0, 1])
+    b.add_shape_sphere(body, radius=0.5)
+    b.add_joint_free(body)
+    b.add_shape_gaussian(body, means=np.zeros((5, 3)),
+                         scales=np.full((5, 3), 0.02))
+    b.add_ground_plane()
+    m = b.finalize()
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    v = ViewerNull()
+    v.set_model(m)
+    sid, t = v.pick(s, [0, 0, 5.0], [0, 0, -1.0])
+    assert sid == 0 and abs(t - 3.5) < 1e-3
+    # miss the sphere, hit the plane
+    sid2, t2 = v.pick(s, [3, 0, 5.0], [0, 0, -1.0])
+    assert sid2 == 2 and abs(t2 - 5.0) < 1e-3
+
+
+def test_ik_rotation_objective():
+    """IK with a rotation objective: orient the last link of a 2-link arm
+    (reference: ik_objectives.py rotation objective :875)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from newton_tpu.ik import IKObjectiveRotation, IKSolver
+    from newton_tpu.math import quat_from_axis_angle
+    from newton_tpu.sim.articulation import eval_fk
+
+    b = nt.ModelBuilder(gravity=0.0)
+    parent = -1
+    for i in range(2):
+        link = b.add_body(xform=[0.5 + i, 0, 1, 0, 0, 0, 1])
+        b.add_shape_capsule(link, radius=0.04, half_height=0.45)
+        b.add_joint_revolute(parent, link, axis="Y",
+                             xform_p=([0, 0, 1, 0, 0, 0, 1] if i == 0
+                                      else [0.5, 0, 0, 0, 0, 0, 1]),
+                             xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+        parent = link
+    m = b.finalize()
+    ik = IKSolver(m, [IKObjectiveRotation(link=1)], iterations=24,
+                  n_seeds=4)
+    # target: last link rotated 40 degrees about Y
+    qt = quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]),
+                              jnp.array(0.7))
+    q = ik.solve(m.joint_q0, [qt[None]])
+    s = eval_fk(m, q[0], m.joint_qd0, m.state())
+    got = np.asarray(s.body_q[1, 3:7])
+    tgt = np.asarray(qt)
+    dot = abs(float((got * tgt).sum()))
+    assert dot > 0.999, f"rotation objective not met: |<q,qt>|={dot}"
