@@ -45,6 +45,8 @@ def create_parser() -> argparse.ArgumentParser:
                    choices=["null", "file"],
                    help="viewer backend")
     p.add_argument("--num-frames", type=int, default=100)
+    p.add_argument("--device", default=None,
+                   help="JAX platform override, e.g. cpu or tpu")
     p.add_argument("--num-worlds", type=int, default=4)
     p.add_argument("--output", default="recording.json",
                    help="output path for --viewer file")
@@ -59,6 +61,9 @@ def init(argv=None):
     """Parse args and build the viewer (reference: examples/__init__.py:867)."""
     parser = create_parser()
     args = parser.parse_args(argv)
+    if args.device:
+        import jax
+        jax.config.update("jax_platforms", args.device)
     from ..viewer import ViewerFile, ViewerNull
     if args.viewer == "file":
         viewer = ViewerFile(args.output)

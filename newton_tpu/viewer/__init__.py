@@ -3,7 +3,7 @@ from .viewer_file import ViewerFile
 from .viewer_null import ViewerNull
 
 __all__ = ["ViewerBase", "ViewerFile", "ViewerNull", "ViewerPlot",
-           "ViewerRerun", "ViewerUSD"]
+           "ViewerRerun", "ViewerUSD", "ViewerViser"]
 
 
 def __getattr__(name):
@@ -18,4 +18,7 @@ def __getattr__(name):
     if name == "ViewerUSD":
         from .viewer_usd import ViewerUSD
         return ViewerUSD
+    if name == "ViewerViser":
+        from .viewer_viser import ViewerViser
+        return ViewerViser
     raise AttributeError(name)
