@@ -1,0 +1,134 @@
+"""Multi-chip sharding tests: the env axis of a batched State sharded over a
+jax.sharding.Mesh must produce results bit-identical to the unsharded vmap
+run (reference: the driver's multichip gate + SURVEY.md §2.11 — worlds are
+independent, so the step partitions with zero collectives).
+
+conftest.py provisions 8 virtual CPU devices; we exercise an 8×1 1-D mesh
+and a 2×4 2-D mesh (env axis sharded over both mesh axes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import newton_tpu as nt
+from newton_tpu.parallel import batch_state
+from newton_tpu.sim.articulation import eval_fk
+from newton_tpu.sim.collide import CollisionPipeline
+from newton_tpu.solvers import SolverXPBD
+from newton_tpu.solvers.generalized.solver import SolverMuJoCo
+
+N_ENVS = 16
+DT = 1.0 / 240.0
+
+
+def _capsule_robot():
+    """Tiny articulated robot with ground contacts: one free base + one
+    revolute leg, so the step exercises FK, joints, collision and contacts."""
+    b = nt.ModelBuilder()
+    base = b.add_body(xform=[0, 0, 0.6, 0, 0, 0, 1])
+    b.add_shape_capsule(base, radius=0.15, half_height=0.2)
+    b.add_joint_free(base)
+    leg = b.add_body(xform=[0.3, 0, 0.45, 0, 0, 0, 1])
+    b.add_shape_capsule(leg, radius=0.08, half_height=0.15)
+    b.add_joint_revolute(parent=base, child=leg, axis="Y",
+                         xform_p=[0.3, 0, -0.15, 0, 0, 0, 1],
+                         xform_c=[0, 0, 0.15, 0, 0, 0, 1])
+    b.add_ground_plane()
+    return b.finalize()
+
+
+def _batched_varied(model, n_envs):
+    """Batched initial state with per-env perturbations so envs differ."""
+    state = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    batched = batch_state(state, n_envs)
+    dz = jnp.linspace(0.0, 0.25, n_envs)
+    jq = batched.joint_q.at[:, 2].add(dz)
+    return batched.replace(joint_q=jq)
+
+
+def _step_fn(model, solver):
+    pipeline = CollisionPipeline(model)
+    ctrl = model.control()
+
+    def env_step(s):
+        s = eval_fk(model, s.joint_q, s.joint_qd, s)
+        c = pipeline.collide(s)
+        return solver.step(s, None, ctrl, c, DT)
+
+    def frame(batched):
+        def sub(s, _):
+            return jax.vmap(env_step)(s), None
+        return jax.lax.scan(sub, batched, None, length=4)[0]
+
+    return frame
+
+
+def _shard_state(batched, mesh, spec_axes):
+    def shard(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, P(spec_axes, *([None] * (x.ndim - 1)))))
+    return jax.tree.map(shard, batched)
+
+
+def _run(frame, batched, frames=3):
+    s = batched
+    step = jax.jit(frame)
+    for _ in range(frames):
+        s = step(s)
+    jax.block_until_ready(s.joint_q)
+    return s
+
+
+MESHES = [
+    ("8x1", (8,), ("env",), "env"),
+    ("2x4", (2, 4), ("dp", "tp"), ("dp", "tp")),
+]
+
+
+@pytest.mark.parametrize("name,shape,axes,spec", MESHES,
+                         ids=[m[0] for m in MESHES])
+@pytest.mark.parametrize("solver_cls", [SolverXPBD, SolverMuJoCo],
+                         ids=["xpbd", "generalized"])
+def test_sharded_step_bitwise_matches_vmap(name, shape, axes, spec,
+                                           solver_cls):
+    model = _capsule_robot()
+    solver = solver_cls(model, iterations=2)
+    frame = _step_fn(model, solver)
+    batched = _batched_varied(model, N_ENVS)
+
+    ref = _run(frame, batched)
+
+    devs = np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape)
+    mesh = Mesh(devs, axis_names=axes)
+    sharded_in = _shard_state(batched, mesh, spec)
+    out = _run(frame, sharded_in)
+
+    # sharding must be preserved through the jitted step
+    assert len(out.joint_q.sharding.device_set) == int(np.prod(shape))
+
+    for field in ("joint_q", "joint_qd", "body_q", "body_qd"):
+        a = np.asarray(getattr(ref, field))
+        b = np.asarray(getattr(out, field))
+        np.testing.assert_array_equal(
+            a, b, err_msg=f"{field} diverged on mesh {name}")
+    assert np.isfinite(np.asarray(out.joint_q)).all()
+
+
+def test_shard_batched_state_helper_places_on_mesh():
+    from newton_tpu.parallel import shard_batched_state
+
+    model = _capsule_robot()
+    state = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    batched = batch_state(state, 8)
+    sharded = shard_batched_state(batched)
+    assert len(sharded.joint_q.sharding.device_set) == len(jax.devices())
+
+
+def test_graft_entry_dryrun_multichip():
+    """The driver's scored gate, run in-process on the 8-CPU mesh."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
