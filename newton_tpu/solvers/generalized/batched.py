@@ -1,0 +1,688 @@
+"""Batched transposed-SoA generalized step: the env axis rides the TPU lanes.
+
+The per-env formulation in ``solver.py`` (vmapped over envs) leaves XLA with
+arrays shaped ``(W, bodies, dofs, 3)`` whose minor dims (3/7/14) land on the
+128-wide lane axis — every VPU op runs at <10% utilization and every small
+einsum becomes a padded MXU matmul at <1% utilization (profiled: the CRBA
+einsums alone cost 3.0 ms/substep at 4096 ant envs).
+
+This module re-states the same math in a **transposed structure-of-arrays
+layout**: every quantity is a tuple of component arrays shaped
+``(structure..., W)`` with the env batch W on the minor (lane) axis, and all
+contractions are explicit broadcast-multiply-reduce chains over the small
+static structure axes — no ``dot``s, so XLA keeps everything on the VPU with
+dense 128-lane tiles and fuses the whole substep into a few kernels.
+
+Semantics are identical to ``SolverFeatherstone.step`` (reference behavior:
+newton/_src/solvers/mujoco/solver_mujoco.py:3830 smooth pipeline + contact
+impulses); tests assert element-level agreement with the vmapped path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...sim.articulation import eval_fk, get_kinematic_cache
+from ...sim.state import State
+from .dynamics import get_generalized_cache, integrate_coords
+
+__all__ = ["step_batched", "supports_batched_fast_path"]
+
+
+# ---------------------------------------------------------------------------
+# component-tuple math: vectors/quats are tuples of (..., W) arrays
+# ---------------------------------------------------------------------------
+
+def _cross(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _dot(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+def _scale(a, s):
+    return tuple(x * s for x in a)
+
+
+def _add(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _sub(a, b):
+    return tuple(x - y for x, y in zip(a, b))
+
+
+def _where(c, a, b):
+    return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
+
+
+def _qmul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return (aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz)
+
+
+def _qrot(q, v):
+    u = q[:3]
+    w = q[3]
+    t = _scale(_cross(u, v), 2.0)
+    return _add(_add(v, _scale(t, w)), _cross(u, t))
+
+
+def _qfromaa(axis, angle):
+    half = 0.5 * angle
+    s = jnp.sin(half)
+    c = jnp.cos(half)
+    return (axis[0] * s, axis[1] * s, axis[2] * s, c)
+
+
+def _tmul(pa, qa, pb, qb):
+    """Compose transforms (p, q) tuples: apply b then a."""
+    return _add(pa, _qrot(qa, pb)), _qmul(qa, qb)
+
+
+def _rows(comps, idx):
+    """Gather rows (static numpy idx) from each component array."""
+    return tuple(c[idx] for c in comps)
+
+
+def _const_vec(arr, axis=-1):
+    """(N, 3) jnp/np array -> tuple of (N, 1) component columns."""
+    a = jnp.asarray(arr)
+    return tuple(a[:, k][:, None] for k in range(a.shape[-1]))
+
+
+# ---------------------------------------------------------------------------
+# stage ports (all take/return (structure, W) arrays)
+# ---------------------------------------------------------------------------
+
+def _spatial_inertia_t(model, bi, bp, bq):
+    """World COM position and rotational inertia for bodies ``bi``.
+
+    Returns (x_b tuple3 (b, W), Iw[3][3] of (b, W), m_b (b,) traced).
+    """
+    q = _rows(bq, bi)
+    x, y, z, w = q
+    com = _const_vec(model.body_com[bi])
+    xb = _add(_rows(bp, bi), _qrot(q, com))
+
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    R = [[1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+         [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+         [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)]]
+    I0 = model.body_inertia[bi]                        # (b, 3, 3) traced
+    # Iw = R I0 R^T, expanded (I0 entries are per-body constants over W)
+    Iw = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        RI = [sum(R[i][k] * I0[:, k, l][:, None] for k in range(3))
+              for l in range(3)]
+        for j in range(i + 1):
+            Iw[i][j] = sum(RI[l] * R[j][l] for l in range(3))
+            Iw[j][i] = Iw[i][j]
+    return xb, Iw, model.body_mass[bi]
+
+
+def _dof_subspace_t(model, bp, bq, q_t):
+    """Transposed dof_subspace (dynamics.py:188): world-frame motion subspace.
+
+    Returns (v_o, w) tuples of (D, W)."""
+    st = model.structure
+    gc = get_generalized_cache(st)
+    kc = get_kinematic_cache(st)
+    D = gc.D
+    W = q_t.shape[-1]
+    dtype = q_t.dtype
+    zero = jnp.zeros((D, 1), dtype=dtype)
+
+    dj = gc.dof_joint
+    parent = np.maximum(st.joint_parent[dj], 0)
+    hasp = jnp.asarray(st.joint_parent[dj] >= 0)[:, None]
+    ident_p = (zero, zero, zero)
+    ident_q = (zero, zero, zero, zero + 1.0)
+    X_wp_p = _where(hasp, _rows(bp, parent), ident_p)
+    X_wp_q = _where(hasp, _rows(bq, parent), ident_q)
+    jXp = model.joint_X_p[dj]                           # (D, 7) traced consts
+    X_pj_p, X_pj_q = _tmul(X_wp_p, X_wp_q,
+                           _const_vec(jXp[:, 0:3]),
+                           tuple(jXp[:, 3 + k][:, None] for k in range(4)))
+
+    # local joint axes, with intrinsic transport for multi-angular joints
+    local_axis = _const_vec(model.joint_axis)           # per-dof (D, 1)
+    if (gc.dof_ang_slot >= 0).any():
+        ang_mask = kc.ang_mask                          # (J, 3) numpy
+        A_raw = model.joint_axis[kc.ang_axis_idx]       # (J, 3, 3) traced
+        pad = jnp.broadcast_to(
+            jnp.asarray([1.0, 0.0, 0.0], dtype=dtype), A_raw.shape)
+        A = jnp.where(jnp.asarray(ang_mask)[..., None] > 0, A_raw, pad)
+        q_ang = [q_t[kc.ang_q_idx[:, k]]
+                 * jnp.asarray(ang_mask[:, k], dtype=dtype)[:, None]
+                 for k in range(3)]                     # 3 x (J, W)
+        a0 = _const_vec(A[:, 0])
+        r0 = _qfromaa(a0, q_ang[0])
+        a1 = _qrot(r0, _const_vec(A[:, 1]))
+        r10 = _qmul(_qfromaa(a1, q_ang[1]), r0)
+        a2 = _qrot(r10, _const_vec(A[:, 2]))
+        # stack per component: (3 slots, J, W); broadcast (J,1) consts first
+        Jn = len(kc.ang_q_idx)
+        slot = np.maximum(gc.dof_ang_slot, 0)
+        use = jnp.asarray(gc.dof_ang_slot >= 0)[:, None]
+        transported = []
+        for c in range(3):
+            tr = jnp.stack([jnp.broadcast_to(a0[c], (Jn, W)),
+                            jnp.broadcast_to(a1[c], (Jn, W)),
+                            jnp.broadcast_to(a2[c], (Jn, W))])
+            transported.append(tr[slot, dj])            # (D, W)
+        local_axis = _where(use, tuple(transported), local_axis)
+
+    axis_w = _qrot(X_pj_q, local_axis)                  # (D, W)
+
+    child = gc.dof_body
+    com_w = _add(_rows(bp, child),
+                 _qrot(_rows(bq, child), _const_vec(model.body_com[child])))
+    is_com = jnp.asarray(gc.dof_anchor_is_com)[:, None]
+    anchor = _where(is_com, com_w, X_pj_p)
+
+    is_lin = jnp.asarray(gc.dof_is_linear)[:, None]
+    zero3 = (zero, zero, zero)
+    w = _where(is_lin, zero3, axis_w)
+    v = _where(is_lin, axis_w, _cross(anchor, axis_w))
+    return v, w
+
+
+def _bias_forces_t(model, bp, bq, bv, bw, v_o, w_o, x_b, Iw, m_b):
+    """Transposed RNEA bias torques (dynamics.py:287). Returns (D, W)."""
+    st = model.structure
+    gc = get_generalized_cache(st)
+    kc = gc.kc
+    B = st.body_count
+    W = bv[0].shape[-1]
+    dtype = bv[0].dtype
+
+    # body twists at origin
+    v_ob = _sub(bv, _cross(bw, x_b))
+    Vv, Vw = v_ob, bw
+
+    w_idx = np.maximum(st.body_world, 0)
+    g_vec = _const_vec(model.gravity[w_idx])            # (B, 1)
+    base_v = tuple(jnp.broadcast_to(-g, (B, W)).astype(dtype) for g in g_vec)
+    zeros = jnp.zeros((B, W), dtype=dtype)
+    Av = base_v
+    Aw = (zeros, zeros, zeros)
+
+    def sp_cross(av, aw, bv_, bw_):
+        return (_add(_cross(aw, bv_), _cross(av, bw_)), _cross(aw, bw_))
+
+    for level in kc.levels:
+        j = level
+        pb = st.joint_parent[j]
+        cb = st.joint_child[j]
+        pbc = np.maximum(pb, 0)
+        hasp = jnp.asarray(pb >= 0)[:, None]
+        zl = jnp.zeros((len(j), 1), dtype=dtype)
+        z3 = (zl, zl, zl)
+        Vp_v = _where(hasp, _rows(Vv, pbc), z3)
+        Vp_w = _where(hasp, _rows(Vw, pbc), z3)
+        dV_v = _sub(_rows(Vv, cb), Vp_v)
+        dV_w = _sub(_rows(Vw, cb), Vp_w)
+        Ap_v = _where(hasp, _rows(Av, pbc), _rows(base_v, cb))
+        Ap_w = _where(hasp, _rows(Aw, pbc), z3)
+        cv, cw = sp_cross(_rows(Vv, cb), _rows(Vw, cb), dV_v, dV_w)
+        Ac_v = _add(Ap_v, cv)
+        Ac_w = _add(Ap_w, cw)
+        Av = tuple(a.at[cb].set(x) for a, x in zip(Av, Ac_v))
+        Aw = tuple(a.at[cb].set(x) for a, x in zip(Aw, Ac_w))
+
+    m_col = m_b[:, None]
+
+    def apply_I(av, aw):
+        f = _scale(_add(av, _cross(aw, x_b)), m_col)
+        Iw_aw = tuple(sum(Iw[i][k] * aw[k] for k in range(3))
+                      for i in range(3))
+        tau = _add(Iw_aw, _cross(x_b, f))
+        return f, tau
+
+    Ff, Ft = apply_I(Av, Aw)
+    IVf, IVt = apply_I(Vv, Vw)
+    # motion-cross-force: [w x f, w x t + v x f]
+    Ff = _add(Ff, _cross(Vw, IVf))
+    Ft = _add(Ft, _add(_cross(Vw, IVt), _cross(Vv, IVf)))
+
+    for level in reversed(kc.levels):
+        j = level
+        pb = st.joint_parent[j]
+        cb = st.joint_child[j]
+        has = pb >= 0
+        if has.any():
+            src = cb[has]
+            dst = pb[has]
+            Ff = tuple(a.at[dst].add(a[src]) for a in Ff)
+            Ft = tuple(a.at[dst].add(a[src]) for a in Ft)
+
+    dbody = gc.dof_body
+    tau = (_dot(v_o, _rows(Ff, dbody)) + _dot(w_o, _rows(Ft, dbody)))
+    return tau                                           # (D, W)
+
+
+def _crba_t(model, g, v_o, w_o, x_b_g, Iw_g, m_b_g):
+    """Transposed batched CRBA for a single-articulation group.
+
+    Returns M (d, d, W)."""
+    di = g.dof_idx[0]
+    anc = jnp.asarray(g.anc, dtype=v_o[0].dtype)        # (b, d)
+    ancm = anc[:, :, None]
+    vg = _rows(v_o, di)                                 # (d, W)
+    wg = _rows(w_o, di)
+    wg1 = tuple(c[None, :, :] for c in wg)              # (1, d, W)
+    vg1 = tuple(c[None, :, :] for c in vg)
+    xg1 = tuple(c[:, None, :] for c in x_b_g)           # (b, 1, W)
+    V = tuple(c * ancm for c in _add(vg1, _cross(wg1, xg1)))   # (b, d, W)
+    Wm = tuple(c * ancm for c in wg1)
+    Wm = tuple(jnp.broadcast_to(c, V[0].shape) for c in Wm)
+
+    m_col = m_b_g[:, None, None, None]                  # (b, 1, 1, 1)
+    M = sum((m_col * Vc[:, :, None, :] * Vc[:, None, :, :]).sum(axis=0)
+            for Vc in V)
+    H = [sum(Wm[c] * Iw_g[c][k][:, None, :] for c in range(3))
+         for k in range(3)]                             # 3 x (b, d, W)
+    M = M + sum((H[k][:, :, None, :] * Wm[k][:, None, :, :]).sum(axis=0)
+                for k in range(3))
+    arm = model.joint_armature[di]                      # (d,)
+    eye = jnp.eye(g.d, dtype=M.dtype)[:, :, None]
+    return M + eye * arm[:, None, None]
+
+
+def _chol_t(A):
+    """Lower Cholesky of (d, d, W) SPD matrices (port of linalg.py:20)."""
+    d = A.shape[0]
+    idx = np.arange(d)
+    L = A
+    for j in range(d):
+        diag = jnp.sqrt(jnp.maximum(L[j, j], 1e-12))    # (W,)
+        col = L[:, j] / diag[None, :]                   # (d, W)
+        col = jnp.where((idx >= j)[:, None], col, 0.0)
+        col = col.at[j].set(diag)
+        mask = ((idx > j)[:, None] & (idx > j)[None, :])[:, :, None]
+        L = L - mask * (col[:, None, :] * col[None, :, :])
+        L = L.at[:, j].set(col)
+    return L * (idx[:, None] >= idx[None, :])[:, :, None]
+
+
+def _cho_solve_t(L, b):
+    """Solve A x = b with L = _chol_t(A). b: (d, W) or (d, k, W)."""
+    d = L.shape[0]
+    idx = np.arange(d)
+    vec = b.ndim == 2
+    if vec:
+        b = b[:, None, :]
+    y = b
+    for i in range(d):
+        yi = y[i] / L[i, i][None, :]                    # (k, W)
+        y = y - ((idx > i)[:, None, None] * L[:, i][:, None, :]) * yi[None]
+        y = y.at[i].set(yi)
+    x = y
+    for i in reversed(range(d)):
+        xi = x[i] / L[i, i][None, :]
+        x = x - ((idx < i)[:, None, None] * L[i][:, None, :]) * xi[None]
+        x = x.at[i].set(xi)
+    return x[:, 0, :] if vec else x
+
+
+def _mat_vec_t(M, x):
+    """(d, e, W) @ (e, W) -> (d, W)."""
+    return (M * x[None, :, :]).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# applied generalized forces (PD drives, tendons, penalty limits)
+# ---------------------------------------------------------------------------
+
+def _applied_tau_t(solver, model, q_t, qd_t, control_t):
+    gc = solver.gc
+    dtype = q_t.dtype
+    D = qd_t.shape[0]
+    W = q_t.shape[-1]
+    tau = jnp.zeros((D, W), dtype=dtype)
+    kd_implicit = jnp.zeros((D, W), dtype=dtype)
+    if control_t is None:
+        return tau, kd_implicit
+    jf_t, tq_t, tqd_t, tf_t = control_t
+    if jf_t is not None:
+        tau = tau + jf_t
+    li, ld = gc.lin_coord_idx, gc.lin_coord_dof
+    if len(li) and tq_t is not None:
+        ke = model.joint_target_ke[ld][:, None]
+        kd = model.joint_target_kd[ld][:, None]
+        err = tq_t[li] - q_t[li]
+        errd = tqd_t[ld] - qd_t[ld]
+        pd = ke * err + kd * errd
+        tau = tau.at[ld].add(pd)
+        kd_implicit = kd_implicit.at[ld].add(
+            jnp.broadcast_to(kd, pd.shape))
+    bp_ = gc.quat_coord_starts
+    if len(bp_) and tq_t is not None:
+        from ...math import quat_conjugate, quat_mul as qml, \
+            quat_normalize, quat_to_axis_angle
+        q4 = bp_[:, 0:1] + np.arange(4)[None]
+        d3 = bp_[:, 1:2] + np.arange(3)[None]
+        ke_b = model.joint_target_ke[d3][..., None]      # (B, 3, 1)
+        kd_b = model.joint_target_kd[d3][..., None]
+        # fall back to last-axis quat helpers on (B, W, 4)
+        qcur = quat_normalize(jnp.moveaxis(q_t[q4], 1, -1))
+        qtar = quat_normalize(jnp.moveaxis(tq_t[q4], 1, -1))
+        axis, ang = quat_to_axis_angle(qml(qtar, quat_conjugate(qcur)))
+        e = jnp.moveaxis(axis * ang[..., None], -1, 1)   # (B, 3, W)
+        pd_b = ke_b * e + kd_b * (tqd_t[d3] - qd_t[d3])
+        tau = tau.at[d3.reshape(-1)].add(pd_b.reshape(-1, W))
+        kd_implicit = kd_implicit.at[d3.reshape(-1)].add(
+            jnp.broadcast_to(kd_b, pd_b.shape).reshape(-1, W))
+    if getattr(model.structure, "tendon_count", 0):
+        stt = model.structure
+        tc = jnp.asarray(stt.tendon_coef, dtype=dtype)[..., None]  # (T, K, 1)
+        L = jnp.sum(tc * q_t[stt.tendon_coord], axis=1)            # (T, W)
+        Ld = jnp.sum(tc * qd_t[stt.tendon_dof], axis=1)
+        ke_t = model.tendon_params[:, 0][:, None]
+        kd_t = model.tendon_params[:, 1][:, None]
+        L0 = model.tendon_params[:, 2][:, None]
+        f_t = -ke_t * (L - L0) - kd_t * Ld
+        if tf_t is not None:
+            f_t = f_t + tf_t
+        tau = tau.at[stt.tendon_dof.reshape(-1)].add(
+            (tc * f_t[:, None, :]).reshape(-1, W))
+    if len(li) and solver.limit_mode == "penalty":
+        lo = model.joint_limit_lower[ld][:, None]
+        hi = model.joint_limit_upper[ld][:, None]
+        ke_l = model.joint_limit_ke[ld][:, None]
+        kd_l = model.joint_limit_kd[ld][:, None]
+        viol = (jnp.minimum(q_t[li] - lo, 0.0)
+                + jnp.maximum(q_t[li] - hi, 0.0))
+        lim_tau = -ke_l * viol - jnp.where(viol != 0.0, kd_l * qd_t[ld], 0.0)
+        tau = tau.at[ld].add(lim_tau)
+    return tau, kd_implicit
+
+
+# ---------------------------------------------------------------------------
+# contact impulse solve
+# ---------------------------------------------------------------------------
+
+def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
+                      bp, bq, bv, bw, x_b_all, contacts_b, q_t, dt,
+                      limit_plan, warm_lam):
+    """Transposed projected-Jacobi contact solve (solver.py:506)."""
+    dtype = qd_g.dtype
+    d = g.d
+    c = plan.c
+    W = qd_g.shape[-1]
+    slots = plan.slots[0]                               # (c,) static
+
+    def slot_vec(arr):                                  # (W, S, 3) -> tuple
+        return tuple(arr[:, slots, k].T for k in range(3))
+
+    nrm = slot_vec(contacts_b.rigid_contact_normal)     # (c, W)
+    pos = slot_vec(contacts_b.rigid_contact_position)
+    depth = contacts_b.rigid_contact_depth[:, slots].T
+    active = contacts_b.rigid_contact_mask[:, slots].T
+
+    # tangent basis (math/spatial.py:108, Duff et al.)
+    nx, ny, nz = nrm
+    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + nz)
+    b_ = nx * ny * a
+    t1 = (1.0 + s * nx * nx * a, s * b_, -s * nx)
+    t2 = (b_, s + ny * ny * a, -ny)
+
+    mu = 0.5 * (model.shape_material_mu[np.maximum(solver.slot_shape0, 0)]
+                + model.shape_material_mu[np.maximum(solver.slot_shape1, 0)]
+                )[slots][:, None]                       # (c, 1)
+    e_rest = 0.5 * (
+        model.shape_material_restitution[np.maximum(solver.slot_shape0, 0)]
+        + model.shape_material_restitution[np.maximum(solver.slot_shape1, 0)]
+    )[slots][:, None]
+
+    di = g.dof_idx[0]
+    vg = _rows(v_o, di)                                 # (d, W)
+    wg = _rows(w_o, di)
+    vg1 = tuple(x[None, :, :] for x in vg)              # (1, d, W)
+    wg1 = tuple(x[None, :, :] for x in wg)
+    pos1 = tuple(x[:, None, :] for x in pos)            # (c, 1, W)
+    Vp = _add(vg1, _cross(wg1, pos1))                   # (c, d, W)
+
+    anc = np.asarray(g.anc, dtype=np.float32)           # (b, d) numpy
+    zero_d = np.zeros((g.d,), dtype=np.float32)
+    anc1 = np.where((plan.lb1 >= 0)[:, None],
+                    anc[np.maximum(plan.lb1, 0)], zero_d)   # (c, d)
+    anc0 = np.where((plan.lb0 >= 0)[:, None],
+                    anc[np.maximum(plan.lb0, 0)], zero_d)
+    sign = jnp.asarray(anc1 - anc0, dtype=dtype)[:, :, None]  # (c, d, 1)
+
+    def j_rows(dirs):                                   # (c, W) comps
+        return sum(dc[:, None, :] * Vc for dc, Vc in zip(dirs, Vp)) * sign
+
+    Jn = j_rows(nrm)                                    # (c, d, W)
+    Jt1 = j_rows(t1)
+    Jt2 = j_rows(t2)
+    J3 = jnp.stack([Jn, Jt1, Jt2], axis=1).reshape(3 * c, d, W)
+
+    nl = 0
+    if limit_plan is not None and len(limit_plan[0]):
+        ld, lc = limit_plan
+        nl = len(ld)
+        qv = q_t[g.coord_idx[0][lc]]                    # (nl, W)
+        lo_l = model.joint_limit_lower[di[ld]][:, None]
+        hi_l = model.joint_limit_upper[di[ld]][:, None]
+        onehot = np.zeros((nl, d), dtype=np.float32)
+        onehot[np.arange(nl), ld] = 1.0
+        Jlo = jnp.broadcast_to(
+            jnp.asarray(onehot, dtype=dtype)[:, :, None], (nl, d, W))
+        b_lo = solver.baumgarte / dt * jnp.maximum(lo_l - qv, 0.0)
+        b_hi = solver.baumgarte / dt * jnp.maximum(qv - hi_l, 0.0)
+        act_lo = qv <= lo_l + 1e-4
+        act_hi = qv >= hi_l - 1e-4
+        J = jnp.concatenate([J3, Jlo, -Jlo], axis=0)    # (r, d, W)
+    else:
+        J = J3
+    r = 3 * c + 2 * nl
+
+    # MinvJt[r, d] = sum_e J[r, e] Minv[e, d]
+    MinvJt = sum(J[:, e, None, :] * Minv[e][None, :, :] for e in range(d))
+    diag_raw = (J * MinvJt).sum(axis=1)                 # (r, W)
+    diag = (diag_raw * (1.0 + (1.0 - solver.impratio) / solver.impratio)
+            + solver.contact_reg)
+    v_free = (J * qd_g[None, :, :]).sum(axis=1)         # (r, W)
+
+    # restitution: pre-step relative normal velocity at contact points
+    def vel_of(lb):
+        gb = g.body_idx[0][np.maximum(lb, 0)]           # (c,) static
+        vv = _add(_rows(bv, gb),
+                  _cross(_rows(bw, gb), _sub(pos, _rows(x_b_all, gb))))
+        on = jnp.asarray(lb >= 0)[:, None]
+        return tuple(jnp.where(on, x, 0.0) for x in vv)
+
+    rel_v = _sub(vel_of(plan.lb1), vel_of(plan.lb0))
+    vn_pre = _dot(nrm, rel_v)                           # (c, W)
+    b_n = (jnp.maximum(-e_rest * vn_pre, 0.0)
+           + solver.baumgarte / dt
+           * jnp.maximum(depth - solver.contact_slop, 0.0))
+    b_rows = jnp.zeros((c, 3, W), dtype=dtype)
+    b_rows = b_rows.at[:, 0, :].set(jnp.where(active, b_n, 0.0))
+    b_rows = b_rows.reshape(3 * c, W)
+    act3 = jnp.repeat(active, 3, axis=0)                # (3c, W)
+    if nl:
+        b_rows = jnp.concatenate([b_rows, b_lo, b_hi], axis=0)
+        act3 = jnp.concatenate([act3, act_lo, act_hi], axis=0)
+
+    def Avec(x):
+        tmp = (MinvJt * x[:, None, :]).sum(axis=0)      # (d, W)
+        return (J * tmp[None, :, :]).sum(axis=1)        # (r, W)
+
+    inv_sqrt_d = jax.lax.rsqrt(diag)
+    u = jnp.where(act3, 1.0, 0.0)
+    u = u / jnp.maximum(
+        jnp.sqrt(jnp.sum(u * u, axis=0, keepdims=True)), 1.0)
+    for _ in range(6):
+        u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act3
+        u = u2 / jnp.maximum(
+            jnp.sqrt(jnp.sum(u2 * u2, axis=0, keepdims=True)), 1e-9)
+    lam_max = jnp.sum(u * (inv_sqrt_d * Avec(inv_sqrt_d * u)), axis=0)
+    step_scale = jnp.minimum(1.0, 1.8 / jnp.maximum(lam_max, 1e-9))
+    step = (solver.contact_relaxation * step_scale)[None, :] / diag
+
+    use_cone = solver.friction_cone == "cone"
+    omega_b = b_rows
+
+    def pgs_iter(lam):
+        res = Avec(lam) + v_free - omega_b
+        lam_full = lam - step * res
+        if nl:
+            lam_lim = jnp.maximum(lam_full[3 * c:], 0.0)
+            lam_lim = jnp.where(act3[3 * c:], lam_lim, 0.0)
+        lam_new = lam_full[:3 * c].reshape(c, 3, W)
+        ln = jnp.maximum(lam_new[:, 0], 0.0)
+        cap = mu * ln
+        if use_cone:
+            tmag = jnp.sqrt(lam_new[:, 1] ** 2 + lam_new[:, 2] ** 2)
+            sc = jnp.minimum(cap / jnp.maximum(tmag, 1e-9), 1.0)
+            lt1 = lam_new[:, 1] * sc
+            lt2 = lam_new[:, 2] * sc
+        else:
+            lt1 = jnp.clip(lam_new[:, 1], -cap, cap)
+            lt2 = jnp.clip(lam_new[:, 2], -cap, cap)
+        lam_new = jnp.stack([ln, lt1, lt2], axis=1).reshape(3 * c, W)
+        lam_new = jnp.where(act3[:3 * c], lam_new, 0.0)
+        if nl:
+            lam_new = jnp.concatenate([lam_new, lam_lim], axis=0)
+        return jnp.where(jnp.isfinite(lam_new), lam_new, 0.0)
+
+    lam = jnp.zeros((r, W), dtype=dtype)
+    if warm_lam is not None:
+        lam = lam.at[:3 * c].set(jnp.where(act3[:3 * c], warm_lam, 0.0))
+    for _ in range(solver.contact_iterations):
+        lam = pgs_iter(lam)
+    dqd = (MinvJt * lam[:, None, :]).sum(axis=0)        # (d, W)
+    return qd_g + dqd, lam[:3 * c]
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def supports_batched_fast_path(solver) -> bool:
+    """True when step_batched can take the transposed fast path."""
+    if solver.sleep_threshold > 0.0:
+        return False
+    if any(p is not None and getattr(p, "rows", 0)
+           for p in solver.equality_plans):
+        return False
+    return all(g.n == 1 for g in solver.gc.groups)
+
+
+def step_batched(solver, state_b: State, state_out=None, control_b=None,
+                 contacts_b=None, dt: float = 1e-3) -> State:
+    """Batched step over a leading env axis, transposed-SoA fast path.
+
+    ``state_b`` arrays carry a leading env axis W (from ``batch_state``);
+    ``control_b``/``contacts_b`` likewise (from a vmapped collide). Falls
+    back to ``jax.vmap(solver.step)`` for configurations the fast path does
+    not cover (sleeping, equality constraints, multi-articulation worlds).
+    """
+    model = solver.model
+    gc = solver.gc
+    if not supports_batched_fast_path(solver):
+        def one(s, c, ct):
+            return solver.step(s, None, c, ct, dt)
+        return jax.vmap(one)(state_b, control_b, contacts_b)
+
+    dtype = state_b.joint_q.dtype
+    W = state_b.joint_q.shape[0]
+    q_t = state_b.joint_q.T                             # (nq, W)
+    qd_t = state_b.joint_qd.T                           # (D, W)
+    bp = tuple(state_b.body_q[:, :, k].T for k in range(3))    # (B, W)
+    bq = tuple(state_b.body_q[:, :, 3 + k].T for k in range(4))
+    bv = tuple(state_b.body_qd[:, :, k].T for k in range(3))
+    bw = tuple(state_b.body_qd[:, :, 3 + k].T for k in range(3))
+
+    v_o, w_o = _dof_subspace_t(model, bp, bq, q_t)
+
+    B = model.structure.body_count
+    x_b, Iw, m_b = _spatial_inertia_t(model, np.arange(B), bp, bq)
+    tau_bias = _bias_forces_t(model, bp, bq, bv, bw, v_o, w_o, x_b, Iw, m_b)
+
+    control_t = None
+    if control_b is not None:
+        control_t = (
+            None if control_b.joint_f is None else control_b.joint_f.T,
+            None if control_b.joint_target_q is None
+            else control_b.joint_target_q.T,
+            None if control_b.joint_target_qd is None
+            else control_b.joint_target_qd.T,
+            None if getattr(control_b, "tendon_f", None) is None
+            else control_b.tendon_f.T,
+        )
+    tau, kd_implicit = _applied_tau_t(solver, model, q_t, qd_t, control_t)
+    tau_net = tau - tau_bias
+
+    qd_new = qd_t
+    new_custom = dict(state_b.custom)
+    has_contacts = (contacts_b is not None
+                    and contacts_b.rigid_contact_mask.shape[-1] > 0)
+    for gi, g in enumerate(gc.groups):
+        di = g.dof_idx[0]
+        bi = g.body_idx[0]
+        Iw_g = [[Iw[i][j][bi] for j in range(3)] for i in range(3)]
+        x_b_g = _rows(x_b, bi)
+        M = _crba_t(model, g, v_o, w_o, x_b_g, Iw_g, m_b[bi])
+        kd_g = kd_implicit[di]                           # (d, W)
+        eye = jnp.eye(g.d, dtype=dtype)[:, :, None]
+        Mi = M + dt * eye * kd_g[:, None, :]
+        rhs = _mat_vec_t(M, qd_t[di]) + dt * tau_net[di]
+        L = _chol_t(Mi)
+        qd_g = _cho_solve_t(L, rhs)                      # (d, W)
+        plan = solver.contact_plans[gi]
+        if has_contacts and plan is not None and plan.c:
+            Minv = _cho_solve_t(
+                L, jnp.broadcast_to(eye, (g.d, g.d, W)))
+            warm_lam = None
+            if solver.warm_start:
+                prev = state_b.custom.get(f"contact:lam:{gi}")
+                if prev is not None:
+                    # stored (W, n=1, 3c) by the vmapped path
+                    warm_lam = prev.reshape(W, -1).T
+            qd_g, lam = _solve_contacts_t(
+                solver, model, g, plan, Minv, qd_g, v_o, w_o,
+                bp, bq, bv, bw, x_b, contacts_b, q_t, dt,
+                solver.limit_plans[gi]
+                if solver.limit_mode == "constraint" else None, warm_lam)
+            if solver.warm_start:
+                new_custom[f"contact:lam:{gi}"] = lam.T.reshape(W, 1, -1)
+        qd_new = qd_new.at[di].set(qd_g)
+
+    vlim = model.joint_velocity_limit[:, None]
+    qd_new = jnp.clip(qd_new, -vlim, vlim)
+    qd_new = jnp.clip(qd_new, -solver.max_velocity, solver.max_velocity)
+    qd_new = jnp.where(jnp.isfinite(qd_new), qd_new, 0.0)
+
+    qd_W = qd_new.T                                     # (W, D)
+
+    def integrate_one(q, qd, body_q):
+        return integrate_coords(model, q, qd, body_q, dt)
+
+    q_W = jax.vmap(integrate_one)(state_b.joint_q, qd_W, state_b.body_q)
+
+    def fk_one(q, qd, s):
+        return eval_fk(model, q, qd, s)
+
+    out = jax.vmap(fk_one)(q_W, qd_W, state_b)
+    if new_custom:
+        out = out.replace(custom=new_custom)
+    return out

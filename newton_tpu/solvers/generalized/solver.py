@@ -482,6 +482,21 @@ class SolverFeatherstone(SolverBase):
         lam = solve_psd(A, rhs)
         return qd_g + jnp.einsum("ndr,nr->nd", MinvJt, lam)
 
+    def step_batched(self, state_in: State, state_out: Optional[State] = None,
+                     control: Optional[Control] = None,
+                     contacts: Optional[Contacts] = None,
+                     dt: float = 1e-3) -> State:
+        """Step a whole env batch (leading axis W) at once.
+
+        Uses the transposed structure-of-arrays fast path (see
+        ``generalized/batched.py``) — ~4x faster than ``jax.vmap(step)`` on
+        TPU because the env axis rides the 128-lane dimension. Falls back to
+        the vmapped per-env path for configurations the fast path does not
+        cover (sleeping, equality constraints, multi-articulation worlds).
+        """
+        from .batched import step_batched as _sb
+        return _sb(self, state_in, state_out, control, contacts, dt)
+
     def step_with_contacts(self, state_in, state_out, control, contacts, dt):
         """Like step() but also returns contacts with per-slot force
         reports filled (reference solver.update_contacts flow,

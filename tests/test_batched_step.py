@@ -1,0 +1,141 @@
+"""Parity: transposed-SoA batched step vs the vmapped per-env step.
+
+The fast path (solvers/generalized/batched.py) restates the exact math of
+SolverFeatherstone.step in a lanes-minor layout; these tests pin element-level
+agreement, including active contacts, joint limits, PD control and tendons.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import newton_tpu as nt
+from newton_tpu.parallel import batch_state
+from newton_tpu.sim.articulation import eval_fk
+from newton_tpu.sim.collide import CollisionPipeline
+from newton_tpu.solvers import SolverMuJoCo
+
+ASSET_DIR = ("/opt/venv/lib/python3.12/site-packages/gymnasium/envs/"
+             "mujoco/assets")
+
+
+def _build_ant():
+    b = nt.ModelBuilder()
+    b.add_mjcf(os.path.join(ASSET_DIR, "ant.xml"))
+    return b.finalize()
+
+
+def _perturbed_batch(model, state, n, key, drop=0.0):
+    sb = batch_state(state, n)
+    k1, k2 = jax.random.split(key)
+    q = sb.joint_q + 0.02 * jax.random.normal(k1, sb.joint_q.shape)
+    if drop:
+        q = q.at[:, 2].add(-drop)  # push root down so feet penetrate
+    qd = sb.joint_qd + 0.1 * jax.random.normal(k2, sb.joint_qd.shape)
+
+    def fk(qi, qdi, si):
+        return eval_fk(model, qi, qdi, si)
+
+    return jax.jit(jax.vmap(fk))(q, qd, sb)
+
+
+def _assert_state_close(a, b, atol=2e-4):
+    np.testing.assert_allclose(np.asarray(a.joint_q),
+                               np.asarray(b.joint_q), atol=atol, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.joint_qd),
+                               np.asarray(b.joint_qd), atol=5e-3, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(a.body_q),
+                               np.asarray(b.body_q), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("drop", [0.0, 0.08])
+def test_ant_batched_matches_vmap(drop):
+    model = _build_ant()
+    pipe = CollisionPipeline(model)
+    solver = SolverMuJoCo(model, iterations=8)
+    state0 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    sb = _perturbed_batch(model, state0, 4, jax.random.PRNGKey(0), drop=drop)
+    control = model.control()
+    D = model.joint_dof_count
+    cb = jax.vmap(lambda f: control.replace(joint_f=f))(
+        0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, D)))
+    dt = 1.0 / 240.0
+
+    contacts = jax.vmap(pipe.collide)(sb)
+    ref = jax.jit(jax.vmap(lambda s, c, ct: solver.step(s, None, c, ct, dt))
+                  )(sb, cb, contacts)
+    got = jax.jit(lambda s, c, ct: solver.step_batched(s, None, c, ct, dt)
+                  )(sb, cb, contacts)
+    _assert_state_close(got, ref)
+
+
+def test_ant_batched_multistep_stable():
+    model = _build_ant()
+    pipe = CollisionPipeline(model)
+    solver = SolverMuJoCo(model, iterations=8)
+    state0 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    sb = _perturbed_batch(model, state0, 4, jax.random.PRNGKey(2))
+    dt = 1.0 / 240.0
+
+    @jax.jit
+    def run(s):
+        def sub(s, _):
+            ct = jax.vmap(pipe.collide)(s)
+            return solver.step_batched(s, None, None, ct, dt), None
+        return jax.lax.scan(sub, s, None, length=10)[0]
+
+    out = run(sb)
+    assert bool(jnp.all(jnp.isfinite(out.joint_q)))
+    assert bool(jnp.all(jnp.isfinite(out.joint_qd)))
+    # root should not fall below ground or fly away after 20 substeps
+    assert bool(jnp.all(out.joint_q[:, 2] > 0.1))
+
+
+def test_pd_and_limits_parity():
+    """PD targets + joint-limit constraint rows through both paths."""
+    model = _build_ant()
+    pipe = CollisionPipeline(model)
+    solver = SolverMuJoCo(model, iterations=4)
+    state0 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    sb = _perturbed_batch(model, state0, 3, jax.random.PRNGKey(3))
+    control = model.control()
+    nq = model.joint_coord_count
+    D = model.joint_dof_count
+    tq = jnp.broadcast_to(model.joint_q0, (3, nq)) \
+        + 0.3 * jax.random.normal(jax.random.PRNGKey(4), (3, nq))
+    cb = jax.vmap(lambda t: control.replace(
+        joint_target_q=t, joint_target_qd=jnp.zeros((D,))))(tq)
+    dt = 1.0 / 240.0
+    contacts = jax.vmap(pipe.collide)(sb)
+    ref = jax.jit(jax.vmap(lambda s, c, ct: solver.step(s, None, c, ct, dt))
+                  )(sb, cb, contacts)
+    got = jax.jit(lambda s, c, ct: solver.step_batched(s, None, c, ct, dt)
+                  )(sb, cb, contacts)
+    _assert_state_close(got, ref)
+
+
+def test_smooth_only_parity():
+    model = _build_ant()
+    solver = SolverMuJoCo(model, iterations=4)
+    state0 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    sb = _perturbed_batch(model, state0, 3, jax.random.PRNGKey(5))
+    dt = 1.0 / 240.0
+    ref = jax.jit(jax.vmap(lambda s: solver.step(s, None, None, None, dt))
+                  )(sb)
+    got = jax.jit(lambda s: solver.step_batched(s, None, None, None, dt))(sb)
+    _assert_state_close(got, ref)
+
+
+def test_fallback_paths_used():
+    """Sleep-enabled solver falls back to the vmapped path and still works."""
+    from newton_tpu.solvers.generalized.batched import (
+        supports_batched_fast_path)
+    model = _build_ant()
+    solver = SolverMuJoCo(model, iterations=2)
+    assert supports_batched_fast_path(solver)
+    from newton_tpu.solvers.generalized.solver import SolverFeatherstone
+    sleepy = SolverFeatherstone(model, sleep_threshold=1e-3)
+    assert not supports_batched_fast_path(sleepy)
