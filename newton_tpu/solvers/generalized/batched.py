@@ -344,6 +344,190 @@ def _mat_vec_t(M, x):
     return (M * x[None, :, :]).sum(axis=1)
 
 
+def _qnormalize(q):
+    n2 = _dot(q, q)
+    ok = n2 > 1e-12
+    ident = (jnp.zeros_like(q[0]), jnp.zeros_like(q[1]),
+             jnp.zeros_like(q[2]), jnp.ones_like(q[3]))
+    safe = _where(ok, q, ident)
+    inv = jax.lax.rsqrt(_dot(safe, safe))
+    return _scale(safe, inv)
+
+
+def _joint_motion_t(model, q_t, qd_t):
+    """Transposed joint_motion (articulation.py:154): local joint transforms
+    and twists in the parent-anchor frame. Returns ((Xp, Xq), (vv, vw)),
+    all tuples of (J, W)."""
+    st = model.structure
+    kc = get_kinematic_cache(st)
+    J = kc.joint_count
+    dtype = q_t.dtype
+    W = q_t.shape[-1]
+
+    lin_mask = kc.lin_mask                               # (J, 3) numpy
+    ang_mask = kc.ang_mask
+    A_lin = model.joint_axis[kc.lin_axis_idx] \
+        * jnp.asarray(lin_mask, dtype=dtype)[..., None]  # (J, 3, 3)
+    A_raw = model.joint_axis[kc.ang_axis_idx]
+    pad = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype=dtype),
+                           A_raw.shape)
+    A_ang = jnp.where(jnp.asarray(ang_mask)[..., None] > 0, A_raw, pad)
+
+    q_lin = [q_t[kc.lin_q_idx[:, k]]
+             * jnp.asarray(lin_mask[:, k], dtype=dtype)[:, None]
+             for k in range(3)]                          # 3 x (J, W)
+    q_ang = [q_t[kc.ang_q_idx[:, k]]
+             * jnp.asarray(ang_mask[:, k], dtype=dtype)[:, None]
+             for k in range(3)]
+    qd_lin = [qd_t[kc.lin_qd_idx[:, k]]
+              * jnp.asarray(lin_mask[:, k], dtype=dtype)[:, None]
+              for k in range(3)]
+    qd_ang = [qd_t[kc.ang_qd_idx[:, k]]
+              * jnp.asarray(ang_mask[:, k], dtype=dtype)[:, None]
+              for k in range(3)]
+
+    def lin_comb(coef, A):
+        return tuple(sum(coef[k] * A[:, k, c][:, None] for k in range(3))
+                     for c in range(3))
+
+    pos = lin_comb(q_lin, A_lin)
+    vel_v = lin_comb(qd_lin, A_lin)
+
+    a0 = _const_vec(A_ang[:, 0])
+    r0 = _qfromaa(a0, q_ang[0])
+    a1 = _qrot(r0, _const_vec(A_ang[:, 1]))
+    r10 = _qmul(_qfromaa(a1, q_ang[1]), r0)
+    a2 = _qrot(r10, _const_vec(A_ang[:, 2]))
+    rot = _qmul(_qfromaa(a2, q_ang[2]), r10)
+    vel_w = tuple(a0[c] * qd_ang[0] + a1[c] * qd_ang[1] + a2[c] * qd_ang[2]
+                  for c in range(3))
+
+    q_mask = kc.q_mask
+    qj = [q_t[kc.q_idx[:, k]]
+          * jnp.asarray(q_mask[:, k], dtype=dtype)[:, None] for k in range(7)]
+    qd_mask = kc.qd_mask
+    qdj = [qd_t[kc.qd_idx[:, k]]
+           * jnp.asarray(qd_mask[:, k], dtype=dtype)[:, None]
+           for k in range(6)]
+
+    ball = jnp.asarray(kc.is_ball)[:, None]
+    rot = _where(ball, _qnormalize(tuple(qj[0:4])), rot)
+    vel_w = _where(ball, tuple(qdj[0:3]), vel_w)
+
+    free = jnp.asarray(kc.is_free)[:, None]
+    pos = _where(free, tuple(qj[0:3]), pos)
+    rot = _where(free, _qnormalize(tuple(qj[3:7])), rot)
+    vel_v = _where(free, tuple(qdj[0:3]), vel_v)
+    vel_w = _where(free, tuple(qdj[3:6]), vel_w)
+    return (pos, rot), (vel_v, vel_w)
+
+
+def _fk_t(model, q_t, qd_t, bp0, bq0, bv0, bw0):
+    """Transposed level-parallel FK (articulation.py:238 _fk_bodies).
+
+    Returns updated (bp, bq tuple4, bv, bw) component tuples of (B, W)."""
+    st = model.structure
+    kc = get_kinematic_cache(st)
+    if kc.joint_count == 0:
+        return bp0, bq0, bv0, bw0
+    dtype = q_t.dtype
+
+    (Xj_p, Xj_q), (vj_v, vj_w) = _joint_motion_t(model, q_t, qd_t)
+    is_free = kc.is_free
+
+    bp, bq, bv, bw = bp0, bq0, bv0, bw0
+    for level in kc.levels:
+        j = level
+        parent = st.joint_parent[j]
+        child = st.joint_child[j]
+        has_parent = jnp.asarray(parent >= 0)[:, None]
+        parent_c = np.maximum(parent, 0)
+        zl = jnp.zeros((len(j), 1), dtype=dtype)
+        ident_p = (zl, zl, zl)
+        ident_q = (zl, zl, zl, zl + 1.0)
+
+        X_wp_p = _where(has_parent, _rows(bp, parent_c), ident_p)
+        X_wp_q = _where(has_parent, _rows(bq, parent_c), ident_q)
+        jXp = model.joint_X_p[j]
+        X_wpj_p, X_wpj_q = _tmul(
+            X_wp_p, X_wp_q, _const_vec(jXp[:, 0:3]),
+            tuple(jXp[:, 3 + k][:, None] for k in range(4)))
+        X_wcj_p, X_wcj_q = _tmul(X_wpj_p, X_wpj_q,
+                                 _rows(Xj_p, j), _rows(Xj_q, j))
+        # right-multiply by inverse child anchor transform
+        jXc = model.joint_X_c[j]
+        cq = tuple(jXc[:, 3 + k][:, None] for k in range(4))
+        cqi = (-cq[0], -cq[1], -cq[2], cq[3])
+        inv_p = _scale(_qrot(cqi, _const_vec(jXc[:, 0:3])), -1.0)
+        X_wc_p, X_wc_q = _tmul(X_wcj_p, X_wcj_q, inv_p, cqi)
+
+        qd_pv = _where(has_parent, _rows(bv, parent_c), ident_p)
+        qd_pw = _where(has_parent, _rows(bw, parent_c), ident_p)
+        com_p = _add(X_wp_p, _qrot(X_wp_q,
+                                   _const_vec(model.body_com[parent_c])))
+        v_parent_origin = _add(qd_pv,
+                               _cross(qd_pw, _sub(X_wc_p, com_p)))
+
+        lin_w = _qrot(X_wpj_q, _rows(vj_v, j))
+        ang_w = _qrot(X_wpj_q, _rows(vj_w, j))
+        com_c_vec = _qrot(X_wc_q, _const_vec(model.body_com[child]))
+        lin_origin_free = _sub(lin_w, _cross(ang_w, com_c_vec))
+        lin_origin_anchor = _add(lin_w, _cross(ang_w, _sub(X_wc_p, X_wcj_p)))
+        freemask = jnp.asarray(is_free[j])[:, None]
+        lin_origin = _where(freemask, lin_origin_free, lin_origin_anchor)
+
+        w_total = _add(qd_pw, ang_w)
+        v_origin = _add(v_parent_origin, lin_origin)
+        v_com = _add(v_origin, _cross(w_total, com_c_vec))
+
+        bp = tuple(a.at[child].set(x) for a, x in zip(bp, X_wc_p))
+        bq = tuple(a.at[child].set(x) for a, x in zip(bq, X_wc_q))
+        bv = tuple(a.at[child].set(x) for a, x in zip(bv, v_com))
+        bw = tuple(a.at[child].set(x) for a, x in zip(bw, w_total))
+    return bp, bq, bv, bw
+
+
+def _integrate_coords_t(model, q_t, qd_t, dt):
+    """Transposed integrate_coords (dynamics.py:362). Returns (nq, W)."""
+    gc = get_generalized_cache(model.structure)
+    q = q_t
+    if len(gc.lin_coord_idx):
+        q = q.at[gc.lin_coord_idx].add(dt * qd_t[gc.lin_coord_dof])
+
+    def integrate_quats(idx4, idx3):
+        quat = tuple(q[idx4[:, k]] for k in range(4))
+        omega = tuple(qd_t[idx3[:, k]] for k in range(3))
+        dq = _qmul((*omega, jnp.zeros_like(omega[0])), quat)
+        return _qnormalize(tuple(c + 0.5 * dt * d
+                                 for c, d in zip(quat, dq))), quat
+
+    if len(gc.quat_coord_starts):
+        idx4 = gc.quat_coord_starts[:, 0:1] + np.arange(4)[None, :]
+        idx3 = gc.quat_coord_starts[:, 1:2] + np.arange(3)[None, :]
+        new_q, _ = integrate_quats(idx4, idx3)
+        for k in range(4):
+            q = q.at[idx4[:, k]].set(new_q[k])
+    if len(gc.free_joints):
+        qs = gc.free_joints[:, 0]
+        ds = gc.free_joints[:, 1]
+        child = gc.free_joints[:, 2]
+        idx_p = qs[:, None] + np.arange(3)[None, :]
+        idx_q = qs[:, None] + np.arange(3, 7)[None, :]
+        idx_v = ds[:, None] + np.arange(3)[None, :]
+        idx_w = ds[:, None] + np.arange(3, 6)[None, :]
+        new_quat, quat = integrate_quats(idx_q, idx_w)
+        com = _const_vec(model.body_com[child])
+        p = tuple(q[idx_p[:, k]] for k in range(3))
+        v = tuple(qd_t[idx_v[:, k]] for k in range(3))
+        p_com = _add(_add(p, _qrot(quat, com)), _scale(v, dt))
+        p_new = _sub(p_com, _qrot(new_quat, com))
+        for k in range(3):
+            q = q.at[idx_p[:, k]].set(p_new[k])
+        for k in range(4):
+            q = q.at[idx_q[:, k]].set(new_quat[k])
+    return q
+
+
 # ---------------------------------------------------------------------------
 # applied generalized forces (PD drives, tendons, penalty limits)
 # ---------------------------------------------------------------------------
@@ -672,17 +856,12 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
     qd_new = jnp.clip(qd_new, -solver.max_velocity, solver.max_velocity)
     qd_new = jnp.where(jnp.isfinite(qd_new), qd_new, 0.0)
 
-    qd_W = qd_new.T                                     # (W, D)
-
-    def integrate_one(q, qd, body_q):
-        return integrate_coords(model, q, qd, body_q, dt)
-
-    q_W = jax.vmap(integrate_one)(state_b.joint_q, qd_W, state_b.body_q)
-
-    def fk_one(q, qd, s):
-        return eval_fk(model, q, qd, s)
-
-    out = jax.vmap(fk_one)(q_W, qd_W, state_b)
+    q_new_t = _integrate_coords_t(model, q_t, qd_new, dt)
+    bp2, bq2, bv2, bw2 = _fk_t(model, q_new_t, qd_new, bp, bq, bv, bw)
+    body_q = jnp.stack([*bp2, *bq2], axis=1).transpose(2, 0, 1)  # (W, B, 7)
+    body_qd = jnp.stack([*bv2, *bw2], axis=1).transpose(2, 0, 1)
+    out = state_b.replace(joint_q=q_new_t.T, joint_qd=qd_new.T,
+                          body_q=body_q, body_qd=body_qd)
     if new_custom:
         out = out.replace(custom=new_custom)
     return out

@@ -4,17 +4,23 @@ Mirrors the reference's device-parameterized testing
 (reference: newton/tests/unittest_utils.py:27-151) — there, tests run per
 CUDA device; here, single-device jit plus an 8-device CPU mesh validates the
 `jax.sharding` multi-chip path without TPU hardware.
+
+The TPU tunnel plugin registers itself from ``sitecustomize.py`` (via
+PYTHONPATH=.axon_site) at interpreter startup — BEFORE this file runs — and
+initializes the axon backend. Re-exec'ing is not an option under pytest's
+fd-level capture (the child's report would vanish into the capture tempfile),
+so instead force the platform config and drop any already-created backends;
+jax re-initializes on the CPU mesh at next use.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Drop the axon (TPU tunnel) plugin from PYTHONPATH: importing it blocks on
 # the single-tenant tunnel whenever another process is using the TPU, which
 # stalls CPU test runs for minutes.
 os.environ["PYTHONPATH"] = ""
-import sys
-
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -25,3 +31,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_platforms", "cpu")
+
+if jax.devices()[0].platform != "cpu" or len(jax.devices()) < 8:
+    # sitecustomize already initialized the axon backend: drop it and let
+    # jax re-create clients under the forced-CPU config above
+    from jax._src import xla_bridge as _xb
+
+    _xb._clear_backends()
+    assert jax.devices()[0].platform == "cpu" and len(jax.devices()) >= 8, (
+        f"tests need the 8-device CPU mesh, got {jax.devices()}")
