@@ -653,10 +653,12 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     def j_rows(dirs):                                   # (c, W) comps
         return sum(dc[:, None, :] * Vc for dc, Vc in zip(dirs, Vp)) * sign
 
+    # BLOCK row order: [normals (c) | t1 (c) | t2 (c) | lim-lo | lim-hi] —
+    # the cone projection then works on contiguous sublane slices (a hard
+    # requirement for the Pallas kernel; the XLA path shares the layout)
     Jn = j_rows(nrm)                                    # (c, d, W)
     Jt1 = j_rows(t1)
     Jt2 = j_rows(t2)
-    J3 = jnp.stack([Jn, Jt1, Jt2], axis=1).reshape(3 * c, d, W)
 
     nl = 0
     if limit_plan is not None and len(limit_plan[0]):
@@ -673,9 +675,9 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
         b_hi = solver.baumgarte / dt * jnp.maximum(qv - hi_l, 0.0)
         act_lo = qv <= lo_l + 1e-4
         act_hi = qv >= hi_l - 1e-4
-        J = jnp.concatenate([J3, Jlo, -Jlo], axis=0)    # (r, d, W)
+        J = jnp.concatenate([Jn, Jt1, Jt2, Jlo, -Jlo], axis=0)
     else:
-        J = J3
+        J = jnp.concatenate([Jn, Jt1, Jt2], axis=0)     # (r, d, W)
     r = 3 * c + 2 * nl
 
     # MinvJt[r, d] = sum_e J[r, e] Minv[e, d]
@@ -698,62 +700,36 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     b_n = (jnp.maximum(-e_rest * vn_pre, 0.0)
            + solver.baumgarte / dt
            * jnp.maximum(depth - solver.contact_slop, 0.0))
-    b_rows = jnp.zeros((c, 3, W), dtype=dtype)
-    b_rows = b_rows.at[:, 0, :].set(jnp.where(active, b_n, 0.0))
-    b_rows = b_rows.reshape(3 * c, W)
-    act3 = jnp.repeat(active, 3, axis=0)                # (3c, W)
+    zc = jnp.zeros((2 * c, W), dtype=dtype)
+    actf = active.astype(dtype)
+    b_rows = jnp.concatenate([jnp.where(active, b_n, 0.0), zc], axis=0)
+    act3 = jnp.concatenate([actf, actf, actf], axis=0)  # (3c, W)
     if nl:
         b_rows = jnp.concatenate([b_rows, b_lo, b_hi], axis=0)
-        act3 = jnp.concatenate([act3, act_lo, act_hi], axis=0)
+        act3 = jnp.concatenate(
+            [act3, act_lo.astype(dtype), act_hi.astype(dtype)], axis=0)
 
-    def Avec(x):
-        tmp = (MinvJt * x[:, None, :]).sum(axis=0)      # (d, W)
-        return (J * tmp[None, :, :]).sum(axis=1)        # (r, W)
-
-    inv_sqrt_d = jax.lax.rsqrt(diag)
-    u = jnp.where(act3, 1.0, 0.0)
-    u = u / jnp.maximum(
-        jnp.sqrt(jnp.sum(u * u, axis=0, keepdims=True)), 1.0)
-    for _ in range(6):
-        u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act3
-        u = u2 / jnp.maximum(
-            jnp.sqrt(jnp.sum(u2 * u2, axis=0, keepdims=True)), 1e-9)
-    lam_max = jnp.sum(u * (inv_sqrt_d * Avec(inv_sqrt_d * u)), axis=0)
-    step_scale = jnp.minimum(1.0, 1.8 / jnp.maximum(lam_max, 1e-9))
-    step = (solver.contact_relaxation * step_scale)[None, :] / diag
-
-    use_cone = solver.friction_cone == "cone"
-    omega_b = b_rows
-
-    def pgs_iter(lam):
-        res = Avec(lam) + v_free - omega_b
-        lam_full = lam - step * res
-        if nl:
-            lam_lim = jnp.maximum(lam_full[3 * c:], 0.0)
-            lam_lim = jnp.where(act3[3 * c:], lam_lim, 0.0)
-        lam_new = lam_full[:3 * c].reshape(c, 3, W)
-        ln = jnp.maximum(lam_new[:, 0], 0.0)
-        cap = mu * ln
-        if use_cone:
-            tmag = jnp.sqrt(lam_new[:, 1] ** 2 + lam_new[:, 2] ** 2)
-            sc = jnp.minimum(cap / jnp.maximum(tmag, 1e-9), 1.0)
-            lt1 = lam_new[:, 1] * sc
-            lt2 = lam_new[:, 2] * sc
-        else:
-            lt1 = jnp.clip(lam_new[:, 1], -cap, cap)
-            lt2 = jnp.clip(lam_new[:, 2], -cap, cap)
-        lam_new = jnp.stack([ln, lt1, lt2], axis=1).reshape(3 * c, W)
-        lam_new = jnp.where(act3[:3 * c], lam_new, 0.0)
-        if nl:
-            lam_new = jnp.concatenate([lam_new, lam_lim], axis=0)
-        return jnp.where(jnp.isfinite(lam_new), lam_new, 0.0)
-
-    lam = jnp.zeros((r, W), dtype=dtype)
+    lam0 = jnp.zeros((r, W), dtype=dtype)
     if warm_lam is not None:
-        lam = lam.at[:3 * c].set(jnp.where(act3[:3 * c], warm_lam, 0.0))
-    for _ in range(solver.contact_iterations):
-        lam = pgs_iter(lam)
-    dqd = (MinvJt * lam[:, None, :]).sum(axis=0)        # (d, W)
+        lam0 = lam0.at[:3 * c].set(act3[:3 * c] * warm_lam)
+
+    from .pgs_pallas import pgs_core, pgs_solve_pallas
+    use_cone = solver.friction_cone == "cone"
+    backend = getattr(solver, "pgs_backend", "auto")
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and W % 128 == 0 else "xla")
+    elif backend == "pallas" and W % 128 != 0:
+        backend = "xla"
+    kw = dict(c=c, nl=nl, iters=solver.contact_iterations,
+              omega=solver.contact_relaxation, use_cone=use_cone)
+    if backend == "pallas":
+        lam, dqd = pgs_solve_pallas(
+            J, MinvJt, diag, v_free, b_rows, act3,
+            jnp.broadcast_to(mu, (c, W)), lam0, **kw)
+    else:
+        lam, dqd = pgs_core(J, MinvJt, diag, v_free, b_rows, act3, mu,
+                            lam0, **kw)
     return qd_g + dqd, lam[:3 * c]
 
 

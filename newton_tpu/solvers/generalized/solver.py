@@ -135,7 +135,8 @@ class SolverFeatherstone(SolverBase):
                  sleep_steps: int = 16,
                  warm_start: bool = False,
                  max_velocity: float = 1.0e3,
-                 update_mass_matrix_interval: int = 1):
+                 update_mass_matrix_interval: int = 1,
+                 pgs_backend: str = "auto"):
         super().__init__(model)
         st = model.structure
         self.gc = get_generalized_cache(st)
@@ -164,6 +165,11 @@ class SolverFeatherstone(SolverBase):
         # instead of poisoning the batch (MuJoCo's MAXVAL guards play the
         # same role; per-dof model.joint_velocity_limit still applies)
         self.max_velocity = float(max_velocity)
+        # contact-solve backend for step_batched: "pallas" keeps J / M^-1 J^T
+        # VMEM-resident across all PGS passes (one HBM read instead of ~15);
+        # "xla" is the fused-jnp fallback (CPU, autodiff); "auto" picks
+        # pallas on TPU. (pgs_pallas.py)
+        self.pgs_backend = pgs_backend
         self.contact_plans = _plan_group_contacts(st, self.gc.groups)
         # per-group dofs with finite limits (local dof + local coord index)
         self.limit_plans = []

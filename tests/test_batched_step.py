@@ -129,6 +129,33 @@ def test_smooth_only_parity():
     _assert_state_close(got, ref)
 
 
+def test_pgs_pallas_interpret_matches_core():
+    """Pallas PGS kernel (interpret mode) == shared jnp core."""
+    from newton_tpu.solvers.generalized import pgs_pallas as pk
+    rng = np.random.RandomState(0)
+    c, nl, d, W = 5, 3, 7, 256
+    r = 3 * c + 2 * nl
+    J = jnp.asarray(rng.randn(r, d, W), jnp.float32)
+    Minv = rng.randn(d, d)
+    Minv = Minv @ Minv.T + np.eye(d)
+    MJ = jnp.einsum("rdw,de->rew", J, jnp.asarray(Minv, jnp.float32))
+    diag = (J * MJ).sum(axis=1) + 1e-3
+    vfree = jnp.asarray(rng.randn(r, W), jnp.float32)
+    b = jnp.abs(jnp.asarray(rng.randn(r, W), jnp.float32))
+    act = jnp.asarray((rng.rand(r, W) > 0.3), jnp.float32)
+    mu = jnp.abs(jnp.asarray(rng.rand(c, W), jnp.float32))
+    lam0 = jnp.zeros((r, W), jnp.float32)
+    for use_cone in (False, True):
+        kw = dict(c=c, nl=nl, iters=8, omega=0.8, use_cone=use_cone)
+        l1, d1 = pk.pgs_core(J, MJ, diag, vfree, b, act, mu, lam0, **kw)
+        l2, d2 = pk.pgs_solve_pallas(J, MJ, diag, vfree, b, act, mu, lam0,
+                                     interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_fallback_paths_used():
     """Sleep-enabled solver falls back to the vmapped path and still works."""
     from newton_tpu.solvers.generalized.batched import (
