@@ -618,6 +618,93 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     depth = contacts_b.rigid_contact_depth[:, slots].T
     active = contacts_b.rigid_contact_mask[:, slots].T
 
+    mu = 0.5 * (model.shape_material_mu[np.maximum(solver.slot_shape0, 0)]
+                + model.shape_material_mu[np.maximum(solver.slot_shape1, 0)]
+                )[slots]                                # (c,)
+    e_rest = 0.5 * (
+        model.shape_material_restitution[np.maximum(solver.slot_shape0, 0)]
+        + model.shape_material_restitution[np.maximum(solver.slot_shape1, 0)]
+    )[slots]
+
+    anc = np.asarray(g.anc, dtype=np.float32)           # (b, d) numpy
+    zero_d = np.zeros((g.d,), dtype=np.float32)
+    anc1 = np.where((plan.lb1 >= 0)[:, None],
+                    anc[np.maximum(plan.lb1, 0)], zero_d)   # (c, d)
+    anc0 = np.where((plan.lb0 >= 0)[:, None],
+                    anc[np.maximum(plan.lb0, 0)], zero_d)
+    sign_full = jnp.asarray(anc1 - anc0, dtype=dtype)   # (c, d)
+
+    # restitution pre-velocities on the FULL slot set (cheap, elementwise;
+    # must precede compaction because plan.lb0/lb1 are per-slot static)
+    def vel_of(lb):
+        gb = g.body_idx[0][np.maximum(lb, 0)]           # (c,) static
+        vv = _add(_rows(bv, gb),
+                  _cross(_rows(bw, gb), _sub(pos, _rows(x_b_all, gb))))
+        on = jnp.asarray(lb >= 0)[:, None]
+        return tuple(jnp.where(on, x, 0.0) for x in vv)
+
+    rel_v = _sub(vel_of(plan.lb1), vel_of(plan.lb0))
+    vn_pre = _dot(nrm, rel_v)                           # (c, W)
+
+    # top-K-by-depth compaction (must mirror _solve_contacts exactly for
+    # the batched-vs-vmapped parity tests): same score, same top_k.
+    # Data movement is a one-hot compare-and-reduce, NOT take_along_axis:
+    # per-lane sublane gathers lower to a scalar-serial TPU path (~0.67 ms
+    # per array, profiled); the masked reduction stays on the VPU.
+    K = solver._plan_cap(c)
+    if K < c:
+        score = active.astype(dtype) * jnp.maximum(1.0 + depth, 0.5)
+        idx = jax.lax.top_k(score.T, K)[1].T            # (K, W)
+        onehot = (idx[None, :, :] ==
+                  jnp.arange(c, dtype=idx.dtype)[:, None, None])  # (c, K, W)
+        oh_f = onehot.astype(dtype)
+
+        def gK(arr):                                    # (c, W) -> (K, W)
+            return jnp.sum(arr[:, None, :] * oh_f, axis=0)
+
+        nrm = tuple(gK(x) for x in nrm)
+        pos = tuple(gK(x) for x in pos)
+        depth, vn_pre = gK(depth), gK(vn_pre)
+        active = jnp.any(onehot & active[:, None, :], axis=0)
+        mu = gK(jnp.broadcast_to(
+            jnp.asarray(mu, dtype=dtype)[:, None], (c, W)))
+        e_rest = gK(jnp.broadcast_to(
+            jnp.asarray(e_rest, dtype=dtype)[:, None], (c, W)))
+        # sign rows via a body one-hot: compact the local body indices as
+        # float channels, then contract a (b+1, d) table (last row zero for
+        # static shapes) against the body mask — b*d*K*W FMAs, no gather
+        lb0f = gK(jnp.broadcast_to(jnp.asarray(
+            plan.lb0, dtype=dtype)[:, None], (c, W)))
+        lb1f = gK(jnp.broadcast_to(jnp.asarray(
+            plan.lb1, dtype=dtype)[:, None], (c, W)))
+        b_cnt = g.anc.shape[0]
+        anc_ext = jnp.asarray(
+            np.concatenate([np.asarray(g.anc, dtype=np.float32),
+                            np.zeros((1, g.d), dtype=np.float32)], axis=0),
+            dtype=dtype)                                # (b+1, d)
+        iota_b = jnp.arange(b_cnt + 1, dtype=dtype)[:, None, None]
+
+        def body_rows(lbf):
+            lb_ix = jnp.where(lbf < 0, float(b_cnt), lbf)
+            bmask = (lb_ix[None, :, :] == iota_b).astype(dtype)  # (b+1,K,W)
+            return jnp.einsum("bd,bkw->kdw", anc_ext, bmask)     # (K, d, W)
+
+        sign = body_rows(lb1f) - body_rows(lb0f)
+    else:
+        idx = None
+        mu = jnp.asarray(mu, dtype=dtype)[:, None]      # (c, 1)
+        e_rest = jnp.asarray(e_rest, dtype=dtype)[:, None]
+        sign = sign_full[:, :, None]                    # (c, d, 1)
+    c_full, c = c, K
+    if idx is not None:
+        # materialize the compacted operands once: without this barrier XLA
+        # re-fuses the compaction reductions into every (K, d, W) broadcast
+        # term of the J build
+        packed = jax.lax.optimization_barrier(
+            (*nrm, *pos, depth, active, vn_pre, mu, e_rest, sign))
+        nrm, pos = packed[0:3], packed[3:6]
+        depth, active, vn_pre, mu, e_rest, sign = packed[6:]
+
     # tangent basis (math/spatial.py:108, Duff et al.)
     nx, ny, nz = nrm
     s = jnp.where(nz >= 0.0, 1.0, -1.0)
@@ -626,14 +713,6 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     t1 = (1.0 + s * nx * nx * a, s * b_, -s * nx)
     t2 = (b_, s + ny * ny * a, -ny)
 
-    mu = 0.5 * (model.shape_material_mu[np.maximum(solver.slot_shape0, 0)]
-                + model.shape_material_mu[np.maximum(solver.slot_shape1, 0)]
-                )[slots][:, None]                       # (c, 1)
-    e_rest = 0.5 * (
-        model.shape_material_restitution[np.maximum(solver.slot_shape0, 0)]
-        + model.shape_material_restitution[np.maximum(solver.slot_shape1, 0)]
-    )[slots][:, None]
-
     di = g.dof_idx[0]
     vg = _rows(v_o, di)                                 # (d, W)
     wg = _rows(w_o, di)
@@ -641,14 +720,6 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     wg1 = tuple(x[None, :, :] for x in wg)
     pos1 = tuple(x[:, None, :] for x in pos)            # (c, 1, W)
     Vp = _add(vg1, _cross(wg1, pos1))                   # (c, d, W)
-
-    anc = np.asarray(g.anc, dtype=np.float32)           # (b, d) numpy
-    zero_d = np.zeros((g.d,), dtype=np.float32)
-    anc1 = np.where((plan.lb1 >= 0)[:, None],
-                    anc[np.maximum(plan.lb1, 0)], zero_d)   # (c, d)
-    anc0 = np.where((plan.lb0 >= 0)[:, None],
-                    anc[np.maximum(plan.lb0, 0)], zero_d)
-    sign = jnp.asarray(anc1 - anc0, dtype=dtype)[:, :, None]  # (c, d, 1)
 
     def j_rows(dirs):                                   # (c, W) comps
         return sum(dc[:, None, :] * Vc for dc, Vc in zip(dirs, Vp)) * sign
@@ -687,16 +758,6 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
             + solver.contact_reg)
     v_free = (J * qd_g[None, :, :]).sum(axis=1)         # (r, W)
 
-    # restitution: pre-step relative normal velocity at contact points
-    def vel_of(lb):
-        gb = g.body_idx[0][np.maximum(lb, 0)]           # (c,) static
-        vv = _add(_rows(bv, gb),
-                  _cross(_rows(bw, gb), _sub(pos, _rows(x_b_all, gb))))
-        on = jnp.asarray(lb >= 0)[:, None]
-        return tuple(jnp.where(on, x, 0.0) for x in vv)
-
-    rel_v = _sub(vel_of(plan.lb1), vel_of(plan.lb0))
-    vn_pre = _dot(nrm, rel_v)                           # (c, W)
     b_n = (jnp.maximum(-e_rest * vn_pre, 0.0)
            + solver.baumgarte / dt
            * jnp.maximum(depth - solver.contact_slop, 0.0))
@@ -711,15 +772,26 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
 
     lam0 = jnp.zeros((r, W), dtype=dtype)
     if warm_lam is not None:
+        # stored in FULL slot space (3c_full, W), block layout [n|t1|t2]
+        if idx is not None:
+            oh_w = (idx[None, :, :] == jnp.arange(
+                c_full, dtype=idx.dtype)[:, None, None]).astype(dtype)
+            warm_lam = jnp.concatenate(
+                [jnp.sum(warm_lam[k * c_full:(k + 1) * c_full][:, None, :]
+                         * oh_w, axis=0) for k in range(3)], axis=0)
         lam0 = lam0.at[:3 * c].set(act3[:3 * c] * warm_lam)
 
     from .pgs_pallas import pgs_core, pgs_solve_pallas
     use_cone = solver.friction_cone == "cone"
     backend = getattr(solver, "pgs_backend", "auto")
+    # VMEM fit: the kernel holds J/MJ blocks + (r, d, wt) matvec temporaries
+    # at the minimum tile wt=128; past that it OOMs scoped VMEM (humanoid
+    # uncompacted: r=610, d=23 -> 32 MB > 16 MB limit)
+    fits_vmem = r * d * 128 * 4 * 6 <= 12e6
     if backend == "auto":
         backend = ("pallas" if jax.default_backend() == "tpu"
-                   and W % 128 == 0 else "xla")
-    elif backend == "pallas" and W % 128 != 0:
+                   and W % 128 == 0 and fits_vmem else "xla")
+    elif backend == "pallas" and (W % 128 != 0 or not fits_vmem):
         backend = "xla"
     kw = dict(c=c, nl=nl, iters=solver.contact_iterations,
               omega=solver.contact_relaxation, use_cone=use_cone)
@@ -730,7 +802,16 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     else:
         lam, dqd = pgs_core(J, MinvJt, diag, v_free, b_rows, act3, mu,
                             lam0, **kw)
-    return qd_g + dqd, lam[:3 * c]
+    lam3 = lam[:3 * c]
+    if idx is not None and solver.warm_start:
+        # scatter back to full slot space for warm-start storage (one-hot
+        # contraction — per-lane scatters hit the same scalar path gathers do)
+        oh = (idx[None, :, :] == jnp.arange(
+            c_full, dtype=idx.dtype)[:, None, None]).astype(dtype)  # (cf,K,W)
+        lam3 = jnp.concatenate(
+            [jnp.sum(oh * lam[k * c:(k + 1) * c][None], axis=1)
+             for k in range(3)], axis=0)
+    return qd_g + dqd, lam3
 
 
 # ---------------------------------------------------------------------------

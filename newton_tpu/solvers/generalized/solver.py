@@ -136,7 +136,8 @@ class SolverFeatherstone(SolverBase):
                  warm_start: bool = False,
                  max_velocity: float = 1.0e3,
                  update_mass_matrix_interval: int = 1,
-                 pgs_backend: str = "auto"):
+                 pgs_backend: str = "auto",
+                 contact_cap: Optional[int] = None):
         super().__init__(model)
         st = model.structure
         self.gc = get_generalized_cache(st)
@@ -170,6 +171,13 @@ class SolverFeatherstone(SolverBase):
         # "xla" is the fused-jnp fallback (CPU, autodiff); "auto" picks
         # pallas on TPU. (pgs_pallas.py)
         self.pgs_backend = pgs_backend
+        # per-env contact compaction: scenes with many candidate slots but
+        # few simultaneous touches (humanoid: 192 slots, <20 active) solve a
+        # top-K-by-depth subset per env instead of the full dense system —
+        # the reference's global contact reducer plays the same role
+        # (reference geometry/contact_reduction.py). None = auto (cap 32),
+        # <=0 disables, >0 explicit cap.
+        self.contact_cap = contact_cap
         self.contact_plans = _plan_group_contacts(st, self.gc.groups)
         # per-group dofs with finite limits (local dof + local coord index)
         self.limit_plans = []
@@ -523,6 +531,15 @@ class SolverFeatherstone(SolverBase):
         _, c2 = self.step_with_contacts(state_in, None, None, contacts, dt)
         return c2
 
+    def _plan_cap(self, c: int) -> int:
+        """Resolved per-env contact cap for a plan with ``c`` slots."""
+        cap = self.contact_cap
+        if cap is None:
+            return min(c, 32)
+        if cap <= 0:
+            return c
+        return min(c, int(cap))
+
     # ------------------------------------------------------------------
     def _solve_contacts(self, model, contacts, g, plan, Minv, qd_g,
                         v_o, w_o, state_in, body_q, dt,
@@ -543,7 +560,6 @@ class SolverFeatherstone(SolverBase):
         pos = contacts.rigid_contact_position[slots]
         depth = contacts.rigid_contact_depth[slots]
         active = contacts.rigid_contact_mask[slots]
-        t1, t2 = orthonormal_basis(nrm)
 
         # friction coefficient per slot
         mu = 0.5 * (model.shape_material_mu[np.maximum(self.slot_shape0, 0)]
@@ -552,25 +568,50 @@ class SolverFeatherstone(SolverBase):
         e_rest = 0.5 * (model.shape_material_restitution[np.maximum(self.slot_shape0, 0)]
                         + model.shape_material_restitution[np.maximum(self.slot_shape1, 0)])[slots]
 
-        # jacobian J: (n, c, 3, d) — rows n/t1/t2
-        vg = v_o[g.dof_idx]                                 # (n, d, 3)
-        wg = w_o[g.dof_idx]
-        # dof twist linear velocity at contact point: v + w x p
-        Vp = vg[:, None, :, :] + jnp.cross(wg[:, None, :, :],
-                                           pos[:, :, None, :])  # (n, c, d, 3)
+        # restitution pre-velocity on the FULL slot set (cheap, elementwise)
+        vn_pre = jnp.einsum("ncx,ncx->nc", nrm,
+                            _point_vel(state_in, model, g, plan, pos))
+
         anc = jnp.asarray(g.anc, dtype=dtype)               # (b, d)
         zero = jnp.zeros((g.d,), dtype=dtype)
         anc1 = jnp.where((plan.lb1 >= 0)[:, None],
                          anc[np.maximum(plan.lb1, 0)], zero)   # (c, d)
         anc0 = jnp.where((plan.lb0 >= 0)[:, None],
                          anc[np.maximum(plan.lb0, 0)], zero)
-        dirs = jnp.stack([nrm, t1, t2], axis=2)             # (n, c, 3, 3)
+        sign_full = anc1 - anc0                             # (c, d)
+
+        # top-K-by-depth compaction: the dense system scales with slots, not
+        # with touching contacts; pick the K deepest active slots per env
+        K = self._plan_cap(c)
+        if K < c:
+            score = active.astype(dtype) * jnp.maximum(1.0 + depth, 0.5)
+            _, idx = jax.lax.top_k(score, K)                # (n, K)
+            g1 = lambda a: jnp.take_along_axis(a, idx, axis=1)
+            g3 = lambda a: jnp.take_along_axis(a, idx[..., None], axis=1)
+            nrm_c, pos_c = g3(nrm), g3(pos)
+            depth_c, active_c = g1(depth), g1(active)
+            mu_c, e_rest_c, vn_pre_c = g1(mu), g1(e_rest), g1(vn_pre)
+            sign_c = sign_full[idx]                         # (n, K, d)
+        else:
+            idx = None
+            nrm_c, pos_c, depth_c, active_c = nrm, pos, depth, active
+            mu_c, e_rest_c, vn_pre_c = mu, e_rest, vn_pre
+            sign_c = jnp.broadcast_to(sign_full[None], (n_env, c, g.d))
+        t1, t2 = orthonormal_basis(nrm_c)
+
+        # jacobian J: (n, K, 3, d) — rows n/t1/t2
+        vg = v_o[g.dof_idx]                                 # (n, d, 3)
+        wg = w_o[g.dof_idx]
+        # dof twist linear velocity at contact point: v + w x p
+        Vp = vg[:, None, :, :] + jnp.cross(wg[:, None, :, :],
+                                           pos_c[:, :, None, :])  # (n,K,d,3)
+        dirs = jnp.stack([nrm_c, t1, t2], axis=2)           # (n, K, 3, 3)
         # store the Jacobian TRANSPOSED, (n, d, rows): the row count (~91)
         # rides the 128-lane axis with ~1.4x padding, where (rows, d=14)
         # layouts pad 14 -> 128 lanes and 9x every PGS matvec's HBM traffic
-        sign_t = jnp.swapaxes(anc1 - anc0, 0, 1)[None, :, :, None]  # (1,d,c,1)
+        sign_t = jnp.swapaxes(sign_c, 1, 2)[:, :, :, None]  # (n, d, K, 1)
         Jt = (jnp.einsum("nckx,ncdx->ndck", dirs, Vp)
-              * sign_t).reshape(n_env, d, 3 * c)
+              * sign_t).reshape(n_env, d, 3 * K)
 
         # joint-limit rows: unilateral constraints in dof space
         # (reference mujoco limit rows; replaces explicit penalty springs)
@@ -602,20 +643,19 @@ class SolverFeatherstone(SolverBase):
         v_free = jnp.einsum("ndr,nd->nr", Jt, qd_g)         # (n, r)
 
         # desired normal velocity: restitution + Baumgarte stabilization
-        vn_pre = jnp.einsum("ncx,ncx->nc", nrm,
-                            _point_vel(state_in, model, g, plan, pos))
-        b_n = jnp.maximum(-e_rest * vn_pre, 0.0) \
-            + self.baumgarte / dt * jnp.maximum(depth - self.contact_slop, 0.0)
-        b = jnp.zeros((n_env, c, 3), dtype=dtype)
-        b = b.at[:, :, 0].set(jnp.where(active, b_n, 0.0))
-        b = b.reshape(n_env, 3 * c)
-        act3 = jnp.repeat(active, 3, axis=-1).reshape(n_env, 3 * c)
+        b_n = jnp.maximum(-e_rest_c * vn_pre_c, 0.0) \
+            + self.baumgarte / dt * jnp.maximum(depth_c - self.contact_slop,
+                                                0.0)
+        b = jnp.zeros((n_env, K, 3), dtype=dtype)
+        b = b.at[:, :, 0].set(jnp.where(active_c, b_n, 0.0))
+        b = b.reshape(n_env, 3 * K)
+        act3 = jnp.repeat(active_c, 3, axis=-1).reshape(n_env, 3 * K)
         if nl:
             b = jnp.concatenate([b, b_lo, b_hi], axis=1)
             act3 = jnp.concatenate([act3, act_lo, act_hi], axis=1)
 
         omega = self.contact_relaxation
-        mu3 = mu  # (n, c)
+        mu3 = mu_c  # (n, K)
 
         def Avec(x):
             return jnp.einsum("ndr,nd->nr", Jt,
@@ -642,9 +682,9 @@ class SolverFeatherstone(SolverBase):
             r = Avec(lam) + v_free - b
             lam_full = lam - step * r
             if nl:
-                lam_lim = jnp.maximum(lam_full[:, 3 * c:], 0.0)
-                lam_lim = jnp.where(act3[:, 3 * c:], lam_lim, 0.0)
-            lam_new = lam_full[:, :3 * c].reshape(n_env, c, 3)
+                lam_lim = jnp.maximum(lam_full[:, 3 * K:], 0.0)
+                lam_lim = jnp.where(act3[:, 3 * K:], lam_lim, 0.0)
+            lam_new = lam_full[:, :3 * K].reshape(n_env, K, 3)
             ln = jnp.maximum(lam_new[:, :, 0], 0.0)
             cap = mu3 * ln
             if use_cone:
@@ -658,8 +698,8 @@ class SolverFeatherstone(SolverBase):
             else:
                 lt1 = jnp.clip(lam_new[:, :, 1], -cap, cap)
                 lt2 = jnp.clip(lam_new[:, :, 2], -cap, cap)
-            lam_new = jnp.stack([ln, lt1, lt2], axis=-1).reshape(n_env, 3 * c)
-            lam_new = jnp.where(act3[:, :3 * c], lam_new, 0.0)
+            lam_new = jnp.stack([ln, lt1, lt2], axis=-1).reshape(n_env, 3 * K)
+            lam_new = jnp.where(act3[:, :3 * K], lam_new, 0.0)
             if nl:
                 lam_new = jnp.concatenate([lam_new, lam_lim], axis=1)
             # divergence guard: a non-finite row resets instead of poisoning
@@ -667,18 +707,32 @@ class SolverFeatherstone(SolverBase):
             lam_new = jnp.where(jnp.isfinite(lam_new), lam_new, 0.0)
             return lam_new, None
 
-        lam = jnp.zeros((n_env, 3 * c + 2 * nl), dtype=dtype)
+        lam = jnp.zeros((n_env, 3 * K + 2 * nl), dtype=dtype)
         if self.warm_start and group_index is not None:
             prev = state_in.custom.get(f"contact:lam:{group_index}")
             if prev is not None:
-                lam = lam.at[:, :3 * c].set(
-                    jnp.where(act3[:, :3 * c], prev, 0.0))
+                prev3 = prev.reshape(n_env, c, 3)
+                if idx is not None:
+                    prev3 = jnp.take_along_axis(prev3, idx[..., None], axis=1)
+                lam = lam.at[:, :3 * K].set(jnp.where(
+                    act3[:, :3 * K], prev3.reshape(n_env, 3 * K), 0.0))
         # trace-time unrolled (small static count): avoids the while-loop
         # carry copies that showed up in the op trace
         for _ in range(self.contact_iterations):
             lam, _ = pgs_iter(lam, None)
         dqd = jnp.einsum("ndr,nr->nd", MinvJt, lam, precision=hp)
-        return qd_g + dqd, lam[:, :3 * c], dirs
+        # scatter lam / dirs back to the full slot space so warm-start
+        # storage and force reporting keep their per-slot contracts
+        lam3 = lam[:, :3 * K].reshape(n_env, K, 3)
+        if idx is not None:
+            rows = jnp.arange(n_env)[:, None]
+            lam_slots = jnp.zeros((n_env, c, 3), dtype=dtype
+                                  ).at[rows, idx].set(lam3)
+            dirs_slots = jnp.zeros((n_env, c, 3, 3), dtype=dtype
+                                   ).at[rows, idx].set(dirs)
+        else:
+            lam_slots, dirs_slots = lam3, dirs
+        return (qd_g + dqd, lam_slots.reshape(n_env, 3 * c), dirs_slots)
 
 
 def _point_vel(state_in, model, g, plan, pos):
@@ -704,16 +758,41 @@ class SolverMuJoCo(SolverFeatherstone):
     MuJoCo-flavored defaults; accepts and ignores bridge-specific kwargs
     (``use_mujoco_contacts``, ``nefc_per_env``, ...) for drop-in use."""
 
+    _IGNORED_BRIDGE_KWARGS = frozenset((
+        "use_mujoco_contacts", "nefc_per_env", "ncon_per_env", "disableflags",
+        "impratio_mjc", "register_collision_groups", "use_mujoco",
+        "save_to_mjcf", "separate_envs_to_worlds", "njmax", "cone",
+        "update_data_interval", "contact_stiffness_time_const",
+    ))
+
     def __init__(self, model: Model, iterations: int = 16,
                  ls_iterations: int = 0, solver: str = "pgs",
                  integrator: str = "euler", **kwargs):
         known = dict(
             contact_iterations=iterations,
         )
-        for k in ("contact_relaxation", "contact_reg", "baumgarte",
-                  "contact_slop", "angular_damping"):
+        passthrough = ("contact_relaxation", "contact_reg", "baumgarte",
+                       "contact_slop", "angular_damping", "friction_cone",
+                       "limit_mode", "sleep_threshold", "sleep_steps",
+                       "warm_start", "max_velocity",
+                       "update_mass_matrix_interval", "pgs_backend",
+                       "contact_cap", "impratio")
+        for k in passthrough:
             if k in kwargs:
-                known[k] = kwargs[k]
+                known[k] = kwargs.pop(k)
+        for k in kwargs:
+            # loud drop-in behavior: a silently-swallowed kwarg means
+            # silently different physics (reference bridge kwargs,
+            # solver_mujoco.py:430)
+            import warnings
+            if k in self._IGNORED_BRIDGE_KWARGS:
+                warnings.warn(
+                    f"SolverMuJoCo: bridge-specific kwarg {k!r} has no "
+                    "equivalent here and is ignored", stacklevel=2)
+            else:
+                warnings.warn(
+                    f"SolverMuJoCo: unknown kwarg {k!r} ignored — physics "
+                    "may differ from what you asked for", stacklevel=2)
         super().__init__(model, **known)
 
 

@@ -156,6 +156,63 @@ def test_pgs_pallas_interpret_matches_core():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_humanoid_batched_matches_vmap():
+    """Contact compaction (192 slots -> top-32) through both paths: the
+    batched top-k selection must mirror the per-env one exactly."""
+    b = nt.ModelBuilder()
+    b.add_mjcf(os.path.join(ASSET_DIR, "humanoid.xml"))
+    model = b.finalize()
+    pipe = CollisionPipeline(model)
+    solver = SolverMuJoCo(model, iterations=4)
+    assert solver._plan_cap(192) == 32
+    state0 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    sb = _perturbed_batch(model, state0, 3, jax.random.PRNGKey(7), drop=0.12)
+    dt = 1.0 / 240.0
+    contacts = jax.vmap(pipe.collide)(sb)
+    cb = jax.vmap(lambda f: model.control().replace(joint_f=f))(
+        0.2 * jax.random.normal(jax.random.PRNGKey(8),
+                                (3, model.joint_dof_count)))
+    ref = jax.jit(jax.vmap(lambda s, c, ct: solver.step(s, None, c, ct, dt))
+                  )(sb, cb, contacts)
+    got = jax.jit(lambda s, c, ct: solver.step_batched(s, None, c, ct, dt)
+                  )(sb, cb, contacts)
+    _assert_state_close(got, ref)
+
+
+def test_contact_cap_matches_uncapped_when_loose():
+    """A cap larger than the number of simultaneously-active contacts must
+    not change the solution (compaction only drops inactive slots)."""
+    model = _build_ant()
+    pipe = CollisionPipeline(model)
+    state0 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    sb = _perturbed_batch(model, state0, 4, jax.random.PRNGKey(9), drop=0.08)
+    dt = 1.0 / 240.0
+    contacts = jax.vmap(pipe.collide)(sb)
+    # ant has c=25 slots; at most the 8 foot/ground + a few self contacts
+    # are active after a small drop
+    n_active = int(np.asarray(contacts.rigid_contact_mask).sum(-1).max())
+    assert n_active <= 16, f"scene has {n_active} active contacts"
+    full = SolverMuJoCo(model, iterations=8, contact_cap=-1)
+    capped = SolverMuJoCo(model, iterations=8, contact_cap=16)
+    ref = jax.jit(lambda s, ct: full.step_batched(s, None, None, ct, dt)
+                  )(sb, contacts)
+    got = jax.jit(lambda s, ct: capped.step_batched(s, None, None, ct, dt)
+                  )(sb, contacts)
+    _assert_state_close(got, ref)
+
+
+def test_solver_mujoco_warns_on_unknown_kwargs():
+    import warnings
+    model = _build_ant()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        SolverMuJoCo(model, iterations=2, use_mujoco_contacts=True,
+                     totally_bogus_option=1)
+    msgs = [str(w.message) for w in rec]
+    assert any("use_mujoco_contacts" in m for m in msgs)
+    assert any("totally_bogus_option" in m for m in msgs)
+
+
 def test_fallback_paths_used():
     """Sleep-enabled solver falls back to the vmapped path and still works."""
     from newton_tpu.solvers.generalized.batched import (
