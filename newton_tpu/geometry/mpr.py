@@ -1,0 +1,252 @@
+"""Batched Minkowski Portal Refinement for convex-convex penetration.
+
+TPU-native equivalent of reference newton/_src/geometry/mpr.py (XenoCollide
+portal discovery + refinement, ~635 LoC of Warp kernels) and the manifold
+builder of multicontact.py:118. The reference walks data-dependent loops per
+pair; this implementation runs the same portal algebra branch-free over the
+whole pair batch with fixed iteration counts — every conditional portal
+update is a ``jnp.where`` select, so one program serves all pairs and XLA
+vectorizes across them.
+
+Outputs follow the repo contact convention (sim/collide.py): ``normal``
+points from shape A (first) toward shape B (second), ``depth > 0`` means
+penetration, and translating B by ``+depth * normal`` separates the pair.
+
+Manifold generation uses tilted-support sampling around the contact normal
+(the approach of MuJoCo's multiccd): four support probes tilted toward the
+tangent directions recover the corners of a flat contact patch without the
+reference's polygon clipping machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..math import quat_rotate_inv, transform_point
+
+__all__ = ["mpr_contact", "convex_manifold"]
+
+
+def _normalize(v, eps=1e-12):
+    return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, axis=-1,
+                                                 keepdims=True), eps))
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _support1(verts, X, d):
+    """World support point of a local vertex cloud. verts (n, H, 3),
+    X (n, 7), d (n, 3) world direction."""
+    dl = quat_rotate_inv(X[:, 3:7], d)
+    dots = jnp.einsum("nhc,nc->nh", verts, dl)
+    idx = jnp.argmax(dots, axis=-1)
+    p = jnp.take_along_axis(
+        verts, jnp.broadcast_to(idx[:, None, None], (verts.shape[0], 1, 3)),
+        axis=1)[:, 0]
+    return transform_point(X, p)
+
+
+def _msup(va, Xa, vb, Xb, d):
+    """Minkowski difference (A - B) support along d, with witnesses."""
+    pa = _support1(va, Xa, d)
+    pb = _support1(vb, Xb, -d)
+    return pa - pb, pa, pb
+
+
+def mpr_contact(va: jnp.ndarray, Xa: jnp.ndarray,
+                vb: jnp.ndarray, Xb: jnp.ndarray,
+                discover_iters: int = 6, refine_iters: int = 20
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Penetration depth / normal / midpoint for overlapping convex pairs.
+
+    va/vb: (n, H, 3) shape-local hull vertices (pad by repeating any vertex);
+    Xa/Xb: (n, 7) world transforms. Returns (hit (n,), depth (n,),
+    normal (n, 3) from A toward B, point (n, 3) world contact midpoint).
+    For non-overlapping pairs hit is False and the other outputs are
+    best-effort (use a GJK distance pass for margin contacts).
+    """
+    n_pairs = va.shape[0]
+    dtype = Xa.dtype
+
+    ca = transform_point(Xa, jnp.mean(va, axis=1))
+    cb = transform_point(Xb, jnp.mean(vb, axis=1))
+    v0 = ca - cb
+    # degenerate coincident centers: nudge so the ray is defined
+    tiny = jnp.asarray([1e-5, 0.0, 0.0], dtype=dtype)
+    v0 = jnp.where((_dot(v0, v0) < 1e-12)[:, None], v0 + tiny, v0)
+
+    d1 = _normalize(-v0)
+    v1, a1, b1 = _msup(va, Xa, vb, Xb, d1)
+    # miss when the boundary along the origin ray is before the origin
+    miss = _dot(v1, d1) < 0.0
+
+    d2r = jnp.cross(v1, v0)
+    # origin on the v0-v1 line (face-aligned boxes): the ray direction IS
+    # the contact normal — short-circuit like libccd's touching case
+    colinear = _dot(d2r, d2r) < 1e-14
+    # any direction orthogonal to d1 (Duff et al. basis)
+    s = jnp.where(d1[:, 2] >= 0.0, 1.0, -1.0)
+    a_ = -1.0 / (s + d1[:, 2])
+    ortho = jnp.stack([1.0 + s * d1[:, 0] * d1[:, 0] * a_,
+                       s * d1[:, 0] * d1[:, 1] * a_,
+                       -s * d1[:, 0]], axis=-1)
+    d2 = _normalize(jnp.where(colinear[:, None], ortho, d2r))
+    v2, a2, b2 = _msup(va, Xa, vb, Xb, d2)
+    miss = miss | (~colinear & (_dot(v2, d2) < 0.0))
+
+    n = jnp.cross(v1 - v0, v2 - v0)
+    swap = (_dot(n, v0) > 0.0)[:, None]
+    v1_, a1_, b1_ = v1, a1, b1
+    v1 = jnp.where(swap, v2, v1)
+    a1 = jnp.where(swap, a2, a1_)
+    b1 = jnp.where(swap, b2, b1_)
+    v2 = jnp.where(swap, v1_, v2)
+    a2 = jnp.where(swap, a1_, a2)
+    b2 = jnp.where(swap, b1_, b2)
+    n = jnp.where(swap, -n, n)
+    v3, a3, b3 = _msup(va, Xa, vb, Xb, _normalize(n))
+
+    # portal discovery (libccd discoverPortal, made branch-free): keep the
+    # candidate portal (v1, v2, v3) wrapped around the v0->origin ray
+    for _ in range(discover_iters):
+        c_repl2 = (_dot(jnp.cross(v1, v3), v0) < 0.0)[:, None]
+        c_repl1 = ((_dot(jnp.cross(v3, v2), v0) < 0.0)[:, None]) & ~c_repl2
+        v2 = jnp.where(c_repl2, v3, v2)
+        a2 = jnp.where(c_repl2, a3, a2)
+        b2 = jnp.where(c_repl2, b3, b2)
+        v1 = jnp.where(c_repl1, v3, v1)
+        a1 = jnp.where(c_repl1, a3, a1)
+        b1 = jnp.where(c_repl1, b3, b1)
+        n = _normalize(jnp.cross(v1 - v0, v2 - v0))
+        v3n, a3n, b3n = _msup(va, Xa, vb, Xb, n)
+        changed = c_repl1 | c_repl2
+        v3 = jnp.where(changed, v3n, v3)
+        a3 = jnp.where(changed, a3n, a3)
+        b3 = jnp.where(changed, b3n, b3)
+
+    # portal refinement (libccd expandPortal): push the portal face out to
+    # the Minkowski boundary along its own normal
+    for _ in range(refine_iters):
+        pn = jnp.cross(v2 - v1, v3 - v1)
+        flip = (_dot(pn, v1 - v0) < 0.0)[:, None]
+        pn = _normalize(jnp.where(flip, -pn, pn))
+        v4, a4, b4 = _msup(va, Xa, vb, Xb, pn)
+        done = (_dot(pn, v4 - v1) < 1e-6)[:, None]
+        w = jnp.cross(v4, v0)
+        c1 = (_dot(v1, w) > 0.0)[:, None]
+        c2 = (_dot(v2, w) > 0.0)[:, None]
+        c3 = (_dot(v3, w) > 0.0)[:, None]
+        repl1 = ((c1 & c2) | (~c1 & ~c3)) & ~done
+        repl3 = (c1 & ~c2) & ~done
+        repl2 = (~c1 & c3) & ~done
+        v1 = jnp.where(repl1, v4, v1)
+        a1 = jnp.where(repl1, a4, a1)
+        b1 = jnp.where(repl1, b4, b1)
+        v2 = jnp.where(repl2, v4, v2)
+        a2 = jnp.where(repl2, a4, a2)
+        b2 = jnp.where(repl2, b4, b2)
+        v3 = jnp.where(repl3, v4, v3)
+        a3 = jnp.where(repl3, a4, a3)
+        b3 = jnp.where(repl3, b4, b3)
+
+    pn = jnp.cross(v2 - v1, v3 - v1)
+    flip = (_dot(pn, v1 - v0) < 0.0)[:, None]
+    pn = _normalize(jnp.where(flip, -pn, pn))
+    depth = _dot(pn, v1)
+    # colinear short-circuit: normal is the ray, depth the boundary distance
+    depth = jnp.where(colinear, _dot(v1, d1), depth)
+    pn = jnp.where(colinear[:, None], d1, pn)
+    hit = (depth >= 0.0) & ~miss
+
+    # witnesses: barycentric of the origin's projection onto the portal
+    P = depth[:, None] * pn
+    e1 = v2 - v1
+    e2 = v3 - v1
+    ep = P - v1
+    d11 = _dot(e1, e1)
+    d12 = _dot(e1, e2)
+    d22 = _dot(e2, e2)
+    dp1 = _dot(ep, e1)
+    dp2 = _dot(ep, e2)
+    den = jnp.maximum(d11 * d22 - d12 * d12, 1e-12)
+    l2 = jnp.clip((d22 * dp1 - d12 * dp2) / den, 0.0, 1.0)
+    l3 = jnp.clip((d11 * dp2 - d12 * dp1) / den, 0.0, 1.0)
+    l1 = jnp.clip(1.0 - l2 - l3, 0.0, 1.0)
+    tot = jnp.maximum(l1 + l2 + l3, 1e-9)
+    l1, l2, l3 = l1 / tot, l2 / tot, l3 / tot
+    pa = l1[:, None] * a1 + l2[:, None] * a2 + l3[:, None] * a3
+    pb = l1[:, None] * b1 + l2[:, None] * b2 + l3[:, None] * b3
+    point = 0.5 * (pa + pb)
+    point = jnp.where(colinear[:, None], 0.5 * (a1 + b1), point)
+    # normal from A toward B: translating B by +depth*n separates, with n
+    # the outward portal normal of the A-B difference
+    return hit, depth, pn, point
+
+
+def convex_manifold(va: jnp.ndarray, Xa: jnp.ndarray,
+                    vb: jnp.ndarray, Xb: jnp.ndarray,
+                    tilt: float = 0.02
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Up to 5 contacts per pair: the MPR core contact plus four
+    tilted-support probes that walk to the corners of a flat contact patch
+    (reference multicontact.py:118; method per MuJoCo multiccd).
+
+    Returns (pos (n, 5, 3), nrm (n, 5, 3), depth (n, 5)) — depth may be
+    negative (separation distance along the core normal) so the caller's
+    contact margin decides activation.
+    """
+    hit, depth0, n0, p0 = mpr_contact(va, Xa, vb, Xb)
+    dtype = Xa.dtype
+
+    # separated pairs: estimate direction/overlap from a support probe along
+    # the center line so margin contacts still form
+    ca = transform_point(Xa, jnp.mean(va, axis=1))
+    cb = transform_point(Xb, jnp.mean(vb, axis=1))
+    d_ab = _normalize(cb - ca)
+    pa_s = _support1(va, Xa, d_ab)
+    pb_s = _support1(vb, Xb, -d_ab)
+    sep = _dot(pa_s - pb_s, d_ab)          # negative gap when separated
+    n0 = jnp.where(hit[:, None], n0, d_ab)
+    depth0 = jnp.where(hit, depth0, sep)
+    p0 = jnp.where(hit[:, None], p0, 0.5 * (pa_s + pb_s))
+
+    # tangent basis of the core normal (Duff et al.)
+    nx, ny, nz = n0[:, 0], n0[:, 1], n0[:, 2]
+    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a_ = -1.0 / (s + nz)
+    b_ = nx * ny * a_
+    t1 = jnp.stack([1.0 + s * nx * nx * a_, s * b_, -s * nx], axis=-1)
+    t2 = jnp.stack([b_, s + ny * ny * a_, -ny], axis=-1)
+
+    # diagonal probes resolve the patch corners even under support-argmax
+    # ties on axis-aligned faces
+    probes = []
+    for tdir in (t1 + t2, t1 - t2, -t1 + t2, -t1 - t2):
+        t = _normalize(tdir)
+        qa = _support1(va, Xa, _normalize(n0 + tilt * t))   # A's face extreme
+        qb = _support1(vb, Xb, _normalize(-n0 + tilt * t))  # B's, same side
+        # patch boundary toward t = the tighter of the two face extremes
+        pick_a = (_dot(qa, t) < _dot(qb, t))[:, None]
+        p = jnp.where(pick_a, qa, qb)
+        p = p - _dot(p - p0, n0)[:, None] * n0              # onto the plane
+        dep = _dot(qa - qb, n0)          # face gap along the core normal
+        probes.append((p, dep))
+
+    pos = jnp.stack([p0] + [p for p, _ in probes], axis=1)   # (n, 5, 3)
+    dep = jnp.stack([depth0] + [d for _, d in probes], axis=1)
+    nrm = jnp.broadcast_to(n0[:, None, :], pos.shape)
+    # drop duplicates (probes collapse for sphere-like shapes): a probe too
+    # close to the core point or an earlier probe gets a large negative
+    # depth so the margin test deactivates it
+    dup = jnp.zeros(dep[:, 1:].shape, dtype=bool)
+    for i in range(1, 5):
+        for j in range(i):
+            close = jnp.sum((pos[:, i] - pos[:, j]) ** 2, axis=-1) < 1e-8
+            dup = dup.at[:, i - 1].set(dup[:, i - 1] | close)
+    dep = dep.at[:, 1:].set(jnp.where(dup, -1e9, dep[:, 1:]))
+    return pos, nrm, dep.astype(dtype)

@@ -53,7 +53,7 @@ _SLOTS: Dict[Tuple[int, int], int] = {
     (_S, _E): 1, (_S, _M): 4, (_S, _CX): 1,
     (_B, _B): 16, (_B, _C): 4, (_C, _C): 2, (_B, _M): 16, (_C, _M): 8,
     (_M, _M): 16, (_CY, _CY): 2, (_B, _CY): 4, (_C, _CY): 2, (_E, _E): 1,
-    (_B, _CX): 16, (_CX, _CX): 16, (_C, _CX): 8,
+    (_B, _CX): 5, (_CX, _CX): 5, (_C, _CX): 8,
     (_HF, _S): 1, (_HF, _C): 2, (_HF, _B): 8, (_HF, _M): 16,
 }
 

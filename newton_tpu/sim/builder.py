@@ -2072,15 +2072,54 @@ class ModelBuilder:
         # which mesh shapes appear as the SDF side of a pair: any mesh paired
         # with a mesh, or a primitive that samples into the mesh
         needs_sdf = set()
+        _mpr_types = (int(GeoType.CONVEX), int(GeoType.BOX))
         for a in range(self.shape_count):
             if self.shape_type[a] not in mesh_types:
                 continue
+            ta = self.shape_type[a]
             for b in range(self.shape_count):
                 if a == b:
                     continue
-                if self._should_collide(min(a, b), max(a, b)):
-                    needs_sdf.add(a)
-                    break
+                if not self._should_collide(min(a, b), max(a, b)):
+                    continue
+                tb = self.shape_type[b]
+                if ta == int(GeoType.CONVEX) and tb in _mpr_types:
+                    continue    # MPR narrow phase, no bake needed
+                if ta == int(GeoType.CONVEX) and tb == int(GeoType.PLANE):
+                    continue    # one-way analytic sampling
+                # NOTE: plain MESH shapes keep their bake even for
+                # plane-only pairs — raycast/sensors trace the grid
+                needs_sdf.add(a)
+                break
+        # convex hull vertex clouds for the MPR narrow phase (CONVEX shapes
+        # carry their hull Mesh; BOX shapes get exact corners) — lets
+        # convex-convex pairs collide without an SDF bake
+        # (geometry/mpr.py; reference geometry/mpr.py + support_function.py)
+        hull_max = 1
+        hull_lists: Dict[int, np.ndarray] = {}
+        for sidx in range(self.shape_count):
+            t = self.shape_type[sidx]
+            sc = np.asarray(self.shape_scale[sidx], dtype=np.float64)
+            if t == int(GeoType.CONVEX) and isinstance(
+                    self.shape_source[sidx], Mesh):
+                hv = np.asarray(self.shape_source[sidx].vertices,
+                                dtype=np.float64) * sc
+                if len(hv) > 64:
+                    hv = _fps_sample(hv, 64)
+                hull_lists[sidx] = hv
+                hull_max = max(hull_max, len(hv))
+            elif t == int(GeoType.BOX):
+                signs = np.array([[sx, sy, sz] for sx in (-1, 1)
+                                  for sy in (-1, 1) for sz in (-1, 1)],
+                                 dtype=np.float64)
+                hull_lists[sidx] = signs * sc[None, :]
+                hull_max = max(hull_max, 8)
+        shape_hull_verts = np.zeros((self.shape_count, hull_max, 3),
+                                    dtype=np.float32)
+        for sidx, hv in hull_lists.items():
+            shape_hull_verts[sidx, :len(hv)] = hv
+            shape_hull_verts[sidx, len(hv):] = hv[0]      # pad by repeat
+
         _sp_cache: Dict[tuple, np.ndarray] = {}
         for sidx in range(self.shape_count):
             t = GeoType(self.shape_type[sidx])
@@ -2190,6 +2229,7 @@ class ModelBuilder:
         st.slot_body0 = np.where(slot_shape0 >= 0, sb[np.maximum(slot_shape0, 0)], -1).astype(np.int32)
         st.slot_body1 = np.where(slot_shape1 >= 0, sb[np.maximum(slot_shape1, 0)], -1).astype(np.int32)
         st.soft_pairs, st.soft_contact_max = self._compute_soft_pairs()
+        st.shape_hull_verts = shape_hull_verts
         st.homogeneous, st.counts_per_world = self._detect_homogeneous()
 
         st.custom_specs = {name: a.spec() for name, a in self.custom_attributes.items()}

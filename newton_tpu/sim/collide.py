@@ -207,7 +207,10 @@ class CollisionPipeline:
                 rigid_contact_shape1=s1_all,
             )
             for pc in self.mesh_classes:
-                out = _mesh_contacts(self, pc, X_ws, out)
+                if pc.kind == "cc":
+                    out = _convex_contacts(self, pc, X_ws, out)
+                else:
+                    out = _mesh_contacts(self, pc, X_ws, out)
 
         if P > 0 and len(self.soft_particle):
             out = self._collide_soft(state, out)
@@ -323,11 +326,12 @@ class _MeshPairClass:
     baked grid). ``mesh_first`` marks whether shape0 is the mesh side."""
 
     __slots__ = ("slots", "mesh_idx", "other_idx", "mesh_first", "out_offsets",
-                 "mesh_mesh")
+                 "mesh_mesh", "kind")
 
-    def __init__(self, slots, mesh_mesh):
+    def __init__(self, slots, mesh_mesh, kind="mesh"):
         self.slots = slots
         self.mesh_mesh = mesh_mesh
+        self.kind = kind
         self.mesh_idx = []
         self.other_idx = []
         self.mesh_first = []
@@ -350,6 +354,7 @@ def _install_mesh_classes(pipeline: "CollisionPipeline"):
                 int(GeoType.CAPSULE), int(GeoType.CYLINDER), int(GeoType.CONE),
                 int(GeoType.ELLIPSOID))
     classes: Dict[Tuple, _MeshPairClass] = {}
+    mpr_ok = (int(GeoType.CONVEX), int(GeoType.BOX))
     for i, (a, b) in enumerate(pairs):
         t0, t1 = int(types[a]), int(types[b])
         in0, in1 = t0 in mesh_types, t1 in mesh_types
@@ -357,7 +362,17 @@ def _install_mesh_classes(pipeline: "CollisionPipeline"):
             continue
         from ..geometry.narrow_phase import pair_slot_count
         k = pair_slot_count(t0, t1)
-        if in0 and in1:
+        if (t0 in mpr_ok and t1 in mpr_ok
+                and int(GeoType.CONVEX) in (t0, t1)):
+            # convex-convex / convex-box: direct MPR penetration manifold,
+            # no SDF bake (geometry/mpr.py; reference mpr.py:1-635 +
+            # multicontact.py:118)
+            key = ("cc", k)
+            pc = classes.setdefault(key, _MeshPairClass(k, False, kind="cc"))
+            pc.mesh_idx.append(int(a))
+            pc.other_idx.append(int(b))
+            pc.mesh_first.append(True)
+        elif in0 and in1:
             key = ("mm", k)
             pc = classes.setdefault(key, _MeshPairClass(k, True))
             pc.mesh_idx.append(int(a))
@@ -484,6 +499,42 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
     )
 
 
+def _convex_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
+                     X_ws, out: Contacts) -> Contacts:
+    """MPR penetration manifolds for convex-convex / convex-box pairs
+    (geometry/mpr.py; reference mpr.py + multicontact.py:118). Works from
+    hull vertex clouds — no SDF bake involved."""
+    from ..geometry.mpr import convex_manifold
+    model = pipeline.model
+    st = model.structure
+    dtype = X_ws.dtype
+    ai, bi = pc.mesh_idx, pc.other_idx
+    hulls = jnp.asarray(st.shape_hull_verts, dtype=dtype)    # (S, H, 3)
+    pos, nrm, depth = convex_manifold(hulls[ai], X_ws[ai],
+                                      hulls[bi], X_ws[bi])
+    k = min(pc.slots, pos.shape[1])
+    pos, nrm, depth = pos[:, :k], nrm[:, :k], depth[:, :k]
+
+    thick = (model.shape_thickness[ai] + model.shape_thickness[bi])[:, None]
+    depth = depth + thick
+    active = depth > -pipeline.rigid_contact_margin
+
+    idx = pc.out_offsets[:, :k]
+    s0 = np.asarray(ai, dtype=np.int32)
+    s1 = np.asarray(bi, dtype=np.int32)
+    return out.replace(
+        rigid_contact_mask=out.rigid_contact_mask.at[idx].set(active),
+        rigid_contact_position=out.rigid_contact_position.at[idx].set(pos),
+        rigid_contact_normal=out.rigid_contact_normal.at[idx].set(nrm),
+        rigid_contact_depth=out.rigid_contact_depth.at[idx].set(
+            jnp.where(active, depth, 0.0)),
+        rigid_contact_shape0=out.rigid_contact_shape0.at[idx].set(
+            jnp.broadcast_to(jnp.asarray(s0)[:, None], idx.shape)),
+        rigid_contact_shape1=out.rigid_contact_shape1.at[idx].set(
+            jnp.broadcast_to(jnp.asarray(s1)[:, None], idx.shape)),
+    )
+
+
 def _top_k(pos, nrm, depth, k):
     """Keep the k deepest sample contacts per pair (n, K, ...) -> (n, k, ...)."""
     import jax
@@ -498,6 +549,20 @@ def _sdf_of_shape(model, shape_idx, sdf_id, p_local, analytic_only=False):
     from ..geometry.sdf import sample_sdf_grad, sample_sdf_grid
     st = model.structure
     types = st.shape_type[shape_idx]
+    if not analytic_only:
+        # a mesh-typed shape with no baked grid would silently fall into
+        # the capsule branch of _shape_sdf — wrong physics; fail loudly
+        mesh_like = np.isin(np.asarray(types),
+                            [int(GeoType.MESH), int(GeoType.CONVEX),
+                             int(GeoType.HFIELD)])
+        missing = mesh_like & (np.asarray(sdf_id) < 0)
+        if missing.any():
+            raise ValueError(
+                "mesh/convex/heightfield shapes "
+                f"{np.asarray(shape_idx)[missing].tolist()} are used as an "
+                "SDF contact side but have no baked SDF grid; set "
+                "sdf_max_resolution on the shape config or route the pair "
+                "through the MPR convex path")
     scale = model.shape_scale[shape_idx][:, None, :]
     n, K = p_local.shape[0], p_local.shape[1]
     flat = p_local.reshape(n * K, 3)

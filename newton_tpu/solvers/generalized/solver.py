@@ -43,23 +43,35 @@ __all__ = ["SolverFeatherstone", "SolverMuJoCo"]
 
 
 class _GroupContacts:
-    """Static per-group contact-slot plan (homogeneous envs).
+    """Static per-group contact-slot plan.
 
-    slots: (n, c) contact-slot indices per env; lb0/lb1: (c,) local body
-    index within the group's body list (-1 = static shape).
+    slots: (n, c) contact-slot indices per env; lb0/lb1: local body index
+    within the group's body list (-1 = static shape) — shape (c,) when every
+    env shares one slot pattern (uniform), else (n, c) per-env. valid is a
+    (n, c) mask marking padded entries in heterogeneous layouts (padded
+    slots index one-past-the-end so clamped reads are masked off and
+    scatters drop).
     """
 
-    __slots__ = ("slots", "lb0", "lb1", "c")
+    __slots__ = ("slots", "lb0", "lb1", "c", "valid")
 
-    def __init__(self, slots, lb0, lb1):
+    def __init__(self, slots, lb0, lb1, valid=None):
         self.slots = slots
         self.lb0 = lb0
         self.lb1 = lb1
         self.c = slots.shape[1]
+        self.valid = valid
+
+    @property
+    def uniform(self):
+        return self.lb0.ndim == 1
 
 
 def _plan_group_contacts(st, groups):
-    """Assign contact slots to (group, env) and verify homogeneity."""
+    """Assign contact slots to (group, env); heterogeneous layouts are
+    padded to the max per-env count with per-env local-body tables
+    (reference: mujoco contact batching handles ragged worlds the same way
+    by padding nconmax)."""
     body_to_env = {}
     for gi, g in enumerate(groups):
         for e in range(g.n):
@@ -78,6 +90,7 @@ def _plan_group_contacts(st, groups):
         lb0 = body_to_env[b0][2] if b0 in body_to_env and body_to_env[b0][0] == gi and body_to_env[b0][1] == e else -1
         lb1 = body_to_env[b1][2] if b1 in body_to_env and body_to_env[b1][0] == gi and body_to_env[b1][1] == e else -1
         per_env[gi].setdefault(e, []).append((slot, lb0, lb1))
+    pad_slot = int(getattr(st, "rigid_contact_max", 0))
     for gi, g in enumerate(groups):
         envs = per_env[gi]
         if not envs:
@@ -86,14 +99,22 @@ def _plan_group_contacts(st, groups):
         patterns = {tuple((lb0, lb1) for _, lb0, lb1 in sorted(v, key=lambda t: t[0]))
                     for v in envs.values()}
         if len(counts) != 1 or len(envs) != g.n or len(patterns) != 1:
-            # heterogeneous contact layout: pad to max count
+            # heterogeneous contact layout: pad to max count with per-env
+            # local-body tables; padded entries read one-past-the-end
+            # (clamped, masked via valid) and scatter-drop on write
             cmax = max(len(v) for v in envs.values())
-            slots = np.zeros((g.n, cmax), dtype=np.int32)
+            slots = np.full((g.n, cmax), pad_slot, dtype=np.int32)
             lb0m = -np.ones((g.n, cmax), dtype=np.int32)
             lb1m = -np.ones((g.n, cmax), dtype=np.int32)
-            # per-env lb arrays not supported in the fast path; skip contacts
-            # for this group (conservative) — report via attribute
-            plans[gi] = None
+            valid = np.zeros((g.n, cmax), dtype=bool)
+            for e in range(g.n):
+                lst = sorted(envs.get(e, []), key=lambda t: t[0])
+                for k, (s, l0, l1) in enumerate(lst):
+                    slots[e, k] = s
+                    lb0m[e, k] = l0
+                    lb1m[e, k] = l1
+                    valid[e, k] = True
+            plans[gi] = _GroupContacts(slots, lb0m, lb1m, valid)
             continue
         c = counts.pop()
         slots = np.zeros((g.n, c), dtype=np.int32)
@@ -541,14 +562,13 @@ class SolverFeatherstone(SolverBase):
         return min(c, int(cap))
 
     # ------------------------------------------------------------------
-    def _solve_contacts(self, model, contacts, g, plan, Minv, qd_g,
-                        v_o, w_o, state_in, body_q, dt,
-                        q_coords=None, limit_plan=None, group_index=None):
-        """Projected-Jacobi impulse solve with pyramidal friction.
-
-        Rows: 3 per contact slot (normal, 2 tangents). Returns updated
-        (n, d) group velocities.
-        """
+    def _build_contact_system(self, model, contacts, g, plan, Minv, qd_g,
+                              v_o, w_o, state_in, body_q, dt,
+                              q_coords=None, limit_plan=None):
+        """Assemble the per-group contact system: compacted slots, Jacobian
+        rows [contacts*3 | limit-lo | limit-hi], Delassus operator pieces,
+        bias b, activity masks. Returns a dict shared by the PGS solve and
+        the Kamino ADMM solve."""
         from ...math import orthonormal_basis
         st = model.structure
         dtype = qd_g.dtype
@@ -560,13 +580,19 @@ class SolverFeatherstone(SolverBase):
         pos = contacts.rigid_contact_position[slots]
         depth = contacts.rigid_contact_depth[slots]
         active = contacts.rigid_contact_mask[slots]
+        if plan.valid is not None:
+            # heterogeneous padded layout: mask the clamped-read pad entries
+            active = active & jnp.asarray(plan.valid)
 
-        # friction coefficient per slot
+        # friction coefficient per slot (pad slot index clamps harmlessly —
+        # the row is inactive)
+        slots_rd = np.minimum(slots, len(self.slot_shape0) - 1) \
+            if len(self.slot_shape0) else slots
         mu = 0.5 * (model.shape_material_mu[np.maximum(self.slot_shape0, 0)]
                     + model.shape_material_mu[np.maximum(self.slot_shape1, 0)])
-        mu = mu[slots]
+        mu = mu[slots_rd]
         e_rest = 0.5 * (model.shape_material_restitution[np.maximum(self.slot_shape0, 0)]
-                        + model.shape_material_restitution[np.maximum(self.slot_shape1, 0)])[slots]
+                        + model.shape_material_restitution[np.maximum(self.slot_shape1, 0)])[slots_rd]
 
         # restitution pre-velocity on the FULL slot set (cheap, elementwise)
         vn_pre = jnp.einsum("ncx,ncx->nc", nrm,
@@ -574,11 +600,12 @@ class SolverFeatherstone(SolverBase):
 
         anc = jnp.asarray(g.anc, dtype=dtype)               # (b, d)
         zero = jnp.zeros((g.d,), dtype=dtype)
-        anc1 = jnp.where((plan.lb1 >= 0)[:, None],
-                         anc[np.maximum(plan.lb1, 0)], zero)   # (c, d)
-        anc0 = jnp.where((plan.lb0 >= 0)[:, None],
+        # lb is (c,) for uniform plans, (n, c) per-env for padded ones
+        anc1 = jnp.where((plan.lb1 >= 0)[..., None],
+                         anc[np.maximum(plan.lb1, 0)], zero)
+        anc0 = jnp.where((plan.lb0 >= 0)[..., None],
                          anc[np.maximum(plan.lb0, 0)], zero)
-        sign_full = anc1 - anc0                             # (c, d)
+        sign_full = anc1 - anc0                             # (c, d)|(n, c, d)
 
         # top-K-by-depth compaction: the dense system scales with slots, not
         # with touching contacts; pick the K deepest active slots per env
@@ -591,12 +618,16 @@ class SolverFeatherstone(SolverBase):
             nrm_c, pos_c = g3(nrm), g3(pos)
             depth_c, active_c = g1(depth), g1(active)
             mu_c, e_rest_c, vn_pre_c = g1(mu), g1(e_rest), g1(vn_pre)
-            sign_c = sign_full[idx]                         # (n, K, d)
+            sign_c = (sign_full[idx] if sign_full.ndim == 2
+                      else jnp.take_along_axis(sign_full, idx[..., None],
+                                               axis=1))    # (n, K, d)
         else:
             idx = None
             nrm_c, pos_c, depth_c, active_c = nrm, pos, depth, active
             mu_c, e_rest_c, vn_pre_c = mu, e_rest, vn_pre
-            sign_c = jnp.broadcast_to(sign_full[None], (n_env, c, g.d))
+            sign_c = jnp.broadcast_to(
+                sign_full if sign_full.ndim == 3 else sign_full[None],
+                (n_env, c, g.d))
         t1, t2 = orthonormal_basis(nrm_c)
 
         # jacobian J: (n, K, 3, d) — rows n/t1/t2
@@ -654,8 +685,29 @@ class SolverFeatherstone(SolverBase):
             b = jnp.concatenate([b, b_lo, b_hi], axis=1)
             act3 = jnp.concatenate([act3, act_lo, act_hi], axis=1)
 
+        return dict(Jt=Jt, MinvJt=MinvJt, diag=diag, v_free=v_free, b=b,
+                    act3=act3, mu=mu_c, K=K, nl=nl, idx=idx, dirs=dirs,
+                    c=c, n_env=n_env, d=d)
+
+    def _solve_contacts(self, model, contacts, g, plan, Minv, qd_g,
+                        v_o, w_o, state_in, body_q, dt,
+                        q_coords=None, limit_plan=None, group_index=None):
+        """Projected-Jacobi impulse solve with pyramidal friction.
+
+        Rows: 3 per contact slot (normal, 2 tangents). Returns updated
+        (n, d) group velocities.
+        """
+        dtype = qd_g.dtype
+        sys = self._build_contact_system(
+            model, contacts, g, plan, Minv, qd_g, v_o, w_o, state_in,
+            body_q, dt, q_coords=q_coords, limit_plan=limit_plan)
+        Jt, MinvJt = sys["Jt"], sys["MinvJt"]
+        diag, v_free, b = sys["diag"], sys["v_free"], sys["b"]
+        act3, mu3 = sys["act3"], sys["mu"]
+        K, nl, idx, dirs = sys["K"], sys["nl"], sys["idx"], sys["dirs"]
+        c, n_env, d = sys["c"], sys["n_env"], sys["d"]
+        hp = jax.lax.Precision.HIGHEST
         omega = self.contact_relaxation
-        mu3 = mu_c  # (n, K)
 
         def Avec(x):
             return jnp.einsum("ndr,nd->nr", Jt,
@@ -737,17 +789,24 @@ class SolverFeatherstone(SolverBase):
 
 def _point_vel(state_in, model, g, plan, pos):
     """Relative velocity (body1 - body0) at contact points from the
-    pre-step state (for restitution)."""
+    pre-step state (for restitution). lb tables are (c,) for uniform
+    plans, (n, c) per-env for padded heterogeneous ones."""
     import numpy as np
     bq = state_in.body_q
     qd = state_in.body_qd
     x_com = bq[:, 0:3] + quat_rotate(bq[:, 3:7], model.body_com)
 
     def vel_of(lb):
-        gb = np.where(lb >= 0, g.body_idx[:, np.maximum(lb, 0)], 0)  # (n, c)
+        if lb.ndim == 1:
+            gb = np.where(lb >= 0, g.body_idx[:, np.maximum(lb, 0)], 0)
+            on = (lb >= 0)[None, :, None]
+        else:
+            gb = np.where(lb >= 0, np.take_along_axis(
+                g.body_idx, np.maximum(lb, 0), axis=1), 0)   # (n, c)
+            on = (lb >= 0)[:, :, None]
         v = qd[gb][:, :, 0:3] + jnp.cross(qd[gb][:, :, 3:6],
                                           pos - x_com[gb])
-        return jnp.where((lb >= 0)[None, :, None], v, 0.0)
+        return jnp.where(on, v, 0.0)
 
     return vel_of(plan.lb1) - vel_of(plan.lb0)
 
@@ -920,15 +979,114 @@ def _plan_group_equality(model, groups):
 class SolverKamino(SolverFeatherstone):
     """Constrained multibody solver for kinematic loops and hard frictional
     contact (reference: kamino/solver_kamino.py:110 — Disney's NCP solver
-    with Moreau-Jean integration and PADMM). This build realizes the same
-    contract on the batched generalized pipeline: bilateral equality rows
-    (CONNECT/WELD/JOINT — kinematic loops) solved exactly against the mass
-    matrix, frictional contacts projected onto true second-order cones, and
-    more solve iterations for hard-contact accuracy."""
+    with Moreau-Jean time stepping and PADMM).
 
-    def __init__(self, model: Model, iterations: int = 32, rho: float = 0.9,
+    Same Moreau-Jean structure as the parent (velocity-level implicit step,
+    impulses at the contact set, no acceleration-level forces), but the
+    frictional NCP is solved by **proximal ADMM over second-order cones**
+    with a per-env direct factorization instead of diagonally-scaled
+    projected Jacobi:
+
+        lam_hat = (A + rho I)^-1 (rho (z - u) - q)     [Cholesky, exact]
+        z       = Pi_K(lam_hat + u)                    [SOC projection]
+        u       = u + lam_hat - z
+
+    where A = J M^-1 J^T + R is the Delassus operator and K the product of
+    friction cones / nonnegative orthants. The direct sub-solve converges
+    on hard, strongly-coupled contact sets (dense stacks, large mass
+    ratios) where the Jacobi sweep stalls — matching the role of the
+    reference's PADMM (kamino/_src/solvers/padmm.py). Bilateral equality
+    rows (CONNECT/WELD/JOINT kinematic loops) are solved exactly against
+    the mass matrix by the shared pipeline (``_solve_equality``).
+    """
+
+    use_admm = True
+
+    def __init__(self, model: Model, iterations: int = 32, rho: float = 0.1,
                  **kwargs):
         kwargs.setdefault("friction_cone", "cone")
-        kwargs.setdefault("contact_relaxation", rho)
         kwargs.setdefault("baumgarte", 0.3)
         super().__init__(model, contact_iterations=iterations, **kwargs)
+        self.admm_rho = float(rho)
+
+    def _solve_contacts(self, model, contacts, g, plan, Minv, qd_g,
+                        v_o, w_o, state_in, body_q, dt,
+                        q_coords=None, limit_plan=None, group_index=None):
+        dtype = qd_g.dtype
+        sys = self._build_contact_system(
+            model, contacts, g, plan, Minv, qd_g, v_o, w_o, state_in,
+            body_q, dt, q_coords=q_coords, limit_plan=limit_plan)
+        Jt, MinvJt = sys["Jt"], sys["MinvJt"]
+        v_free, b = sys["v_free"], sys["b"]
+        act3, mu3 = sys["act3"], sys["mu"]
+        K, nl, idx, dirs = sys["K"], sys["nl"], sys["idx"], sys["dirs"]
+        c, n_env, d = sys["c"], sys["n_env"], sys["d"]
+        hp = jax.lax.Precision.HIGHEST
+        r = 3 * K + 2 * nl
+
+        # materialize the Delassus operator: Kamino scenes are few-env /
+        # hard-contact, so the (n, r, r) direct factor is the right trade
+        A = jnp.einsum("ndr,nds->nrs", Jt, MinvJt, precision=hp)
+        A = A + self.contact_reg * jnp.eye(r, dtype=dtype)
+        # decouple inactive rows (dynamic mask): otherwise their u windup
+        # couples back through A and destabilizes the whole iteration
+        msk = act3.astype(dtype)
+        mm = msk[:, :, None] * msk[:, None, :]
+        A = A * mm + (1.0 - mm) * jnp.eye(r, dtype=dtype)
+        q = (v_free - b) * msk
+        # scale-aware proximal weight: rho relative to the mean diagonal
+        diag_mean = jnp.mean(jnp.diagonal(A, axis1=1, axis2=2), axis=-1)
+        rho = (self.admm_rho * jnp.maximum(diag_mean, 1e-9))[:, None, None]
+        L = jnp.linalg.cholesky(A + rho * jnp.eye(r, dtype=dtype))
+        rho = rho[:, :, 0]                                   # (n, 1)
+
+        def proj(x):
+            """Project onto the admissible set: SOC per contact, lam >= 0
+            for limit rows, 0 for inactive rows."""
+            lam3 = x[:, :3 * K].reshape(n_env, K, 3)
+            ln, lt1, lt2 = lam3[:, :, 0], lam3[:, :, 1], lam3[:, :, 2]
+            tmag = jnp.sqrt(lt1 ** 2 + lt2 ** 2 + 1e-18)
+            inside = tmag <= mu3 * ln
+            below = mu3 * tmag <= -ln
+            # SOC projection (Boyd): blend onto the cone surface
+            lnp = (ln + mu3 * tmag) / (1.0 + mu3 ** 2)
+            lnp = jnp.maximum(lnp, 0.0)
+            scale = jnp.where(tmag > 1e-12, mu3 * lnp / tmag, 0.0)
+            ln_o = jnp.where(inside, ln, jnp.where(below, 0.0, lnp))
+            sc_o = jnp.where(inside, 1.0, jnp.where(below, 0.0, scale))
+            out3 = jnp.stack([ln_o, lt1 * sc_o, lt2 * sc_o], axis=-1)
+            out = out3.reshape(n_env, 3 * K)
+            if nl:
+                out = jnp.concatenate(
+                    [out, jnp.maximum(x[:, 3 * K:], 0.0)], axis=1)
+            return jnp.where(act3, out, 0.0)
+
+        z = jnp.zeros((n_env, r), dtype=dtype)
+        if self.warm_start and group_index is not None:
+            prev = state_in.custom.get(f"contact:lam:{group_index}")
+            if prev is not None:
+                prev3 = prev.reshape(n_env, c, 3)
+                if idx is not None:
+                    prev3 = jnp.take_along_axis(prev3, idx[..., None], axis=1)
+                z = z.at[:, :3 * K].set(jnp.where(
+                    act3[:, :3 * K], prev3.reshape(n_env, 3 * K), 0.0))
+        u = jnp.zeros_like(z)
+        solve = jax.vmap(jax.scipy.linalg.cho_solve, in_axes=((0, None), 0))
+        for _ in range(self.contact_iterations):
+            rhs = rho * (z - u) - q
+            lam_hat = solve((L, True), rhs)
+            z = proj(lam_hat + u)
+            u = u + lam_hat - z
+        z = jnp.where(jnp.isfinite(z), z, 0.0)
+        dqd = jnp.einsum("ndr,nr->nd", MinvJt, z, precision=hp)
+
+        lam3 = z[:, :3 * K].reshape(n_env, K, 3)
+        if idx is not None:
+            rows = jnp.arange(n_env)[:, None]
+            lam_slots = jnp.zeros((n_env, c, 3), dtype=dtype
+                                  ).at[rows, idx].set(lam3)
+            dirs_slots = jnp.zeros((n_env, c, 3, 3), dtype=dtype
+                                   ).at[rows, idx].set(dirs)
+        else:
+            lam_slots, dirs_slots = lam3, dirs
+        return (qd_g + dqd, lam_slots.reshape(n_env, 3 * c), dirs_slots)

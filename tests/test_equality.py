@@ -113,3 +113,94 @@ def test_coupled_rigid_particle_stable():
     assert np.isfinite(np.asarray(s.particle_q)).all()
     assert np.isfinite(np.asarray(s.body_q)).all()
     assert abs(float(s.body_q[0, 2]) - 0.2) < 0.05
+
+
+def test_four_bar_loop_closure_kamino():
+    """Four-bar linkage: crank + rocker grounded, coupler closes the loop
+    via CONNECT (reference: kamino kinematic-loop scenes). The loop must
+    stay closed through a gravity swing."""
+    b = nt.ModelBuilder()
+    crank = b.add_body(xform=[0.0, 0, 0.5, 0, 0, 0, 1])
+    b.add_shape_capsule(crank, radius=0.04, half_height=0.25)
+    b.add_joint_revolute(parent=-1, child=crank, axis="Y",
+                         xform_c=[0, 0, -0.5, 0, 0, 0, 1])
+    rocker = b.add_body(xform=[1.0, 0, 0.4, 0, 0, 0, 1])
+    b.add_shape_capsule(rocker, radius=0.04, half_height=0.2)
+    b.add_joint_revolute(parent=-1, child=rocker, axis="Y",
+                         xform_p=[1.0, 0, 0, 0, 0, 0, 1],
+                         xform_c=[0, 0, -0.4, 0, 0, 0, 1])
+    coupler = b.add_body(xform=[0.5, 0, 0.9, 0, 0, 0, 1])
+    b.add_shape_capsule(coupler, radius=0.04, half_height=0.45)
+    b.add_joint_free(coupler)
+    # close the loop: coupler ends pinned to crank tip and rocker tip
+    b.add_equality_constraint(nt.EqType.CONNECT, body1=crank, body2=coupler,
+                              anchor=(0.0, 0.0, 0.5))
+    b.add_equality_constraint(nt.EqType.CONNECT, body1=rocker, body2=coupler,
+                              anchor=(0.0, 0.0, 0.4))
+    m = b.finalize()
+    solver = SolverKamino(m)
+    # kick the crank so the mechanism actually swings (the all-vertical
+    # start is a singular equilibrium)
+    s = eval_fk(m, m.joint_q0,
+                jnp.asarray(m.joint_qd0).at[0].set(2.0), m.state())
+    ctrl = m.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, None, 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+    for _ in range(120):
+        s = frame(s)
+    bq = np.asarray(s.body_q)
+    assert np.isfinite(bq).all()
+    # loop closure: crank tip stays attached to the coupler end
+    tip_c = transform_point(s.body_q[0], jnp.asarray([0, 0, 0.5],
+                                                     dtype=jnp.float32))
+    # coupler-local anchor of the crank tip, from the initial poses
+    a2 = np_transform_point(
+        np_transform_inverse(np.array([0.5, 0, 0.9, 0, 0, 0, 1.0])),
+        np.array([0.0, 0.0, 1.0]))
+    tip_k = transform_point(s.body_q[2], jnp.asarray(a2, dtype=jnp.float32))
+    drift = float(jnp.linalg.norm(tip_c - tip_k))
+    assert drift < 2e-2, f"four-bar loop drift {drift}"
+    # the mechanism actually swung
+    assert abs(float(s.joint_q[0])) > 0.1
+
+
+def test_kamino_heavy_stack_beats_pgs():
+    """100:1 mass-ratio stack: the PADMM direct solve holds the stack where
+    the diagonally-scaled Jacobi sweep sinks (the VERDICT acceptance test
+    for a real Kamino; reference kamino/solver_kamino.py hard contacts)."""
+    from newton_tpu.sim.collide import CollisionPipeline
+    b = nt.ModelBuilder()
+    b.add_articulation()
+    zs = [0.25, 0.75, 1.25]
+    for z, dn in zip(zs, [1000.0, 1000.0, 100000.0]):
+        body = b.add_body(xform=[0, 0, z, 0, 0, 0, 1])
+        b.add_shape_box(body, hx=0.25, hy=0.25, hz=0.25,
+                        cfg=nt.ShapeConfig(density=dn))
+        b.add_joint_free(body)
+    b.add_ground_plane()
+    m = b.finalize()
+
+    def settle(solver):
+        pipe = CollisionPipeline(m)
+        s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+        ctrl = m.control()
+
+        @jax.jit
+        def frame(s):
+            def sub(s, _):
+                return solver.step(s, None, ctrl, pipe.collide(s),
+                                   1.0 / 240.0), None
+            return jax.lax.scan(sub, s, None, length=4)[0]
+        for _ in range(120):
+            s = frame(s)
+        return np.abs(np.asarray(s.body_q)[:, 2] - np.array(zs)).max()
+
+    err_pgs = settle(SolverFeatherstone(m, contact_iterations=8))
+    err_adm = settle(SolverKamino(m, iterations=8))
+    assert err_adm < 0.03, f"kamino stack error {err_adm}"
+    assert err_pgs > 2 * err_adm, \
+        f"PGS ({err_pgs}) should flunk where ADMM ({err_adm}) holds"

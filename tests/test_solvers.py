@@ -381,3 +381,59 @@ def test_spatial_tendon_passive_elasticity():
     gap = float(jnp.linalg.norm(s.body_q[1, :3] - s.body_q[0, :3]))
     assert np.isfinite(np.asarray(s.body_q)).all()
     assert gap < 1.6, f"passive tendon did not pull: {gap}"
+
+
+def test_heterogeneous_worlds_keep_contacts():
+    """Two worlds with the SAME articulation but different contact layouts
+    (world 1 has an extra static box under the sphere) must both collide:
+    the padded per-env contact plan replaces the old silent drop
+    (generalized/solver.py heterogeneous branch)."""
+    from newton_tpu.solvers.generalized.solver import SolverFeatherstone
+
+    def build(extra_box: bool, worlds: int = 1):
+        b = nt.ModelBuilder()
+        for w in range(worlds):
+            b.begin_world()
+            b.add_articulation()
+            body = b.add_body(xform=[0, 0, 1.0, 0, 0, 0, 1])
+            b.add_shape_sphere(body, radius=0.3)
+            b.add_joint_free(body)
+            if extra_box and w == worlds - 1:
+                b.add_shape_box(-1, xform=[0, 0, 0.2, 0, 0, 0, 1],
+                                hx=0.5, hy=0.5, hz=0.2)
+            b.end_world()
+        b.add_ground_plane()
+        return b.finalize()
+
+    m = build(extra_box=True, worlds=2)
+    solver = SolverFeatherstone(m, contact_iterations=8)
+    plan = solver.contact_plans[0]
+    assert plan is not None, "heterogeneous plan must not be dropped"
+    assert not plan.uniform and plan.valid is not None
+
+    def settle(model, solver):
+        pipe = CollisionPipeline(model)
+        s = model.state()
+        ctrl = model.control()
+        dt = 1.0 / 240.0
+
+        @jax.jit
+        def frame(s):
+            def sub(s, _):
+                return solver.step(s, None, ctrl, pipe.collide(s), dt), None
+            return jax.lax.scan(sub, s, None, length=4)[0]
+        for _ in range(120):
+            s = frame(s)
+        return s
+
+    s = settle(m, solver)
+    z = np.asarray(s.body_q)[:, 2]
+    # world 0: rests on the ground at sphere radius
+    assert abs(z[0] - 0.3) < 0.03, f"world-0 sphere z={z[0]}"
+    # world 1: rests on the box top (0.4) + radius
+    assert abs(z[1] - 0.7) < 0.03, f"world-1 sphere z={z[1]}"
+
+    # world-0 trajectory matches an identical single-world model
+    m1 = build(extra_box=False, worlds=1)
+    s1 = settle(m1, SolverFeatherstone(m1, contact_iterations=8))
+    np.testing.assert_allclose(z[0], np.asarray(s1.body_q)[0, 2], atol=5e-3)
