@@ -1,0 +1,128 @@
+"""MPM solver tests: transfer-kernel parity, sand behavior, stability.
+
+(reference: implicit_mpm tests — sand settles into a pile bounded by the
+friction angle, solver stays finite.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import newton_tpu as nt
+from newton_tpu.solvers.solver_mpm import (SolverImplicitMPM,
+                                            _svd3_jacobi as _svd3)
+
+
+def _sand_builder(n=768, seed=0):
+    b = nt.ModelBuilder()
+    rng = np.random.RandomState(seed)
+    pts = rng.uniform(-0.15, 0.15, (n, 3))
+    pts[:, 2] = rng.uniform(0.0, 0.45, n) + 0.05
+    for p in pts:
+        b.add_particle(p, (0, 0, 0), 0.002)
+    return b
+
+
+def test_svd3_matches_lapack():
+    rng = np.random.RandomState(0)
+    F = jnp.asarray(np.eye(3)[None] + 0.4 * rng.randn(256, 3, 3), jnp.float32)
+    U, s, Vt = _svd3(F)
+    rec = jnp.einsum("nij,nj,njk->nik", U, s, Vt)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(F), atol=1e-4)
+    # proper rotations
+    assert float(jnp.linalg.det(U).min()) > 0.99
+    _, s_ref, _ = jnp.linalg.svd(F)
+    np.testing.assert_allclose(np.sort(np.abs(np.asarray(s)), -1),
+                               np.sort(np.asarray(s_ref), -1), atol=1e-3)
+
+
+def test_pallas_transfer_matches_scatter():
+    """p2g/g2p MXU kernels (interpret mode) == dense scatter reference."""
+    from newton_tpu.solvers.mpm_pallas import g2p_apply, p2g_apply
+    rng = np.random.RandomState(0)
+    N, res, C = 512, 16, 4
+    base = jnp.asarray(rng.randint(0, res - 2, (N, 3)), jnp.int32)
+    w_ax = jnp.asarray(np.abs(rng.rand(N, 3, 3)), jnp.float32)
+    vals = jnp.asarray(rng.randn(N, C), jnp.float32)
+    offs = np.array([[i, j, k] for i in range(3) for j in range(3)
+                     for k in range(3)], np.int32)
+    cell = np.clip(np.asarray(base)[:, None, :] + offs[None], 0, res - 1)
+    w = (np.asarray(w_ax)[:, offs[:, 0], 0]
+         * np.asarray(w_ax)[:, offs[:, 1], 1]
+         * np.asarray(w_ax)[:, offs[:, 2], 2])
+    flat = (cell[..., 0] * res + cell[..., 1]) * res + cell[..., 2]
+    ref = np.zeros((res ** 3, C))
+    np.add.at(ref, flat.reshape(-1),
+              (w[..., None] * np.asarray(vals)[:, None, :]).reshape(-1, C))
+    got = p2g_apply(base, w_ax, vals, res, chunk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got).reshape(-1, C), ref,
+                               atol=1e-5)
+    grid = jnp.asarray(rng.randn(res, res, res, C), jnp.float32)
+    gv = np.asarray(grid).reshape(-1, C)[flat]
+    ref_p = (w[..., None] * gv).sum(axis=1)
+    got_p = g2p_apply(base, w_ax, grid, chunk=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), ref_p, atol=1e-5)
+
+
+def test_sand_angle_of_repose():
+    """A sand column collapses into a pile whose slope does not exceed the
+    Drucker-Prager friction angle (reference: implicit_mpm sand tests)."""
+    m = _sand_builder().finalize()
+    phi = 0.6     # ~34 degrees
+    solver = SolverImplicitMPM(m, grid_lower=(-1, -1, 0), grid_upper=(1, 1, 2),
+                               resolution=24, friction_angle=phi,
+                               young=5e4)
+    s = solver.init_state(m.state())
+    dt = 4e-4
+
+    @jax.jit
+    def frames(s):
+        def sub(s, _):
+            return solver.step(s, None, None, None, dt), None
+        return jax.lax.scan(sub, s, None, length=40)[0]
+
+    for _ in range(50):
+        s = frames(s)
+    q = np.asarray(s.particle_q)
+    assert np.isfinite(q).all()
+    # settled: low kinetic energy
+    speed = np.abs(np.asarray(s.particle_qd)).max()
+    assert speed < 1.0, f"sand still moving at {speed}"  # noqa
+    # pile spreads (radius grows) and flattens (height drops)
+    r = np.sqrt(q[:, 0] ** 2 + q[:, 1] ** 2)
+    h = q[:, 2]
+    assert h.max() < 0.55, f"pile did not collapse: h={h.max()}"
+    assert np.percentile(r, 95) > 0.2, "pile did not spread"
+    # slope bound: fit surface height vs radius on settled particles;
+    # the repose angle must not exceed the friction angle by a margin
+    surf = []
+    for r0 in np.linspace(0.05, np.percentile(r, 98), 8):
+        mask = np.abs(r - r0) < 0.04
+        if mask.sum() > 10:
+            surf.append((r0, np.percentile(h[mask], 95)))
+    surf = np.array(surf)
+    slopes = -np.diff(surf[:, 1]) / np.diff(surf[:, 0])
+    max_slope = slopes.max()
+    assert max_slope < np.tan(phi) + 0.7, \
+        f"slope {max_slope} vs tan(phi)={np.tan(phi):.2f}"
+
+
+def test_elastic_blob_bounces_and_conserves():
+    m = _sand_builder(512).finalize()
+    solver = SolverImplicitMPM(m, grid_lower=(-1, -1, 0),
+                               grid_upper=(1, 1, 2), resolution=24,
+                               friction_angle=None, young=2e4)
+    s = solver.init_state(m.state())
+
+    @jax.jit
+    def frames(s):
+        def sub(s, _):
+            return solver.step(s, None, None, None, 4e-4), None
+        return jax.lax.scan(sub, s, None, length=25)[0]
+
+    for _ in range(10):
+        s = frames(s)
+    q = np.asarray(s.particle_q)
+    assert np.isfinite(q).all()
+    assert (q[:, 2] > -0.01).all()      # nothing tunnels through the floor
