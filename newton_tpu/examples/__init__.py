@@ -42,7 +42,7 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("example", nargs="?", choices=sorted(EXAMPLES),
                    help="example to run")
     p.add_argument("--viewer", default="null",
-                   choices=["null", "file"],
+                   choices=["null", "file", "gl", "rerun", "viser", "usd"],
                    help="viewer backend")
     p.add_argument("--num-frames", type=int, default=100)
     p.add_argument("--device", default=None,
@@ -67,6 +67,19 @@ def init(argv=None):
     from ..viewer import ViewerFile, ViewerNull
     if args.viewer == "file":
         viewer = ViewerFile(args.output)
+    elif args.viewer == "gl":
+        from ..viewer.viewer_gl import ViewerGL
+        viewer = ViewerGL()
+    elif args.viewer == "rerun":
+        from ..viewer import ViewerRerun
+        viewer = ViewerRerun()
+    elif args.viewer == "viser":
+        from ..viewer import ViewerViser
+        viewer = ViewerViser()
+    elif args.viewer == "usd":
+        from ..viewer import ViewerUSD
+        viewer = ViewerUSD(args.output if args.output != "recording.json"
+                           else "recording.usda")
     else:
         viewer = ViewerNull(max_frames=args.num_frames)
     return viewer, args
@@ -80,7 +93,8 @@ def run(example, args, viewer=None):
     frames = 0
     t0 = time.perf_counter()
     while viewer is None or viewer.is_running():
-        example.step()
+        if viewer is None or getattr(viewer, "wants_step", True):
+            example.step()
         if hasattr(example, "render"):
             example.render()
         frames += 1

@@ -2,13 +2,16 @@ from .viewer import ViewerBase
 from .viewer_file import ViewerFile
 from .viewer_null import ViewerNull
 
-__all__ = ["ViewerBase", "ViewerFile", "ViewerNull", "ViewerPlot",
-           "ViewerRerun", "ViewerUSD", "ViewerViser"]
+__all__ = ["ViewerBase", "ViewerFile", "ViewerGL", "ViewerNull",
+           "ViewerPlot", "ViewerRerun", "ViewerUSD", "ViewerViser"]
 
 
 def __getattr__(name):
     # optional-dependency backends load lazily (reference gates GL/rerun/
     # viser backends on their imports the same way)
+    if name == "ViewerGL":
+        from .viewer_gl import ViewerGL
+        return ViewerGL
     if name == "ViewerRerun":
         from .viewer_rerun import ViewerRerun
         return ViewerRerun
