@@ -67,12 +67,34 @@ class NewtonSchemaResolver(SchemaResolver):
     }
 
 
+class MjcSchemaResolver(SchemaResolver):
+    """MjcPhysics attributes written by MuJoCo's USD exporter
+    (reference: usd/schemas.py:482 MjcSchemaResolver)."""
+
+    prefix = "mjc"
+    mapping = {
+        "mjc:armature": "armature",
+        "mjc:damping": "damping",
+        "mjc:stiffness": "stiffness",
+        "mjc:frictionloss": "friction",
+        "mjc:actuatorfrcrange:min": "effort_limit_lo",
+        "mjc:actuatorfrcrange:max": "effort_limit_hi",
+        "mjc:option:timestep": "timestep",
+        "mjc:solimp": "solimp",
+        "mjc:solref": "solref",
+        "mjc:condim": "condim",
+        "mjc:margin": "contact_margin",
+        "mjc:gap": "contact_gap",
+    }
+
+
 class SchemaResolverManager:
     """Ordered resolver chain (reference: usd/schema_resolver.py:192)."""
 
     def __init__(self, resolvers: Optional[List[SchemaResolver]] = None):
         self.resolvers = resolvers or [NewtonSchemaResolver(),
-                                       PhysxSchemaResolver()]
+                                       PhysxSchemaResolver(),
+                                       MjcSchemaResolver()]
 
     def resolve(self, prim: UsdaPrim, unified: str, default=None):
         for r in self.resolvers:
@@ -112,18 +134,21 @@ def parse_usd(builder, source: str, xform=None, floating: bool = False,
 
     Returns dict with bodies/joints name->index maps.
     """
+    root = None
     if os.path.exists(source):
-        if source.endswith((".usd", ".usdc")):
-            with open(source, "rb") as f:
-                if f.read(8) != b"#usda 1.":
-                    raise RuntimeError(
-                        "Binary USD requires the pxr library (not available);"
-                        " export the stage as .usda text")
-        with open(source) as f:
-            text = f.read()
+        with open(source, "rb") as f:
+            magic = f.read(8)
+        if magic == b"PXR-USDC":
+            # binary crate stage: own dependency-free reader (usd/usdc.py)
+            from ..usd.usdc import read_usdc
+            root = read_usdc(source)
+        else:
+            with open(source) as f:
+                text = f.read()
     else:
         text = source
-    root = parse_usda(text)
+    if root is None:
+        root = parse_usda(text)
     rm = resolvers or SchemaResolverManager()
     pre = (key_prefix + "/") if key_prefix else ""
     base = np.asarray(xform, dtype=np.float64) if xform is not None \
@@ -308,19 +333,27 @@ def parse_usd(builder, source: str, xform=None, floating: bool = False,
         deg2rad = np.pi / 180.0
         key = pre + prim.path.strip("/").replace("/", ".")
         kwargs = dict(xform_p=X_p, xform_c=X_c, key=key)
+        # vendor attributes via the resolver chain (newton/physx/mjc)
+        dof_kw = dict(kwargs)
+        arm = rm.resolve(prim, "armature")
+        fric = rm.resolve(prim, "friction")
+        if arm is not None:
+            dof_kw["armature"] = float(arm)
+        if fric is not None:
+            dof_kw["friction"] = float(fric)
         parent = b0 if b0 is not None else -1
         if kind == "revolute":
             j = builder.add_joint_revolute(
                 parent, b1, axis=axis,
                 limit_lower=float(lo) * deg2rad if lo is not None else None,
                 limit_upper=float(hi) * deg2rad if hi is not None else None,
-                **kwargs)
+                **dof_kw)
         elif kind == "prismatic":
             j = builder.add_joint_prismatic(
                 parent, b1, axis=axis,
                 limit_lower=float(lo) * scale if lo is not None else None,
                 limit_upper=float(hi) * scale if hi is not None else None,
-                **kwargs)
+                **dof_kw)
         elif kind == "ball":
             j = builder.add_joint_ball(parent, b1, **kwargs)
         elif kind == "fixed":
@@ -336,7 +369,40 @@ def parse_usd(builder, source: str, xform=None, floating: bool = False,
             builder.add_joint_free(b_idx, key=pre + path.strip("/") + ".free")
             jointed.add(b_idx)
 
-    return dict(bodies=name_to_body, joints=name_to_joint)
+    # deformable VOLUME prims -> FEM tet soft bodies (reference:
+    # utils/import_usd_deformable_volume.py): TetMesh prims, or Mesh prims
+    # carrying a DeformableBodyAPI with simulation tet indices
+    soft_particles: Dict[str, List[int]] = {}
+    for prim in root.walk():
+        is_tet = prim.type_name == "TetMesh"
+        has_api = (prim.has_api("DeformableBodyAPI")
+                   or prim.has_api("PhysxDeformableBodyAPI"))
+        if not (is_tet or has_api):
+            continue
+        pts = prim.get("points")
+        tets = (prim.get("tetVertexIndices")
+                or prim.get("physxDeformable:simulationIndices")
+                or prim.get("newton:simulationIndices"))
+        if pts is None or tets is None:
+            continue
+        X_local = _xform_of(prim)
+        sc = _scale_of(prim) * scale
+        xf = np_transform_multiply(base, X_local)
+        verts = np.asarray(pts, dtype=np.float64) * sc[None, :]
+        density = float(prim.get("physics:density",
+                                 prim.get("physxDeformable:density", 100.0)))
+        young = float(prim.get("physxDeformable:youngsModulus", 1.0e4))
+        poisson = float(prim.get("physxDeformable:poissonsRatio", 0.3))
+        k_mu = young / (2 * (1 + poisson))
+        k_lambda = young * poisson / ((1 + poisson) * (1 - 2 * poisson))
+        ids = builder.add_soft_mesh(
+            pos=xf[0:3], rot=xf[3:7], vel=(0, 0, 0), vertices=verts,
+            indices=np.asarray(tets, dtype=np.int64).reshape(-1, 4),
+            density=density, k_mu=k_mu, k_lambda=k_lambda)
+        soft_particles[prim.path] = ids
+
+    return dict(bodies=name_to_body, joints=name_to_joint,
+                soft=soft_particles)
 
 
 def _lookup_body(name_to_body: Dict[str, int], rel) -> Optional[int]:
