@@ -43,28 +43,83 @@ class SolverCoupled(SolverBase):
 
     def __init__(self, model: Model, rigid_solver: SolverBase,
                  particle_solver: SolverBase,
-                 coupling_ke: float = 1.0e4, coupling_kd: float = 50.0):
+                 coupling_ke: float = 1.0e4, coupling_kd: float = 50.0,
+                 consensus_iters: int = 3, rho: float = 0.6):
         super().__init__(model)
         self.rigid_solver = rigid_solver
         self.particle_solver = particle_solver
         self.coupling_ke = float(coupling_ke)
         self.coupling_kd = float(coupling_kd)
+        # ADMM-style consensus: iterate the dual contact impulse so the
+        # post-step relative normal velocity at shared contacts vanishes
+        # (reference solver_coupled_admm.py:424 iterates the same consensus;
+        # one iteration reproduces the old single penalty sweep)
+        self.consensus_iters = int(consensus_iters)
+        self.rho = float(rho)
 
     def step(self, state_in: State, state_out: Optional[State] = None,
              control: Optional[Control] = None,
              contacts: Optional[Contacts] = None, dt: float = 1e-3) -> State:
         model = self.model
-        state = state_in
+        has_coupling = (contacts is not None and contacts.soft_contact_max
+                        and model.body_count)
+        if not has_coupling:
+            rigid_out = self.rigid_solver.step(state_in, None, control,
+                                               contacts, dt)
+            particle_out = self.particle_solver.step(state_in, None, control,
+                                                     contacts, dt)
+            return self._merge(state_in, rigid_out, particle_out, None)
 
-        # reaction of particle contacts onto rigid bodies
-        if (contacts is not None and contacts.soft_contact_max
-                and model.body_count):
-            state = state.replace(
-                body_f=state.body_f + self._reaction_wrenches(state, contacts))
+        st = model.structure
+        n_soft = contacts.soft_contact_max
+        dtype = state_in.body_q.dtype
+        lam = jnp.zeros((n_soft,), dtype=dtype)        # dual normal impulse
+        residuals = []
+        pi = contacts.soft_contact_particle
+        si_static = getattr(st, "soft_pairs", np.zeros((0, 2), np.int32))[:, 1]
+        body_idx = np.asarray(st.shape_body)[si_static]
+        dyn = jnp.asarray(body_idx >= 0)
+        b_c = np.maximum(body_idx, 0)
+        nrm = contacts.soft_contact_normal
+        act = (contacts.soft_contact_mask
+               & (contacts.soft_contact_depth > 0) & dyn)
+        m_p = model.particle_mass[pi]
 
-        rigid_out = self.rigid_solver.step(state, None, control, contacts, dt)
-        particle_out = self.particle_solver.step(state, None, control,
-                                                 contacts, dt)
+        rigid_out = particle_out = None
+        for _ in range(max(self.consensus_iters, 1)):
+            wrench = (self._reaction_wrenches(state_in, contacts)
+                      + self._lambda_wrench(state_in, contacts, lam, b_c, dt))
+            state_r = state_in.replace(body_f=state_in.body_f + wrench)
+            rigid_out = self.rigid_solver.step(state_r, None, control,
+                                               contacts, dt)
+            particle_out = self.particle_solver.step(state_in, None, control,
+                                                     contacts, dt)
+            # consensus residual: remaining approach velocity at contacts
+            vp = particle_out.particle_qd[pi]
+            vb = self._body_point_vel(rigid_out, contacts, b_c)
+            vn_rel = jnp.sum((vp - vb) * nrm, axis=-1)      # >0 separating
+            gap = jnp.where(act, jnp.minimum(vn_rel, 0.0), 0.0)
+            residuals.append(jnp.sqrt(jnp.mean(gap ** 2) + 1e-20))
+            # dual ascent with projection onto lam >= 0
+            lam = jnp.maximum(lam + self.rho * m_p * (-gap), 0.0)
+        return self._merge(state_in, rigid_out, particle_out,
+                           jnp.stack(residuals))
+
+    def init_state(self, state: State) -> State:
+        """Opt in to per-step convergence reporting: allocates the
+        ``coupled:residuals`` buffer so scan carries stay structurally
+        stable."""
+        custom = dict(state.custom)
+        custom.setdefault("coupled:residuals",
+                          jnp.zeros((max(self.consensus_iters, 1),),
+                                    dtype=state.body_q.dtype))
+        return state.replace(custom=custom)
+
+    def _merge(self, state_in, rigid_out, particle_out, residuals):
+        custom = {**particle_out.custom, **rigid_out.custom}
+        if residuals is not None and "coupled:residuals" in state_in.custom:
+            # convergence measurement: per-iteration consensus residual
+            custom["coupled:residuals"] = residuals
         return state_in.replace(
             body_q=rigid_out.body_q,
             body_qd=rigid_out.body_qd,
@@ -72,8 +127,28 @@ class SolverCoupled(SolverBase):
             joint_qd=rigid_out.joint_qd,
             particle_q=particle_out.particle_q,
             particle_qd=particle_out.particle_qd,
-            custom={**particle_out.custom, **rigid_out.custom},
+            custom=custom,
         )
+
+    def _body_point_vel(self, state, contacts, b_c):
+        p = contacts.soft_contact_position
+        bq = state.body_q[b_c]
+        x_com = bq[:, 0:3] + quat_rotate(bq[:, 3:7],
+                                         self.model.body_com[b_c])
+        qd = state.body_qd[b_c]
+        return qd[:, 0:3] + jnp.cross(qd[:, 3:6], p - x_com)
+
+    def _lambda_wrench(self, state, contacts, lam, b_c, dt):
+        """Wrench on bodies from the consensus dual impulse lam."""
+        model = self.model
+        B = model.body_count
+        f = -contacts.soft_contact_normal * (lam / dt)[:, None]
+        p = contacts.soft_contact_position
+        bq = state.body_q[b_c]
+        x_com = bq[:, 0:3] + quat_rotate(bq[:, 3:7], model.body_com[b_c])
+        tau = jnp.cross(p - x_com, f)
+        return jax.ops.segment_sum(jnp.concatenate([f, tau], axis=-1),
+                                   b_c, B)
 
     def _reaction_wrenches(self, state: State, contacts: Contacts):
         """Equal-and-opposite penalty wrench on bodies from particle contacts

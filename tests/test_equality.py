@@ -204,3 +204,54 @@ def test_kamino_heavy_stack_beats_pgs():
     assert err_adm < 0.03, f"kamino stack error {err_adm}"
     assert err_pgs > 2 * err_adm, \
         f"PGS ({err_pgs}) should flunk where ADMM ({err_adm}) holds"
+
+
+def test_coupled_consensus_momentum_transfer():
+    """ADMM consensus coupling conserves momentum at shared contacts: a
+    particle blob landing on a free-floating box exchanges momentum with it
+    rather than creating or destroying it (VERDICT item 10 acceptance:
+    assert momentum transfer error, not just stability)."""
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers import SolverXPBD
+
+    b = nt.ModelBuilder(gravity=-10.0)
+    box = b.add_body(xform=[0, 0, 0.0, 0, 0, 0, 1])
+    b.add_shape_box(box, hx=0.4, hy=0.4, hz=0.1,
+                    cfg=nt.ShapeConfig(density=500.0))
+    b.add_joint_free(box)
+    rng = np.random.RandomState(0)
+    for p in rng.uniform(-0.2, 0.2, (40, 3)) * [1, 1, 0.5] + [0, 0, 0.5]:
+        b.add_particle(p, (0, 0, 0), mass=0.05, radius=0.01)
+    m = b.finalize()
+
+    pipe = CollisionPipeline(m)
+    rigid = SolverXPBD(m, iterations=2)
+    part = SolverXPBD(m, iterations=2)
+    solver = SolverCoupled(m, rigid, part, consensus_iters=4)
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    s = solver.init_state(s)
+    dt = 1.0 / 240.0
+
+    def total_pz(s):
+        mb = float(np.asarray(m.body_mass)[0])
+        mp = np.asarray(m.particle_mass)
+        return (mb * float(s.body_qd[0, 2])
+                + float(np.sum(mp * np.asarray(s.particle_qd)[:, 2])))
+
+    M_tot = float(np.asarray(m.body_mass)[0]) + \
+        float(np.asarray(m.particle_mass).sum())
+    p0 = total_pz(s)
+    steps = 120
+    step = jax.jit(lambda s: solver.step(s, None, m.control(),
+                                         pipe.collide(s), dt))
+    for _ in range(steps):
+        s = step(s)
+    # free space: d(total p_z)/dt must equal total weight, contact or not
+    expected = p0 - 10.0 * M_tot * steps * dt
+    got = total_pz(s)
+    err = abs(got - expected) / abs(expected)
+    assert err < 0.05, f"momentum transfer error {err:.3f}"
+    # convergence measurement exists and the residual shrinks
+    res = np.asarray(s.custom["coupled:residuals"])
+    assert res.shape[0] == 4
+    assert res[-1] <= res[0] + 1e-6, res
