@@ -18,6 +18,15 @@ from typing import Optional
 __all__ = ["create_parser", "init", "run", "main", "EXAMPLES"]
 
 EXAMPLES = {
+    "fourbar_kamino": "newton_tpu.examples.example_fourbar_kamino",
+    "convex_stack": "newton_tpu.examples.example_convex_stack",
+    "heavy_stack_kamino": "newton_tpu.examples.example_heavy_stack_kamino",
+    "usd_roundtrip": "newton_tpu.examples.example_usd_roundtrip",
+    "sensor_imu": "newton_tpu.examples.example_sensor_imu",
+    "contact_forces": "newton_tpu.examples.example_contact_forces",
+    "hetero_worlds": "newton_tpu.examples.example_hetero_worlds",
+    "soft_volume": "newton_tpu.examples.example_soft_volume",
+    "ant_sharded": "newton_tpu.examples.example_ant_sharded",
     "basic_pendulum": "newton_tpu.examples.example_basic_pendulum",
     "basic_sphere": "newton_tpu.examples.example_basic_sphere",
     "robot_ant": "newton_tpu.examples.example_robot_ant",
