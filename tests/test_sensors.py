@@ -5,7 +5,9 @@ import numpy as np
 import pytest
 
 import newton_tpu as nt
-from newton_tpu.sensors import SensorContact, SensorFrameTransform, SensorIMU
+from newton_tpu.sensors import (SensorContact, SensorFrameTransform,
+                                SensorIMU)
+from newton_tpu.sensors.sensor_tiled_camera import SensorTiledCamera
 from newton_tpu.sim.articulation import eval_fk
 
 
@@ -56,3 +58,32 @@ def test_contact_sensor_reduction():
     )
     f, t = sensor.update(c)
     np.testing.assert_allclose(np.asarray(f)[0], [0, 0, 5.0], atol=1e-6)
+
+
+def test_camera_golden_image():
+    """Golden-image regression for the tiled camera (reference:
+    tests/golden_data camera tests): a canonical sphere+box+ground scene
+    must render the stored depth/shape-index image."""
+    import os
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden_data",
+                                  "camera_sphere_box.npz"))
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 0.5, 0, 0, 0, 1])
+    b.add_shape_sphere(body, radius=0.5)
+    b.add_joint_free(body)
+    box = b.add_body(xform=[1.2, 0, 0.25, 0, 0, 0, 1])
+    b.add_shape_box(box, hx=0.25, hy=0.25, hz=0.25)
+    b.add_joint_free(box)
+    b.add_ground_plane()
+    m = b.finalize()
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    cam = SensorTiledCamera(m, width=48, height=32)
+    out = cam.render(s, golden["cam_xform"][None])
+    depth = np.asarray(out["depth"][0])
+    sidx = np.asarray(out["shape_index"][0])
+    # shape ids may flip on silhouette pixels; the interiors must agree
+    match = (sidx == golden["shape_index"]).mean()
+    assert match > 0.98, f"shape-index image match {match:.3f}"
+    both_hit = (sidx >= 0) & (golden["shape_index"] >= 0)
+    err = np.abs(depth - golden["depth"])[both_hit]
+    assert np.median(err) < 5e-3, f"depth drift: median {np.median(err)}"
