@@ -974,12 +974,15 @@ class ModelBuilder:
     def _update_body_mass(self, body: int, m: float, I: np.ndarray,
                           com: np.ndarray, shape_xform: np.ndarray):
         """Accumulate a shape's mass properties into its body (parallel-axis)."""
-        # shape COM and inertia in body frame
+        # shape COM and inertia (about the shape COM) rotated into body axes;
+        # the single parallel-axis shift to the combined COM happens below —
+        # shifting here too would double-count m d^2 (caught by the MuJoCo-C
+        # mass-matrix parity gate, tests/test_parity_mujoco.py)
         p_com = np_transform_point(shape_xform, com)
         R = np.asarray(
             [np_transform_vector(shape_xform, e) for e in np.eye(3)]
         ).T
-        I_body = transform_inertia(m, R @ I @ R.T, p_com, np.array([0.0, 0.0, 0.0, 1.0]))
+        I_body = R @ I @ R.T
 
         m0 = self.body_mass[body]
         c0 = self.body_com[body]
@@ -1985,6 +1988,9 @@ class ModelBuilder:
             st.tendon_coord = np.zeros((0, 1), dtype=np.int32)
             st.tendon_dof = np.zeros((0, 1), dtype=np.int32)
             st.tendon_coef = np.zeros((0, 1))
+        # structured MuJoCo actuation tables (import_mjcf actuation="mjc");
+        # consumed by the generalized solver's actuation stage
+        st.mjc_actuation = getattr(self, "mjc_actuation", None)
         st.muscle_count = len(self.muscle_params)
         st.muscle_start = np.asarray(
             self.muscle_start + [len(self.muscle_bodies)], dtype=np.int32)
@@ -2281,7 +2287,12 @@ class ModelBuilder:
                 AttributeFrequency.EQUALITY: st.eq_count,
                 AttributeFrequency.ONCE: 1,
             }[attr.frequency]
-            arr = np.full((n, *attr.shape), attr.default, dtype=attr.dtype)
+            # ONCE attributes are exactly their declared trailing shape (the
+            # Model._alloc_custom convention); per-entity frequencies prepend
+            # the entity count
+            shape = (attr.shape if attr.frequency == AttributeFrequency.ONCE
+                     else (n, *attr.shape))
+            arr = np.full(shape, attr.default, dtype=attr.dtype)
             for k, v in attr.values.items():
                 arr[k] = v
             custom[name] = jnp.asarray(arr)

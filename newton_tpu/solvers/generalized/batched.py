@@ -549,8 +549,9 @@ def _applied_tau_t(solver, model, q_t, qd_t, control_t):
         ke = model.joint_target_ke[ld][:, None]
         kd = model.joint_target_kd[ld][:, None]
         err = tq_t[li] - q_t[li]
-        errd = tqd_t[ld] - qd_t[ld]
-        pd = ke * err + kd * errd
+        # damping is implicit ((M + dt Kd) matrix); rhs carries only
+        # kd * target_qd — mirrors solver.py (MuJoCo Euler semantics)
+        pd = ke * err + kd * tqd_t[ld]
         tau = tau.at[ld].add(pd)
         kd_implicit = kd_implicit.at[ld].add(
             jnp.broadcast_to(kd, pd.shape))
@@ -567,7 +568,7 @@ def _applied_tau_t(solver, model, q_t, qd_t, control_t):
         qtar = quat_normalize(jnp.moveaxis(tq_t[q4], 1, -1))
         axis, ang = quat_to_axis_angle(qml(qtar, quat_conjugate(qcur)))
         e = jnp.moveaxis(axis * ang[..., None], -1, 1)   # (B, 3, W)
-        pd_b = ke_b * e + kd_b * (tqd_t[d3] - qd_t[d3])
+        pd_b = ke_b * e + kd_b * tqd_t[d3]
         tau = tau.at[d3.reshape(-1)].add(pd_b.reshape(-1, W))
         kd_implicit = kd_implicit.at[d3.reshape(-1)].add(
             jnp.broadcast_to(kd_b, pd_b.shape).reshape(-1, W))
@@ -760,7 +761,9 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
 
     b_n = (jnp.maximum(-e_rest * vn_pre, 0.0)
            + solver.baumgarte / dt
-           * jnp.maximum(depth - solver.contact_slop, 0.0))
+           * jnp.maximum(depth - solver.contact_slop, 0.0)
+           + jnp.minimum(depth, 0.0) / dt)  # allow closing up to gap/dt
+           # (mirrors solver.py; otherwise bodies float one margin high)
     zc = jnp.zeros((2 * c, W), dtype=dtype)
     actf = active.astype(dtype)
     b_rows = jnp.concatenate([jnp.where(active, b_n, 0.0), zc], axis=0)
@@ -873,10 +876,25 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
             else control_b.tendon_f.T,
         )
     tau, kd_implicit = _applied_tau_t(solver, model, q_t, qd_t, control_t)
+
+    new_custom = dict(state_b.custom)
+    # structured MuJoCo actuation (actuation.py): same tables as the per-env
+    # path; the (A, W) layout rides the lanes like everything else here
+    au = getattr(model.structure, "mjc_actuation", None)
+    if (au is not None and control_b is not None
+            and "mjc:ctrl" in getattr(control_b, "custom", {})):
+        from .actuation import actuator_forces
+        ctrl_t = control_b.custom["mjc:ctrl"].T              # (A, W)
+        act_t = state_b.custom.get("mjc:act")
+        act_t = act_t.T if act_t is not None else None
+        tau_a, act_new_t, _ = actuator_forces(au, model, q_t, qd_t,
+                                              ctrl_t, act_t, dt)
+        tau = tau + tau_a
+        if act_new_t is not None:
+            new_custom["mjc:act"] = act_new_t.T
     tau_net = tau - tau_bias
 
     qd_new = qd_t
-    new_custom = dict(state_b.custom)
     has_contacts = (contacts_b is not None
                     and contacts_b.rigid_contact_mask.shape[-1] > 0)
     for gi, g in enumerate(gc.groups):

@@ -226,6 +226,40 @@ class SolverFeatherstone(SolverBase):
         # per-slot shape indices for material lookup
         self.slot_shape0 = getattr(st, "slot_shape0", np.zeros(0, np.int32))
         self.slot_shape1 = getattr(st, "slot_shape1", np.zeros(0, np.int32))
+        # muscle acc0 (MuJoCo: |qacc| from a unit actuator force at qpos0,
+        # used to resolve force<0 as scale/acc0): one-time host solve
+        au = getattr(st, "mjc_actuation", None)
+        if au is not None and au.has_muscle and not getattr(au, "_acc0_done",
+                                                            False):
+            self._compute_muscle_acc0(au)
+
+    def _compute_muscle_acc0(self, au):
+        """acc0_a = || M(q0)^-1 moment_a || per actuator (MuJoCo m->actuator
+        acc0 semantics), computed once on host at the model's default pose."""
+        from ...sim.dynamics_api import eval_mass_matrix
+        model = self.model
+        st = model.structure
+        state = model.state()
+        Ms = [np.asarray(M, np.float64) for M in eval_mass_matrix(model, state)]
+        D = st.joint_dof_count
+        for a in range(au.n):
+            moment = np.zeros(D)
+            if au.dof[a] >= 0:
+                moment[au.dof[a]] = au.gear[a]
+            elif au.tendon[a] >= 0:
+                t = int(au.tendon[a])
+                moment[np.asarray(st.tendon_dof[t])] += \
+                    np.asarray(st.tendon_coef[t]) * au.gear[a]
+            else:
+                continue
+            for gi, g in enumerate(self.gc.groups):
+                m_g = moment[g.dof_idx[0]]
+                if not np.any(m_g):
+                    continue
+                qacc = np.linalg.solve(Ms[gi][0], m_g)
+                au.acc0[a] = max(float(np.linalg.norm(qacc)), 1e-12)
+                break
+        au._acc0_done = True
 
     # ------------------------------------------------------------------
     def step(self, state_in: State, state_out: Optional[State] = None,
@@ -258,8 +292,12 @@ class SolverFeatherstone(SolverBase):
                 ke = model.joint_target_ke[ld]
                 kd = model.joint_target_kd[ld]
                 err = control.joint_target_q[li] - q[li]
-                errd = control.joint_target_qd[ld] - qd[ld]
-                pd = ke * err + kd * errd
+                # damping is implicit: kd enters the (M + dt Kd) matrix and
+                # the rhs carries kd * target_qd only — adding the explicit
+                # -kd qd here too would double the damping (this exactly
+                # reproduces MuJoCo's Euler-with-implicit-damping update;
+                # verified by the pendulum trajectory parity gate)
+                pd = ke * err + kd * control.joint_target_qd[ld]
                 tau = tau.at[ld].add(pd)
                 kd_implicit = kd_implicit.at[ld].add(kd)
             # PD drives on BALL joints: quaternion-error axis-angle torque in
@@ -277,7 +315,8 @@ class SolverFeatherstone(SolverBase):
                 axis, ang = quat_to_axis_angle(
                     quat_mul(qtar, quat_conjugate(qcur)))
                 e = axis * ang[:, None]
-                pd_b = ke_b * e + kd_b * (control.joint_target_qd[d3] - qd[d3])
+                # implicit damping: see the 1-dof PD comment above
+                pd_b = ke_b * e + kd_b * control.joint_target_qd[d3]
                 tau = tau.at[d3.reshape(-1)].add(pd_b.reshape(-1))
                 kd_implicit = kd_implicit.at[d3.reshape(-1)].add(
                     kd_b.reshape(-1))
@@ -297,6 +336,19 @@ class SolverFeatherstone(SolverBase):
                 f_t = f_t + control.tendon_f
             tau = tau.at[stt.tendon_dof.reshape(-1)].add(
                 (tc * f_t[:, None]).reshape(-1))
+        # structured MuJoCo actuation (gain/bias/dyntype/muscle tables from
+        # import_mjcf; reference solver_mujoco.py:500-529): force from
+        # control.custom["mjc:ctrl"] + activation state in state custom
+        act_new = None
+        au = getattr(st, "mjc_actuation", None)
+        if (au is not None and control is not None
+                and "mjc:ctrl" in control.custom):
+            from .actuation import actuator_forces
+            ctrl_vec = control.custom["mjc:ctrl"]
+            act_vec = state_in.custom.get("mjc:act")
+            tau_a, act_new, _ = actuator_forces(
+                au, model, q, qd, ctrl_vec, act_vec, dt)
+            tau = tau + tau_a
         # joint limits: one-sided penalty springs (constraint mode moves
         # limits into the unified impulse solve instead)
         li, ld = gc.lin_coord_idx, gc.lin_coord_dof
@@ -375,6 +427,8 @@ class SolverFeatherstone(SolverBase):
         # integrate coordinates and recompute kinematics for the output state
         q_new = integrate_coords(model, q, qd_new, body_q, dt)
         out = eval_fk(model, q_new, qd_new, state_in)
+        if act_new is not None:
+            out = out.replace(custom={**out.custom, "mjc:act": act_new})
 
         if self.sleep_threshold > 0.0:
             if f"sleep:count:0" not in state_in.custom:
@@ -673,10 +727,14 @@ class SolverFeatherstone(SolverBase):
                 + self.contact_reg)
         v_free = jnp.einsum("ndr,nd->nr", Jt, qd_g)         # (n, r)
 
-        # desired normal velocity: restitution + Baumgarte stabilization
+        # desired normal velocity: restitution + Baumgarte stabilization;
+        # margin-active but separated rows (depth < 0) must still allow
+        # closing speed up to gap/dt or everything floats one margin above
+        # every surface (caught by the MuJoCo resting-height parity gate)
         b_n = jnp.maximum(-e_rest_c * vn_pre_c, 0.0) \
             + self.baumgarte / dt * jnp.maximum(depth_c - self.contact_slop,
-                                                0.0)
+                                                0.0) \
+            + jnp.minimum(depth_c, 0.0) / dt
         b = jnp.zeros((n_env, K, 3), dtype=dtype)
         b = b.at[:, :, 0].set(jnp.where(active_c, b_n, 0.0))
         b = b.reshape(n_env, 3 * K)

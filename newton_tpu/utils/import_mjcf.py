@@ -120,7 +120,8 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
                collapse_fixed_joints: bool = False,
                enable_self_collisions: bool = False,
                up_axis: str = "Z",
-               key_prefix: Optional[str] = None):
+               key_prefix: Optional[str] = None,
+               actuation: str = "mjc"):
     """Parse an MJCF file or XML string into ``builder``
     (reference: ModelBuilder.add_mjcf, builder.py:3615 -> import_mjcf.py).
 
@@ -507,6 +508,13 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
                     passive_kd=_parse_float(sa.get("damping"), 0.0))
 
     # ---------------- actuators ----------------
+    # Full MuJoCo actuator semantics (reference solver_mujoco.py:500-529
+    # CtrlSource/CtrlType): every shortcut is lowered to the canonical
+    # gain/bias/dyntype form and stored in structured MJCActuation tables
+    # consumed inside the solver step; the mjc:ctrl control vector and
+    # mjc:act activation state are registered as custom attributes.
+    # actuation="pd" restores the legacy lossy mapping (position/velocity
+    # actuators -> joint_target_ke/kd PD drives).
     actuators = []
     act_root = root.find("actuator")
     if act_root is not None:
@@ -516,38 +524,180 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
                                      default=-MAXVAL)
         builder.add_custom_attribute("mjc:actuator_ctrlrange_hi", AttributeFrequency.JOINT_DOF,
                                      default=MAXVAL)
+        from ..solvers.generalized.actuation import (
+            BIAS_AFFINE, BIAS_MUSCLE, BIAS_NONE, DYN_FILTER, DYN_FILTEREXACT,
+            DYN_INTEGRATOR, DYN_MUSCLE, DYN_NONE, GAIN_AFFINE, GAIN_FIXED,
+            GAIN_MUSCLE, MJCActuation)
+        _DYN = {"none": DYN_NONE, "integrator": DYN_INTEGRATOR,
+                "filter": DYN_FILTER, "filterexact": DYN_FILTEREXACT,
+                "muscle": DYN_MUSCLE}
+        _GAIN = {"fixed": GAIN_FIXED, "affine": GAIN_AFFINE,
+                 "muscle": GAIN_MUSCLE}
+        _BIAS = {"none": BIAS_NONE, "affine": BIAS_AFFINE,
+                 "muscle": BIAS_MUSCLE}
+        recs = []
         for act in act_root:
             a = resolve_attrs(act, act.tag, None)
             tname = a.get("tendon")
-            if tname is not None and tname in name_to_tendon:
-                actuators.append(dict(name=a.get("name", tname),
-                                      tendon=name_to_tendon[tname],
-                                      gear=_parse_float(
-                                          (a.get("gear") or "1").split()[0]
-                                          if a.get("gear") else None, 1.0),
-                                      type=act.tag))
-                continue
             jname = a.get("joint")
-            if jname is None or jname not in joint_dof_start:
+            if tname is not None and tname in name_to_tendon:
+                trn = ("tendon", name_to_tendon[tname])
+            elif jname is not None and jname in joint_dof_start:
+                trn = ("joint", joint_dof_start[jname],
+                       joint_coord_start[jname])
+            else:
                 continue
-            dof = joint_dof_start[jname]
             gear = float(a["gear"].split()[0]) if a.get("gear") else 1.0
-            cr = _parse_vec(a.get("ctrlrange"), default=[-MAXVAL, MAXVAL], n=2)
-            builder.add_custom_values("mjc:actuator_gear", {dof: gear})
-            builder.add_custom_values("mjc:actuator_ctrlrange_lo", {dof: float(cr[0])})
-            builder.add_custom_values("mjc:actuator_ctrlrange_hi", {dof: float(cr[1])})
-            if act.tag == "position":
+            cr = _parse_vec(a.get("ctrlrange"), n=2)
+            fr = _parse_vec(a.get("forcerange"), n=2)
+            ar = _parse_vec(a.get("actrange"), n=2)
+            r = dict(name=a.get("name", tname or jname), trn=trn, gear=gear,
+                     type=act.tag,
+                     ctrlrange=cr, forcerange=fr, actrange=ar,
+                     dyntype=DYN_NONE, dynprm=[1.0, 0.0, 0.0],
+                     gaintype=GAIN_FIXED, gainprm=[1.0] + [0.0] * 8,
+                     biastype=BIAS_NONE, biasprm=[0.0] * 9)
+            tag = act.tag
+            if tag == "motor":
+                pass
+            elif tag == "general":
+                r["dyntype"] = _DYN.get(a.get("dyntype", "none"), DYN_NONE)
+                r["gaintype"] = _GAIN.get(a.get("gaintype", "fixed"), GAIN_FIXED)
+                r["biastype"] = _BIAS.get(a.get("biastype", "none"), BIAS_NONE)
+                for key, n in (("dynprm", 3), ("gainprm", 9), ("biasprm", 9)):
+                    v = _parse_vec(a.get(key))
+                    if v is not None:
+                        r[key] = list(v[:n]) + [0.0] * max(0, n - len(v))
+            elif tag == "position":
                 kp = _parse_float(a.get("kp"), 1.0)
-                builder.joint_target_ke[dof] = kp * gear
-                kv = a.get("kv")
-                if kv is not None:
-                    builder.joint_target_kd[dof] = float(kv) * gear
-            elif act.tag == "velocity":
+                kv = _parse_float(a.get("kv"), 0.0)
+                r["gainprm"] = [kp] + [0.0] * 8
+                r["biastype"] = BIAS_AFFINE
+                r["biasprm"] = [0.0, -kp, -kv] + [0.0] * 6
+                tc = _parse_float(a.get("timeconst"), 0.0)
+                if tc > 0.0:
+                    r["dyntype"] = DYN_FILTEREXACT
+                    r["dynprm"] = [tc, 0.0, 0.0]
+            elif tag == "velocity":
                 kv = _parse_float(a.get("kv"), 1.0)
-                builder.joint_target_kd[dof] = kv * gear
-            actuators.append(dict(name=a.get("name", jname), joint=jname,
-                                  dof=dof, gear=gear, type=act.tag,
-                                  ctrlrange=(float(cr[0]), float(cr[1]))))
+                r["gainprm"] = [kv] + [0.0] * 8
+                r["biastype"] = BIAS_AFFINE
+                r["biasprm"] = [0.0, 0.0, -kv] + [0.0] * 6
+            elif tag == "intvelocity":
+                kp = _parse_float(a.get("kp"), 1.0)
+                kv = _parse_float(a.get("kv"), 0.0)
+                r["dyntype"] = DYN_INTEGRATOR
+                r["gainprm"] = [kp] + [0.0] * 8
+                r["biastype"] = BIAS_AFFINE
+                r["biasprm"] = [0.0, -kp, -kv] + [0.0] * 6
+                if ar is None:
+                    r["actrange"] = r["ctrlrange"]
+            elif tag == "damper":
+                kv = _parse_float(a.get("kv"), 1.0)
+                r["gaintype"] = GAIN_AFFINE
+                r["gainprm"] = [0.0, 0.0, -kv] + [0.0] * 6
+            elif tag == "cylinder":
+                area = _parse_float(a.get("area"), 1.0)
+                dia = a.get("diameter")
+                if dia is not None:
+                    area = math.pi * float(dia) ** 2 / 4.0
+                tc = _parse_float(a.get("timeconst"), 1.0)
+                r["dyntype"] = DYN_FILTER
+                r["dynprm"] = [tc, 0.0, 0.0]
+                r["gainprm"] = [area] + [0.0] * 8
+                b = _parse_vec(a.get("bias"), default=[0, 0, 0], n=3)
+                if np.any(b != 0):
+                    r["biastype"] = BIAS_AFFINE
+                    r["biasprm"] = list(b) + [0.0] * 6
+            elif tag == "muscle":
+                tc = _parse_vec(a.get("timeconst"), default=[0.01, 0.04], n=2)
+                r["dyntype"] = DYN_MUSCLE
+                r["dynprm"] = [tc[0], tc[1],
+                               _parse_float(a.get("tausmooth"), 0.0)]
+                rg = _parse_vec(a.get("range"), default=[0.75, 1.05], n=2)
+                prm = [rg[0], rg[1],
+                       _parse_float(a.get("force"), -1.0),
+                       _parse_float(a.get("scale"), 200.0),
+                       _parse_float(a.get("lmin"), 0.5),
+                       _parse_float(a.get("lmax"), 1.6),
+                       _parse_float(a.get("vmax"), 1.5),
+                       _parse_float(a.get("fpmax"), 1.3),
+                       _parse_float(a.get("fvmax"), 1.2)]
+                r["gaintype"] = GAIN_MUSCLE
+                r["biastype"] = BIAS_MUSCLE
+                r["gainprm"] = list(prm)
+                r["biasprm"] = list(prm)
+                if r["ctrlrange"] is None:
+                    r["ctrlrange"] = np.array([0.0, 1.0])
+            else:
+                continue
+            recs.append(r)
+
+            if trn[0] == "joint":
+                dof = trn[1]
+                crv = r["ctrlrange"] if r["ctrlrange"] is not None \
+                    else np.array([-MAXVAL, MAXVAL])
+                builder.add_custom_values("mjc:actuator_gear", {dof: gear})
+                builder.add_custom_values("mjc:actuator_ctrlrange_lo",
+                                          {dof: float(crv[0])})
+                builder.add_custom_values("mjc:actuator_ctrlrange_hi",
+                                          {dof: float(crv[1])})
+                if actuation == "pd":
+                    if tag == "position":
+                        builder.joint_target_ke[dof] = \
+                            _parse_float(a.get("kp"), 1.0) * gear
+                        kv = a.get("kv")
+                        if kv is not None:
+                            builder.joint_target_kd[dof] = float(kv) * gear
+                    elif tag == "velocity":
+                        builder.joint_target_kd[dof] = \
+                            _parse_float(a.get("kv"), 1.0) * gear
+                actuators.append(dict(
+                    name=r["name"], joint=jname, dof=dof, gear=gear, type=tag,
+                    ctrlrange=(float(crv[0]), float(crv[1]))))
+            else:
+                actuators.append(dict(name=r["name"], tendon=trn[1],
+                                      gear=gear, type=tag))
+
+        if recs and actuation == "mjc":
+            au = MJCActuation(len(recs))
+            for i, r in enumerate(recs):
+                if r["trn"][0] == "joint":
+                    au.dof[i] = r["trn"][1]
+                    au.coord[i] = r["trn"][2]
+                else:
+                    au.tendon[i] = r["trn"][1]
+                au.gear[i] = r["gear"]
+                au.dyntype[i] = r["dyntype"]
+                au.dynprm[i] = r["dynprm"]
+                au.gaintype[i] = r["gaintype"]
+                au.gainprm[i] = r["gainprm"]
+                au.biastype[i] = r["biastype"]
+                au.biasprm[i] = r["biasprm"]
+                for key, rng, lim in (("ctrlrange", au.ctrlrange, au.ctrllimited),
+                                      ("forcerange", au.forcerange, au.forcelimited),
+                                      ("actrange", au.actrange, au.actlimited)):
+                    v = r[key]
+                    if v is not None and (v[0] != 0.0 or v[1] != 0.0):
+                        rng[i] = v
+                        lim[i] = True
+                # muscle lengthrange from the joint range (matches MuJoCo's
+                # compiled lengthrange for joint-transmission muscles)
+                if au.dof[i] >= 0:
+                    lo = builder.joint_limit_lower[au.dof[i]]
+                    hi = builder.joint_limit_upper[au.dof[i]]
+                    lr = sorted([r["gear"] * lo, r["gear"] * hi])
+                    au.lengthrange[i] = lr
+            au.finish()
+            builder.mjc_actuation = au
+            A = len(recs)
+            builder.add_custom_attribute(
+                "mjc:ctrl", AttributeFrequency.ONCE, shape=(A,),
+                assignment=AttributeAssignment.CONTROL, default=0.0)
+            if au.has_act:
+                builder.add_custom_attribute(
+                    "mjc:act", AttributeFrequency.ONCE, shape=(A,),
+                    assignment=AttributeAssignment.STATE, default=0.0)
 
     # ---------------- contact excludes / pairs ----------------
     contact = root.find("contact")

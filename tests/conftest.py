@@ -30,6 +30,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (skip with -m 'not slow' for a quick run)")
+
+
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_platforms", "cpu")
 
