@@ -825,6 +825,8 @@ def supports_batched_fast_path(solver) -> bool:
     """True when step_batched can take the transposed fast path."""
     if solver.sleep_threshold > 0.0:
         return False
+    if getattr(solver, "contact_solver", "pgs") != "pgs":
+        return False    # Newton QP contact solve runs via the vmapped path
     if getattr(solver, "use_admm", False):
         return False    # Kamino's ADMM contact solve is per-env (vmapped)
     if any(p is not None and getattr(p, "rows", 0)

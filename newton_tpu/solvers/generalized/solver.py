@@ -158,8 +158,14 @@ class SolverFeatherstone(SolverBase):
                  max_velocity: float = 1.0e3,
                  update_mass_matrix_interval: int = 1,
                  pgs_backend: str = "auto",
-                 contact_cap: Optional[int] = None):
+                 contact_cap: Optional[int] = None,
+                 contact_solver: str = "pgs",
+                 newton_iterations: int = 8):
         super().__init__(model)
+        # "pgs" (projected Jacobi, default) or "newton" (active-set Newton
+        # QP on pyramidal facets — reference SolverMuJoCo solver="newton")
+        self.contact_solver = contact_solver
+        self.newton_iterations = int(newton_iterations)
         st = model.structure
         self.gc = get_generalized_cache(st)
         self.contact_iterations = int(contact_iterations)
@@ -395,7 +401,10 @@ class SolverFeatherstone(SolverBase):
                 if plan is None or plan.c == 0:
                     continue
                 M, Minv, qd_g = group_data[gi]
-                qd_g2, lam, dirs = self._solve_contacts(
+                solve = (self._solve_contacts_newton
+                         if self.contact_solver == "newton"
+                         else self._solve_contacts)
+                qd_g2, lam, dirs = solve(
                     model, contacts, g, plan, Minv, qd_g, v_o, w_o,
                     state_in, body_q, dt, q_coords=q,
                     limit_plan=self.limit_plans[gi]
@@ -845,6 +854,91 @@ class SolverFeatherstone(SolverBase):
         return (qd_g + dqd, lam_slots.reshape(n_env, 3 * c), dirs_slots)
 
 
+def _solve_contacts_newton(self, model, contacts, g, plan, Minv, qd_g,
+                           v_o, w_o, state_in, body_q, dt,
+                           q_coords=None, limit_plan=None, group_index=None):
+    """Active-set Newton solve of the contact QP on pyramidal facets
+    (the reference's SolverMuJoCo ``solver="newton"`` option,
+    solver_mujoco.py:430; MuJoCo's Newton solver minimizes the same convex
+    objective — here in the dual over nonnegative facet impulses).
+
+    Pyramid decomposition (MuJoCo pyramidal cone): per contact, 4 facet
+    directions n ± mu t1, n ± mu t2 with impulses x >= 0; normal impulse
+    is the facet sum and tangential mu (x+ - x-). The QP
+
+        min 0.5 x^T (Jf M^-1 Jf^T + R) x + x^T (Jf qd - b),  x >= 0
+
+    is solved by projected Newton with an active-set masked Cholesky —
+    (n_env, r, r) batched factorizations, MXU-shaped. Converges in a
+    handful of iterations where diagonally-scaled PGS needs dozens
+    (stacked/ill-conditioned piles).
+    """
+    dtype = qd_g.dtype
+    sys = self._build_contact_system(
+        model, contacts, g, plan, Minv, qd_g, v_o, w_o, state_in,
+        body_q, dt, q_coords=q_coords, limit_plan=limit_plan)
+    Jt, b, act3 = sys["Jt"], sys["b"], sys["act3"]
+    mu, K, nl, idx, dirs = sys["mu"], sys["K"], sys["nl"], sys["idx"], sys["dirs"]
+    c, n_env, d = sys["c"], sys["n_env"], sys["d"]
+    hp = jax.lax.Precision.HIGHEST
+
+    i_n = 3 * np.arange(K)
+    Jn, Jt1, Jt2 = Jt[:, :, i_n], Jt[:, :, i_n + 1], Jt[:, :, i_n + 2]
+    mu_b = mu[:, None, :]                                  # (n, 1, K)
+    Jf = jnp.concatenate(
+        [Jn + mu_b * Jt1, Jn - mu_b * Jt1,
+         Jn + mu_b * Jt2, Jn - mu_b * Jt2], axis=2)        # (n, d, 4K)
+    b_n = b[:, i_n]
+    b_f = jnp.tile(b_n, (1, 4))                            # (n, 4K)
+    act_n = act3[:, i_n]
+    act_f = jnp.tile(act_n, (1, 4))
+    if nl:
+        Jf = jnp.concatenate([Jf, Jt[:, :, 3 * K:]], axis=2)
+        b_f = jnp.concatenate([b_f, b[:, 3 * K:]], axis=1)
+        act_f = jnp.concatenate([act_f, act3[:, 3 * K:]], axis=1)
+    r = 4 * K + 2 * nl
+
+    MinvJf = jnp.einsum("nde,ner->ndr", Minv, Jf, precision=hp)
+    A = jnp.einsum("ndr,nds->nrs", Jf, MinvJf, precision=hp)
+    rr = np.arange(r)
+    diag_A = A[:, rr, rr]
+    R = diag_A * ((1.0 - self.impratio) / self.impratio) + self.contact_reg
+    A = A.at[:, rr, rr].add(R)
+    cvec = jnp.einsum("ndr,nd->nr", Jf, qd_g, precision=hp) - b_f
+
+    actf = act_f.astype(dtype)
+    x = jnp.zeros((n_env, r), dtype=dtype)
+    for _ in range(self.newton_iterations):
+        grad = jnp.einsum("nrs,ns->nr", A, x, precision=hp) + cvec
+        free = (act_f & ((x > 0) | (grad < 0))).astype(dtype)
+        # masked SPD system: free rows/cols of A, identity elsewhere
+        H = (A * (free[:, :, None] * free[:, None, :])
+             ).at[:, rr, rr].add(1.0 - free)
+        dx = jnp.linalg.solve(H, -(grad * free)[..., None])[..., 0]
+        x = jnp.maximum(x + dx * free, 0.0) * actf
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+
+    dqd = jnp.einsum("ndr,nr->nd", MinvJf, x, precision=hp)
+
+    # report per-contact impulses in [n | t1 | t2] form for force export
+    xf = x[:, :4 * K].reshape(n_env, 4, K)
+    lam3 = jnp.stack([xf.sum(axis=1),
+                      mu * (xf[:, 0] - xf[:, 1]),
+                      mu * (xf[:, 2] - xf[:, 3])], axis=-1)  # (n, K, 3)
+    if idx is not None:
+        rows = jnp.arange(n_env)[:, None]
+        lam_slots = jnp.zeros((n_env, c, 3), dtype=dtype
+                              ).at[rows, idx].set(lam3)
+        dirs_slots = jnp.zeros((n_env, c, 3, 3), dtype=dtype
+                               ).at[rows, idx].set(dirs)
+    else:
+        lam_slots, dirs_slots = lam3, dirs
+    return (qd_g + dqd, lam_slots.reshape(n_env, 3 * c), dirs_slots)
+
+
+SolverFeatherstone._solve_contacts_newton = _solve_contacts_newton
+
+
 def _point_vel(state_in, model, g, plan, pos):
     """Relative velocity (body1 - body0) at contact points from the
     pre-step state (for restitution). lb tables are (c,) for uniform
@@ -888,12 +982,21 @@ class SolverMuJoCo(SolverFeatherstone):
         known = dict(
             contact_iterations=iterations,
         )
+        # reference solver options (solver_mujoco.py:430): "newton"/"cg"
+        # both map to the active-set Newton QP (a Krylov contact solve has
+        # no advantage at these per-env system sizes); ls_iterations folds
+        # into the Newton iteration count
+        if solver in ("newton", "cg"):
+            known["contact_solver"] = "newton"
+            if ls_iterations:
+                known["newton_iterations"] = max(8, int(ls_iterations))
         passthrough = ("contact_relaxation", "contact_reg", "baumgarte",
                        "contact_slop", "angular_damping", "friction_cone",
                        "limit_mode", "sleep_threshold", "sleep_steps",
                        "warm_start", "max_velocity",
                        "update_mass_matrix_interval", "pgs_backend",
-                       "contact_cap", "impratio")
+                       "contact_cap", "impratio", "contact_solver",
+                       "newton_iterations")
         for k in passthrough:
             if k in kwargs:
                 known[k] = kwargs.pop(k)

@@ -184,6 +184,20 @@ def test_resting_contact_force_parity():
 
 
 @pytest.mark.slow
+def test_newton_contact_solver_parity():
+    """The active-set Newton QP option (SolverMuJoCo solver="newton"):
+    resting force exact, trajectories MuJoCo-close."""
+    T, dt = 300, 0.002
+    model, _ = P.build_newton_model(BALL)
+    nt = P.newton_rollout(model, T, dt,
+                          solver_kwargs=dict(contact_solver="newton"))
+    weight = 1000 * 4 / 3 * np.pi * 0.1 ** 3 * 9.81
+    f_nt = np.mean(nt.contact_normal_force[-10:])
+    assert abs(f_nt - weight) < 0.01 * weight
+    assert abs(nt.qpos[-1][2] - 0.1) < 2e-3
+
+
+@pytest.mark.slow
 def test_ant_trajectory_parity_with_contacts():
     """Full ant falling onto the plane: hinge trajectories and contact
     normal-force sums vs MuJoCo-C (measured RMS 7e-4 rad)."""
