@@ -37,6 +37,83 @@ def _qconj(q):
     return q * jnp.array([-1.0, -1.0, -1.0, 1.0], dtype=q.dtype)
 
 
+def _dihedral(p):
+    """Dihedral angle and per-vertex gradients for bending quads.
+
+    ``p``: (..., 4, 3) positions in edge_indices order (o0, o1, v0, v1) —
+    wing vertices p3/p4, shared edge p1-p2. Returns (theta (...,),
+    grads (..., 4, 3) in the same vertex order). Standard formulas
+    (Bridson, "Simulation of clothing with folds and wrinkles").
+    """
+    p3, p4, p1, p2 = p[..., 0, :], p[..., 1, :], p[..., 2, :], p[..., 3, :]
+    e = p2 - p1
+    elen = jnp.linalg.norm(e, axis=-1)
+    ehat = e / jnp.maximum(elen, 1e-9)[..., None]
+    n1 = jnp.cross(p1 - p3, p2 - p3)
+    n2 = jnp.cross(p2 - p4, p1 - p4)
+    n1l2 = jnp.maximum(jnp.sum(n1 * n1, axis=-1), 1e-18)
+    n2l2 = jnp.maximum(jnp.sum(n2 * n2, axis=-1), 1e-18)
+    n1h = n1 * jax.lax.rsqrt(n1l2)[..., None]
+    n2h = n2 * jax.lax.rsqrt(n2l2)[..., None]
+    sin_t = jnp.sum(jnp.cross(n1h, n2h) * ehat, axis=-1)
+    cos_t = jnp.sum(n1h * n2h, axis=-1)
+    theta = jnp.arctan2(sin_t, cos_t)
+    w1 = n1 / n1l2[..., None]
+    w2 = n2 / n2l2[..., None]
+    G3 = elen[..., None] * w1
+    G4 = elen[..., None] * w2
+    a1 = jnp.sum((p3 - p2) * ehat, axis=-1)[..., None]
+    a2 = jnp.sum((p4 - p2) * ehat, axis=-1)[..., None]
+    b1 = jnp.sum((p3 - p1) * ehat, axis=-1)[..., None]
+    b2 = jnp.sum((p4 - p1) * ehat, axis=-1)[..., None]
+    G1 = a1 * w1 + a2 * w2
+    G2 = -b1 * w1 - b2 * w2
+    return theta, jnp.stack([G3, G4, G1, G2], axis=-2)
+
+
+def _chain_bend(p):
+    """Three-point bend angle for degenerate bending rows (v0 == v1):
+    the angle at the shared middle vertex between (o0 - m) and (o1 - m)
+    (add_cloth_grid encodes grid bending as these collinear triples;
+    rest angle pi). Returns (theta, grads (..., 4, 3)) with the middle
+    vertex's gradient split over roles 2 and 3."""
+    p3, p4, pm = p[..., 0, :], p[..., 1, :], p[..., 2, :]
+    u = p3 - pm
+    v = p4 - pm
+    ul = jnp.maximum(jnp.linalg.norm(u, axis=-1), 1e-9)
+    vl = jnp.maximum(jnp.linalg.norm(v, axis=-1), 1e-9)
+    uh = u / ul[..., None]
+    vh = v / vl[..., None]
+    n = jnp.cross(u, v)
+    nl = jnp.linalg.norm(n, axis=-1)
+    theta = jnp.arctan2(nl, jnp.sum(u * v, axis=-1))
+    # exactly-collinear triples have no defined bend plane: borrow a
+    # perpendicular of u so the gradient direction stays valid
+    fx = jnp.cross(uh, jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0], dtype=p.dtype), uh.shape))
+    fy = jnp.cross(uh, jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], dtype=p.dtype), uh.shape))
+    fallback = jnp.where(
+        (jnp.linalg.norm(fx, axis=-1) > 0.1)[..., None], fx, fy)
+    nh = jnp.where((nl > 1e-9)[..., None],
+                   n / jnp.maximum(nl, 1e-9)[..., None],
+                   fallback / jnp.maximum(jnp.linalg.norm(
+                       fallback, axis=-1), 1e-9)[..., None])
+    G3 = jnp.cross(uh, nh) / ul[..., None]
+    G4 = jnp.cross(nh, vh) / vl[..., None]
+    Gm = -0.5 * (G3 + G4)
+    return theta, jnp.stack([G3, G4, Gm, Gm], axis=-2)
+
+
+def _bend_eval(p, is3pt):
+    """Bending angle + gradients, selecting dihedral vs 3-point form per
+    edge (``is3pt`` broadcastable bool)."""
+    thA, GA = _dihedral(p)
+    thB, GB = _chain_bend(p)
+    return (jnp.where(is3pt, thB, thA),
+            jnp.where(is3pt[..., None, None], GB, GA))
+
+
 class SolverVBD(SolverBase):
     """Vertex block descent (reference: solver_vbd.py:94).
 
@@ -49,12 +126,23 @@ class SolverVBD(SolverBase):
                  contact_ke: float = 1.0e4,
                  rigid_contact_ke: float = 1.0e5,
                  rigid_joint_ke: float = 1.0e6,
+                 handle_self_contact: bool = False,
+                 self_contact_ke: float = 2.0e3,
+                 self_contact_radius: Optional[float] = None,
+                 self_contact_max_per_cell: int = 4,
                  coloring: ColoringAlgorithm = ColoringAlgorithm.MCS):
         super().__init__(model)
         self.iterations = int(iterations)
         self.contact_ke = float(contact_ke)
         self.rigid_contact_ke = float(rigid_contact_ke)
         self.rigid_joint_ke = float(rigid_joint_ke)
+        # cloth self-collision (reference: vbd/tri_mesh_collision.py:235):
+        # vertex-vertex penalty pairs from the sorted hashgrid, 1-ring
+        # excluded; pairs anchor at step start, penalties track current x
+        self.handle_self_contact = bool(handle_self_contact)
+        self.self_contact_ke = float(self_contact_ke)
+        self.self_contact_radius = self_contact_radius
+        self.self_contact_max_per_cell = int(self_contact_max_per_cell)
         st = model.structure
 
         # rigid AVBD static plans (reference rigid_vbd_kernels.py:83)
@@ -128,8 +216,43 @@ class SolverVBD(SolverBase):
         self.inc_rest = jnp.asarray(inc_rest)
         self.inc_ke = jnp.asarray(inc_ke)
 
-        # bending: per-vertex incident bending edges would go here; round 1
-        # treats bending explicitly via the edge force in the inertia target
+        # bending: per-vertex incident dihedral edges (reference
+        # particle_vbd_kernels bending energy). edge_indices rows are
+        # (o0, o1, v0, v1): wing vertices then the shared edge. Each vertex
+        # stores (edge id, role 0-3) pairs, padded with -1.
+        E4 = st.edge_count
+        self.has_bending = bool(E4)
+        if E4:
+            ei = np.asarray(model.edge_indices)
+            # some edges have no second wing (o1 == -1): skip those
+            wing_ok = (ei[:, 0] >= 0) & (ei[:, 1] >= 0)
+            bdeg = np.zeros(N, dtype=np.int64)
+            for e in range(E4):
+                if wing_ok[e]:
+                    for r in range(4):
+                        bdeg[ei[e, r]] += 1
+            Bmax = max(int(bdeg.max()), 1)
+            inc_bedge = -np.ones((N, Bmax), dtype=np.int32)
+            inc_brole = np.zeros((N, Bmax), dtype=np.int32)
+            bfill = np.zeros(N, dtype=np.int64)
+            for e in range(E4):
+                if not wing_ok[e]:
+                    continue
+                for r in range(4):
+                    v = int(ei[e, r])
+                    inc_bedge[v, bfill[v]] = e
+                    inc_brole[v, bfill[v]] = r
+                    bfill[v] += 1
+            self.inc_bedge = np.maximum(inc_bedge, 0)
+            self.inc_bvalid = jnp.asarray(inc_bedge >= 0)
+            self.inc_brole = inc_brole
+            self.edge_idx_safe = np.maximum(ei, 0)
+            # grid cloth encodes bending as collinear triples (v0 == v1);
+            # those use the 3-point chain-bend angle instead of a dihedral
+            self.bend_3pt = ei[:, 2] == ei[:, 3]
+            self.has_bending = bool(wing_ok.any())
+
+        # self-collision 1-ring exclusion uses inc_other (stretch topology)
 
     # ------------------------------------------------------------------
     def step(self, state_in: State, state_out: Optional[State] = None,
@@ -162,6 +285,32 @@ class SolverVBD(SolverBase):
         # contact penalty plan (static): per-particle one shape contact max
         has_contacts = contacts is not None and contacts.soft_contact_max > 0
 
+        # bending setup: rest dihedral from the build pose (consistent with
+        # the runtime angle formula by construction)
+        if self.has_bending and not hasattr(self, "_bend_theta0"):
+            th0, _ = _bend_eval(model.particle_q[self.edge_idx_safe],
+                                jnp.asarray(self.bend_3pt))
+            self._bend_theta0 = th0
+            self._bend_ke = model.edge_bending_properties[:, 0]
+
+        # self-collision: vertex-vertex penalty pairs from the hashgrid,
+        # anchored at step start (reference: vbd/tri_mesh_collision.py:235)
+        self_nbr = None
+        if self.handle_self_contact and N > 1:
+            from ..geometry.hashgrid import HashGrid
+            r_self = self.self_contact_radius
+            if r_self is None:
+                r_self = 2.0 * float(np.max(
+                    np.asarray(model.particle_radius), initial=0.0))
+            if r_self > 0:
+                grid = HashGrid(cell_size=r_self,
+                                max_per_cell=self.self_contact_max_per_cell)
+                cand, cmask = grid.query(x0, r_self)
+                # exclude the stretch-topology 1-ring
+                ring = jnp.asarray(self.inc_other)          # (N, D)
+                adj = jnp.any(cand[:, :, None] == ring[:, None, :], axis=-1)
+                self_nbr = (cand, cmask & ~adj, r_self)
+
         def vertex_update(x, verts):
             """Newton step for all vertices of one color group (static idx)."""
             xi = x[verts]                                    # (V, 3)
@@ -184,6 +333,37 @@ class SolverVBD(SolverBase):
             mi = m[verts][:, None]
             grad = grad + h2 * mi * (xi - y[verts])
             H = H + h2 * mi[..., None] * eye
+
+            if self.has_bending:
+                eids = self.inc_bedge[verts]                 # (V, Bm)
+                roles = self.inc_brole[verts]
+                bvalid = self.inc_bvalid[verts]
+                p = x[self.edge_idx_safe[eids]]              # (V, Bm, 4, 3)
+                theta, G = _bend_eval(
+                    p, jnp.asarray(self.bend_3pt)[eids])     # (V,Bm), (V,Bm,4,3)
+                ke_b = self._bend_ke[eids] * bvalid
+                dth = theta - self._bend_theta0[eids]
+                Gi = jnp.take_along_axis(
+                    G, roles[..., None, None].astype(jnp.int32),
+                    axis=2)[:, :, 0, :]                      # (V, Bm, 3)
+                grad = grad + jnp.sum((ke_b * dth)[..., None] * Gi, axis=1)
+                H = H + jnp.sum(ke_b[..., None, None]
+                                * Gi[..., :, None] * Gi[..., None, :], axis=1)
+
+            if self_nbr is not None:
+                cand, cmask, r_self = self_nbr
+                ci = cand[verts]                             # (V, Q)
+                cm = cmask[verts]
+                dvec = xi[:, None, :] - x[ci]
+                dlen = jnp.linalg.norm(dvec, axis=-1)
+                pen = jnp.maximum(r_self - dlen, 0.0) * cm
+                ddir = dvec / jnp.maximum(dlen, 1e-9)[..., None]
+                ks = self.self_contact_ke
+                grad = grad - jnp.sum((ks * pen)[..., None] * ddir, axis=1)
+                w_on = (pen > 0).astype(dtype)
+                H = H + jnp.sum((ks * w_on)[..., None, None]
+                                * ddir[..., :, None] * ddir[..., None, :],
+                                axis=1)
 
             if has_contacts:
                 # penalty from active particle-shape contacts of these verts

@@ -55,6 +55,108 @@ def test_cloth_hangs(solver_cls, kw):
     assert e.max() < 0.25
 
 
+def _two_layer_model(radius=0.03, gap=0.004):
+    """Two overlapping cloth layers (gap << contact distance) for
+    pass-through / pinch tests."""
+    b = nt.ModelBuilder()
+    b.gravity = 0.0
+    for z in (1.0, 1.0 + gap):
+        b.add_cloth_grid(pos=(0, 0, z), dim_x=4, dim_y=4,
+                         cell_x=0.1, cell_y=0.1, mass=1.0,
+                         radius=radius, tri_ke=500.0, edge_ke=2.0)
+    return b.finalize()
+
+
+def _layer_separation(m, s):
+    pq = np.asarray(s.particle_q)
+    n = pq.shape[0] // 2
+    a, bl = pq[:n], pq[n:]
+    d = np.linalg.norm(a[:, None, :] - bl[None, :, :], axis=-1)
+    return d.min()
+
+
+def test_vbd_self_collision_separates_layers():
+    """VBD with handle_self_contact pushes overlapping layers apart
+    (reference: vbd/tri_mesh_collision.py:235); without it they stay
+    interpenetrating."""
+    m = _two_layer_model()
+    r_self = 0.06
+
+    def run(**kw):
+        solver = SolverVBD(m, iterations=4, **kw)
+        s, ctrl = m.state(), m.control()
+
+        @jax.jit
+        def frame(s):
+            def sub(s, _):
+                return solver.step(s, None, ctrl, None, 1 / 240.), None
+            return jax.lax.scan(sub, s, None, length=4)[0]
+        for _ in range(10):
+            s = frame(s)
+        return s
+
+    s_on = run(handle_self_contact=True, self_contact_radius=r_self,
+               self_contact_ke=1e4)
+    assert np.isfinite(np.asarray(s_on.particle_q)).all()
+    sep_on = _layer_separation(m, s_on)
+    s_off = run(handle_self_contact=False)
+    sep_off = _layer_separation(m, s_off)
+    assert sep_on > 0.45 * r_self, f"layers still overlapping: {sep_on}"
+    assert sep_off < 0.25 * r_self, \
+        f"control run should stay overlapped: {sep_off}"
+
+
+def test_xpbd_cloth_self_collision():
+    """XPBD particle-particle contacts (sorted hashgrid) keep cloth layers
+    from passing through (reference: solve_particle_particle_contacts)."""
+    from newton_tpu.solvers import SolverXPBD
+    m = _two_layer_model(radius=0.03)
+    solver = SolverXPBD(m, iterations=4)
+    s, ctrl = m.state(), m.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, None, 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+    for _ in range(10):
+        s = frame(s)
+    assert np.isfinite(np.asarray(s.particle_q)).all()
+    sep = _layer_separation(m, s)
+    assert sep > 0.025, f"XPBD layers interpenetrate: {sep}"
+
+
+def test_vbd_bending_resists_drape():
+    """Dihedral bending energy stiffens the drape: a high-edge_ke cloth
+    hangs higher than a floppy one (reference VBD bending energy,
+    particle_vbd_kernels)."""
+    def droop(edge_ke):
+        b = nt.ModelBuilder()
+        b.add_cloth_grid(pos=(0, 0, 1.0), dim_x=6, dim_y=6,
+                         cell_x=0.1, cell_y=0.1, mass=1.0, fix_top=True,
+                         tri_ke=500.0, edge_ke=edge_ke)
+        m = b.finalize()
+        solver = SolverVBD(m, iterations=3)
+        s, ctrl = m.state(), m.control()
+
+        @jax.jit
+        def frame(s):
+            def sub(s, _):
+                return solver.step(s, None, ctrl, None, 1 / 240.), None
+            return jax.lax.scan(sub, s, None, length=8)[0]
+        for _ in range(25):
+            s = frame(s)
+        pq = np.asarray(s.particle_q)
+        assert np.isfinite(pq).all()
+        free = np.asarray(m.particle_inv_mass) > 0
+        return pq[free, 2].mean()
+
+    soft = droop(0.001)
+    stiff = droop(50.0)
+    assert stiff > soft + 0.01, \
+        f"bending has no stiffening effect: stiff {stiff} vs soft {soft}"
+
+
 def test_semi_implicit_stable():
     m, s = run_cloth(SolverSemiImplicit, frames=30, dt=1 / 2000., substeps=20)
     assert np.isfinite(np.asarray(s.particle_q)).all()
