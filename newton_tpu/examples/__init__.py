@@ -18,6 +18,7 @@ from typing import Optional
 __all__ = ["create_parser", "init", "run", "main", "EXAMPLES"]
 
 EXAMPLES = {
+    "box_pile": "newton_tpu.examples.example_box_pile",
     "fourbar_kamino": "newton_tpu.examples.example_fourbar_kamino",
     "convex_stack": "newton_tpu.examples.example_convex_stack",
     "heavy_stack_kamino": "newton_tpu.examples.example_heavy_stack_kamino",

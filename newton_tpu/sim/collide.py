@@ -47,7 +47,7 @@ class _PairClass:
     """Host-side grouping of candidate pairs sharing a contact function."""
 
     __slots__ = ("fn", "swapped", "slots", "pair_idx", "shape0", "shape1",
-                 "out_offsets")
+                 "out_offsets", "cap")
 
     def __init__(self, fn, swapped, slots):
         self.fn = fn
@@ -70,7 +70,9 @@ class CollisionPipeline:
 
     def __init__(self, model: Model, rigid_contact_margin: float = 0.01,
                  soft_contact_margin: float = 0.01,
-                 hydroelastic: bool = False):
+                 hydroelastic: bool = False,
+                 mode: str = "auto",
+                 dynamic_pair_budget: Optional[int] = None):
         self.model = model
         self.rigid_contact_margin = float(rigid_contact_margin)
         self.soft_contact_margin = float(soft_contact_margin)
@@ -84,6 +86,28 @@ class CollisionPipeline:
         st = model.structure
         self.rigid_contact_max = st.rigid_contact_max
         self.soft_contact_max = st.soft_contact_max
+        # dynamic-pair mode (reference: runtime broad phase, collide.py:
+        # 1391-1410 + broad_phase_sap.py:410): instead of one static slot
+        # range per candidate pair (O(S^2) buffer growth), each type class
+        # keeps a fixed budget of pair entries; per frame the nearest
+        # overlapping candidates are compacted into them with lax.top_k and
+        # the overflow count is surfaced on Contacts.broad_phase_dropped.
+        # "auto" switches to dynamic when the static pair count exceeds the
+        # budget. Slot->shape identity becomes per-frame (traced) — use
+        # maximal-coordinate solvers (XPBD/VBD), which read bodies from
+        # contact shape indices; the generalized solver's static per-slot
+        # plan requires mode="static".
+        n_pairs = len(st.candidate_pairs)
+        if dynamic_pair_budget is None:
+            dynamic_pair_budget = max(64, 8 * st.shape_count)
+        self.dynamic_pair_budget = int(dynamic_pair_budget)
+        if mode == "auto":
+            mode = "dynamic" if n_pairs > self.dynamic_pair_budget \
+                else "static"
+        self.mode = mode
+        if mode == "dynamic":
+            self._build_dynamic(model)
+            return
 
         # group candidate pairs by type class
         classes: Dict[Tuple[int, int, bool], _PairClass] = {}
@@ -130,6 +154,137 @@ class CollisionPipeline:
         self.soft_shape = sp[:, 1]
 
     # ------------------------------------------------------------------
+    def _build_dynamic(self, model: Model):
+        """Group candidate pairs by type class with fixed pair budgets
+        (dynamic-pair mode; see __init__)."""
+        st = model.structure
+        types = st.shape_type
+        pairs = st.candidate_pairs
+        classes: Dict[Tuple[int, int, bool], _PairClass] = {}
+        unsupported = set()
+        mt = (int(GeoType.MESH), int(GeoType.HFIELD))
+        for i, (a, b) in enumerate(pairs):
+            t0, t1 = int(types[a]), int(types[b])
+            if t0 in mt or t1 in mt:
+                raise NotImplementedError(
+                    "dynamic-pair mode does not yet route mesh/heightfield "
+                    "SDF-sample pairs; use mode='static' for scenes with "
+                    f"mesh shapes (pair types {t0},{t1})")
+            if int(GeoType.CONVEX) in (t0, t1):
+                from ..geometry.narrow_phase import pair_slot_count
+                k = pair_slot_count(t0, t1)
+                key = (-1, -1, False)   # convex MPR class
+                pc = classes.get(key)
+                if pc is None:
+                    pc = classes[key] = _PairClass(None, False, k)
+                pc.pair_idx.append(i)
+                pc.shape0.append(int(a))
+                pc.shape1.append(int(b))
+                continue
+            fn, swapped, k = contact_fn_for(t0, t1)
+            if fn is None:
+                unsupported.add((t0, t1))
+                continue
+            key = (min(t0, t1), max(t0, t1), swapped)
+            pc = classes.get(key)
+            if pc is None:
+                pc = classes[key] = _PairClass(fn, swapped, k)
+            pc.pair_idx.append(i)
+            pc.shape0.append(int(a))
+            pc.shape1.append(int(b))
+        if unsupported:
+            import warnings
+            warnings.warn("collision pairs with unsupported type classes "
+                          f"skipped: {sorted(unsupported)}")
+        self.classes = list(classes.values())
+        self.mesh_classes = []
+        self._unsupported = unsupported
+        n_total = sum(len(pc.pair_idx) for pc in self.classes) or 1
+        budget = self.dynamic_pair_budget
+        offset = 0
+        for pc in self.classes:
+            n_c = len(pc.pair_idx)
+            cap = min(n_c, max(8, (budget * n_c + n_total - 1) // n_total))
+            pc.cap = cap
+            pc.shape0 = np.asarray(pc.shape0, dtype=np.int32)
+            pc.shape1 = np.asarray(pc.shape1, dtype=np.int32)
+            pc.out_offsets = (offset + np.arange(cap * pc.slots, dtype=np.int32)
+                              ).reshape(cap, pc.slots)
+            offset += cap * pc.slots
+        self.rigid_contact_max = offset
+        sp = getattr(st, "soft_pairs", np.zeros((0, 2), dtype=np.int32))
+        self.soft_particle = sp[:, 0]
+        self.soft_shape = sp[:, 1]
+
+    def _collide_dynamic(self, state: State, out: Contacts) -> Contacts:
+        """Dynamic-pair collide: per class, top-k nearest overlapping
+        candidates into the class's budgeted slots; overflow counted."""
+        import jax
+        model = self.model
+        dtype = state.body_q.dtype
+        st = model.structure
+        sb = st.shape_body
+        body_idx = np.maximum(sb, 0)
+        is_static = jnp.asarray(sb < 0)[:, None]
+        X_body = jnp.where(is_static,
+                           jnp.zeros((7,), dtype=dtype).at[6].set(1.0),
+                           state.body_q[body_idx])
+        X_ws = transform_multiply(X_body, model.shape_transform)
+        margin = self.rigid_contact_margin
+
+        dropped = jnp.zeros((), dtype=jnp.int32)
+        for pc in self.classes:
+            i0s, i1s = pc.shape0, pc.shape1              # static (n_c,)
+            c0 = X_ws[i0s][:, 0:3]
+            c1 = X_ws[i1s][:, 0:3]
+            rsum = (model.shape_collision_radius[i0s]
+                    + model.shape_collision_radius[i1s] + margin)
+            dist = jnp.linalg.norm(c1 - c0, axis=-1)
+            near = dist < rsum
+            n_near = jnp.sum(near.astype(jnp.int32))
+            dropped = dropped + jnp.maximum(n_near - pc.cap, 0)
+            score = jnp.where(near, rsum - dist, -jnp.inf)
+            _, sel = jax.lax.top_k(score, pc.cap)        # (cap,) traced
+            i0 = jnp.asarray(i0s)[sel]
+            i1 = jnp.asarray(i1s)[sel]
+            near_sel = near[sel]
+            if pc.fn is None:
+                # convex MPR manifolds from hull vertex clouds
+                from ..geometry.mpr import convex_manifold
+                hulls = jnp.asarray(st.shape_hull_verts, dtype=dtype)
+                pos, nrm, depth = convex_manifold(
+                    hulls[i0], X_ws[i0], hulls[i1], X_ws[i1])
+                k = min(pc.slots, pos.shape[1])
+                pos, nrm, depth = pos[:, :k], nrm[:, :k], depth[:, :k]
+                idx = pc.out_offsets[:, :k]
+            else:
+                a, b = (i1, i0) if pc.swapped else (i0, i1)
+                pos, nrm, depth = pc.fn(X_ws[a], X_ws[b],
+                                        model.shape_scale[a],
+                                        model.shape_scale[b])
+                if pc.swapped:
+                    nrm = -nrm
+                idx = pc.out_offsets
+            thick = model.shape_thickness[i0] + model.shape_thickness[i1]
+            depth = depth + thick[:, None]
+            active = (depth > -margin) & near_sel[:, None]
+            out = out.replace(
+                rigid_contact_mask=out.rigid_contact_mask.at[idx].set(active),
+                rigid_contact_position=out.rigid_contact_position.at[idx].set(pos),
+                rigid_contact_normal=out.rigid_contact_normal.at[idx].set(nrm),
+                rigid_contact_depth=out.rigid_contact_depth.at[idx].set(
+                    jnp.where(active, depth, 0.0)),
+                rigid_contact_shape0=out.rigid_contact_shape0.at[idx].set(
+                    jnp.where(active, i0[:, None].astype(jnp.int32), -1)),
+                rigid_contact_shape1=out.rigid_contact_shape1.at[idx].set(
+                    jnp.where(active, i1[:, None].astype(jnp.int32), -1)),
+            )
+        out = out.replace(broad_phase_dropped=dropped)
+        if self.soft_contact_max > 0 and len(self.soft_particle):
+            out = self._collide_soft(state, out)
+        return out
+
+    # ------------------------------------------------------------------
     def contacts(self) -> Contacts:
         """Allocate a zeroed Contacts buffer sized for this pipeline."""
         return Contacts.zeros(self.rigid_contact_max, self.soft_contact_max,
@@ -151,6 +306,9 @@ class CollisionPipeline:
         out = Contacts.zeros(C, P, dtype=dtype) if contacts is None else \
             Contacts.zeros(contacts.rigid_contact_max, contacts.soft_contact_max,
                            dtype=dtype)
+
+        if self.mode == "dynamic":
+            return self._collide_dynamic(state, out)
 
         if C > 0 and (self.classes or self.mesh_classes):
             # world transform of every shape frame: body pose * local offset

@@ -57,6 +57,12 @@ class Contacts(struct.PyTreeNode):
     soft_contact_normal: jnp.ndarray
     soft_contact_depth: jnp.ndarray
 
+    # dynamic broad phase: overlapping candidate pairs dropped because the
+    # per-class pair budget overflowed this frame (reference: narrow-phase
+    # overflow counters, collide.py:883-889). 0 in static-pair mode.
+    broad_phase_dropped: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), dtype=jnp.int32))
+
     custom: Dict[str, Any] = struct.field(default_factory=dict)
 
     @property

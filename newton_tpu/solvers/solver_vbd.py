@@ -433,10 +433,21 @@ class SolverVBD(SolverBase):
         dyn = (model.body_inv_mass > 0)
 
         C = contacts.rigid_contact_max if contacts is not None else 0
-        b0 = np.maximum(self.slot_body0, 0)
-        b1 = np.maximum(self.slot_body1, 0)
-        dyn0 = jnp.asarray(self.slot_body0 >= 0)
-        dyn1 = jnp.asarray(self.slot_body1 >= 0)
+        if C:
+            # bodies from contact shape indices (works for static-slot and
+            # dynamic-pair pipelines alike)
+            sbody = jnp.asarray(np.asarray(st.shape_body))
+            cs0 = contacts.rigid_contact_shape0
+            cs1 = contacts.rigid_contact_shape1
+            b0r = sbody[jnp.maximum(cs0, 0)]
+            b1r = sbody[jnp.maximum(cs1, 0)]
+            dyn0 = (cs0 >= 0) & (b0r >= 0)
+            dyn1 = (cs1 >= 0) & (b1r >= 0)
+            b0 = jnp.where(dyn0, b0r, 0)
+            b1 = jnp.where(dyn1, b1r, 0)
+        else:
+            b0 = b1 = np.zeros(0, np.int32)
+            dyn0 = dyn1 = jnp.zeros((0,), bool)
         if C:
             # collide-time body-local anchors (world-fixed for statics)
             n = contacts.rigid_contact_normal
@@ -448,8 +459,8 @@ class SolverVBD(SolverBase):
                            quat_rotate_inv(q_prev[b0], p0 - x_prev[b0]), p0)
             l1 = jnp.where(dyn1[:, None],
                            quat_rotate_inv(q_prev[b1], p1 - x_prev[b1]), p1)
-            s0m = np.maximum(self.slot_shape0, 0)
-            s1m = np.maximum(self.slot_shape1, 0)
+            s0m = jnp.maximum(contacts.rigid_contact_shape0, 0)
+            s1m = jnp.maximum(contacts.rigid_contact_shape1, 0)
             mu_c = 0.5 * (model.shape_material_mu[s0m]
                           + model.shape_material_mu[s1m])
             kc = self.rigid_contact_ke

@@ -482,14 +482,29 @@ class _XPBDPlan:
         return dx, dth, ncon
 
     # ------------------------------------------------------------------
+    def contact_bodies(self, contacts: Contacts):
+        """Per-slot body indices + dynamic masks from the contact buffer's
+        shape indices. Works for static-slot AND dynamic-pair pipelines
+        (dynamic mode assigns slot->shape per frame, so the static
+        slot_body tables cannot be used; reference: runtime broad phase,
+        collide.py:1391-1410)."""
+        sbody = jnp.asarray(np.asarray(self.st.shape_body))
+        s0 = contacts.rigid_contact_shape0
+        s1 = contacts.rigid_contact_shape1
+        b0r = sbody[jnp.maximum(s0, 0)]
+        b1r = sbody[jnp.maximum(s1, 0)]
+        dyn0 = (s0 >= 0) & (b0r >= 0)
+        dyn1 = (s1 >= 0) & (b1r >= 0)
+        return (jnp.where(dyn0, b0r, 0), jnp.where(dyn1, b1r, 0),
+                dyn0, dyn1)
+
     def contact_local_anchors(self, model: Model, state_in: State,
                               contacts: Contacts):
         """Contact surface points in collide-time body-local frames.
 
         Returns (l0, l1): local offsets from each body's COM such that the
         world anchors track the bodies as they move during the solve."""
-        b0 = np.maximum(self.slot_body0, 0)
-        b1 = np.maximum(self.slot_body1, 0)
+        b0, b1, dyn0v, dyn1v = self.contact_bodies(contacts)
         x_in = state_in.body_q[:, 0:3] + quat_rotate(
             state_in.body_q[:, 3:7], model.body_com)
         q_in = state_in.body_q[:, 3:7]
@@ -500,8 +515,8 @@ class _XPBDPlan:
         p1 = p - n * (0.5 * d)        # shape1's deepest point (into shape0)
         # static shapes (body < 0) keep world-fixed anchors: store the world
         # point itself (decoded by the matching where() in solve)
-        dyn0 = jnp.asarray(self.slot_body0 >= 0)[:, None]
-        dyn1 = jnp.asarray(self.slot_body1 >= 0)[:, None]
+        dyn0 = dyn0v[:, None]
+        dyn1 = dyn1v[:, None]
         l0 = jnp.where(dyn0, quat_rotate_inv(q_in[b0], p0 - x_in[b0]), p0)
         l1 = jnp.where(dyn1, quat_rotate_inv(q_in[b1], p1 - x_in[b1]), p1)
         return l0, l1
@@ -515,10 +530,7 @@ class _XPBDPlan:
         st = self.st
         B = model.body_count
         dtype = x.dtype
-        b0 = np.maximum(self.slot_body0, 0)
-        b1 = np.maximum(self.slot_body1, 0)
-        dyn0 = jnp.asarray(self.slot_body0 >= 0)
-        dyn1 = jnp.asarray(self.slot_body1 >= 0)
+        b0, b1, dyn0, dyn1 = self.contact_bodies(contacts)
 
         inv_m = model.body_inv_mass
         Iinv = self._inv_inertia_world(model, q)
@@ -553,8 +565,8 @@ class _XPBDPlan:
         # positional (static) friction: cancel tangential drift of the anchor
         # pair accumulated during the solve, limited to the mu*lam_n cone
         # (reference xpbd rigid friction kernels; Macklin et al. XPBD rigids)
-        s0m = np.maximum(self.slot_shape0, 0)
-        s1m = np.maximum(self.slot_shape1, 0)
+        s0m = jnp.maximum(contacts.rigid_contact_shape0, 0)
+        s1m = jnp.maximum(contacts.rigid_contact_shape1, 0)
         mu = 0.5 * (model.shape_material_mu[s0m] + model.shape_material_mu[s1m])
         t_err = (a1 - a0)
         t_err = t_err - n * jnp.sum(t_err * n, axis=-1, keepdims=True)
@@ -571,16 +583,16 @@ class _XPBDPlan:
         imp_t = -t_dir * dlam_t[:, None]
         imp = imp + imp_t
 
+        seg = jnp.concatenate([b1, b0])
         dx = _segment_add(jnp.concatenate([imp * im1[:, None] * dyn1[:, None],
                                            -imp * im0[:, None] * dyn0[:, None]], axis=0),
-                          np.concatenate([b1, b0]), B)
+                          seg, B)
         tor1 = jnp.einsum("cde,ce->cd", I1, jnp.cross(r1, imp)) * dyn1[:, None]
         tor0 = -jnp.einsum("cde,ce->cd", I0, jnp.cross(r0, imp)) * dyn0[:, None]
-        dth = _segment_add(jnp.concatenate([tor1, tor0], axis=0),
-                           np.concatenate([b1, b0]), B)
+        dth = _segment_add(jnp.concatenate([tor1, tor0], axis=0), seg, B)
         act_f = active.astype(dtype)
         ncon = _segment_add(jnp.concatenate([act_f * dyn1, act_f * dyn0]),
-                            np.concatenate([b1, b0]), B)
+                            seg, B)
         return dx, dth, ncon, lam_n
 
     # ------------------------------------------------------------------
@@ -591,12 +603,9 @@ class _XPBDPlan:
         st = self.st
         B = model.body_count
         dtype = v.dtype
-        b0 = np.maximum(self.slot_body0, 0)
-        b1 = np.maximum(self.slot_body1, 0)
-        dyn0 = jnp.asarray(self.slot_body0 >= 0)
-        dyn1 = jnp.asarray(self.slot_body1 >= 0)
-        s0 = np.maximum(self.slot_shape0, 0)
-        s1 = np.maximum(self.slot_shape1, 0)
+        b0, b1, dyn0, dyn1 = self.contact_bodies(contacts)
+        s0 = jnp.maximum(contacts.rigid_contact_shape0, 0)
+        s1 = jnp.maximum(contacts.rigid_contact_shape1, 0)
 
         inv_m = model.body_inv_mass
         Iinv = self._inv_inertia_world(model, q)
@@ -658,14 +667,14 @@ class _XPBDPlan:
             imp_n = n * (dvn / jnp.maximum(w_n, 1e-9))[:, None]
             imp_total = imp_total + jnp.where(rest_active[:, None], imp_n, 0.0)
 
+        seg = jnp.concatenate([b1, b0])
         dv = _segment_add(
             jnp.concatenate([imp_total * im1[:, None] * dyn1[:, None],
                              -imp_total * im0[:, None] * dyn0[:, None]], axis=0),
-            np.concatenate([b1, b0]), B)
+            seg, B)
         tor1 = jnp.einsum("cde,ce->cd", I1, jnp.cross(r1, imp_total)) * dyn1[:, None]
         tor0 = -jnp.einsum("cde,ce->cd", I0, jnp.cross(r0, imp_total)) * dyn0[:, None]
-        dw = _segment_add(jnp.concatenate([tor1, tor0], axis=0),
-                          np.concatenate([b1, b0]), B)
+        dw = _segment_add(jnp.concatenate([tor1, tor0], axis=0), seg, B)
         return v + dv, w + dw
 
     # ------------------------------------------------------------------

@@ -56,3 +56,82 @@ def test_explicit_masks(scene):
     pairs, mask = bp.launch(scene.state())
     got = overlapping(pairs, mask)
     assert (0, 6) in got
+
+
+# ----------------------------------------------------------------------
+# dynamic-pair pipeline (runtime broad phase wired into CollisionPipeline;
+# reference: collide.py:1391-1410 + broad_phase_sap.py:410)
+# ----------------------------------------------------------------------
+
+def _pile_model(n=8):
+    import newton_tpu as nt
+    b = nt.ModelBuilder()
+    for i in range(n):
+        body = b.add_body(xform=[0.05 * (i % 3), 0.05 * (i % 2),
+                                 0.25 + 0.22 * i, 0, 0, 0, 1])
+        b.add_shape_box(body, hx=0.1, hy=0.1, hz=0.1)
+        b.add_joint_free(body)
+    b.add_ground_plane()
+    return b.finalize()
+
+
+def test_dynamic_pipeline_shrinks_buffer_and_matches_static():
+    import jax.numpy as jnp
+    from newton_tpu.sim.collide import CollisionPipeline
+    m = _pile_model(8)
+    stat = CollisionPipeline(m, mode="static")
+    dyn = CollisionPipeline(m, mode="dynamic", dynamic_pair_budget=16)
+    assert dyn.rigid_contact_max < stat.rigid_contact_max
+    s = m.state()
+    cs = stat.collide(s)
+    cd = dyn.collide(s)
+    # same set of touching shape pairs found (budget >= overlapping pairs)
+    def touching(c):
+        mask = np.asarray(c.rigid_contact_mask)
+        s0 = np.asarray(c.rigid_contact_shape0)[mask]
+        s1 = np.asarray(c.rigid_contact_shape1)[mask]
+        return {(min(a, b), max(a, b)) for a, b in zip(s0, s1)}
+    assert touching(cd) == touching(cs)
+    assert int(cd.broad_phase_dropped) == 0
+
+
+def test_dynamic_pipeline_overflow_counter():
+    from newton_tpu.sim.collide import CollisionPipeline
+    m = _pile_model(8)
+    # budget far below the overlapping pair count -> dropped > 0
+    dyn = CollisionPipeline(m, mode="dynamic", dynamic_pair_budget=1)
+    # per-class floor is 8 entries; stack of 8 boxes + ground has ~15
+    # overlapping pairs split over 2 classes — force overflow by stacking
+    import newton_tpu as nt
+    b = nt.ModelBuilder()
+    for i in range(14):
+        body = b.add_body(xform=[0, 0, 0.1 + 0.19 * i, 0, 0, 0, 1])
+        b.add_shape_box(body, hx=0.1, hy=0.1, hz=0.1)
+        b.add_joint_free(body)
+    m2 = b.finalize()
+    dyn2 = CollisionPipeline(m2, mode="dynamic", dynamic_pair_budget=1)
+    c = dyn2.collide(m2.state())
+    assert int(c.broad_phase_dropped) > 0
+
+
+def test_dynamic_pipeline_xpbd_pile_rests():
+    import jax
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers import SolverXPBD
+    m = _pile_model(5)
+    pipe = CollisionPipeline(m, mode="dynamic", dynamic_pair_budget=40)
+    solver = SolverXPBD(m, iterations=4)
+    s, ctrl = m.state(), m.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, pipe.collide(s), 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+
+    for _ in range(40):
+        s = frame(s)
+    bq = np.asarray(s.body_q)
+    assert np.isfinite(bq).all()
+    assert (bq[:, 2] > 0.05).all(), f"fell through: {bq[:, 2]}"
+    assert bq[:, 2].max() < 2.0
