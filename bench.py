@@ -1,11 +1,21 @@
-"""North-star benchmark: batched Ant env-steps/sec.
+"""Driver-grade benchmark surface: one entry, gated JSON per workload.
 
-Mirrors the reference KPI benchmark configuration (reference:
+Mirrors the reference KPI benchmark configurations (reference:
 asv/benchmarks/simulation/bench_mujoco.py — replicate(robot, world_count),
-random actuation, graph capture ≙ jit) and its validity gates
-(benchmark_metrics.py:160 — NaN / quaternion / speed checks fail the run).
+random actuation, graph capture ≙ jit; cloth/MPM files in the same tree)
+and the validity gates of benchmark_metrics.py:160 (NaN / quaternion /
+speed checks fail the run instead of publishing).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default run (the driver's): batched Ant env-steps/s. Every README number
+regenerates from here:
+
+    python bench.py                      # ant KPI (north star)
+    python bench.py --robot humanoid     # humanoid KPI
+    python bench.py --robot cartpole     # cartpole KPI (inverted pendulum)
+    python bench.py --mode cloth         # Style3D 100x100 garment
+    python bench.py --mode mpm           # MLS-MPM sand transfer
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import argparse
@@ -16,27 +26,56 @@ import time
 
 import numpy as np
 
+ASSET_DIR = "/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/assets"
+ROBOT_XML = {
+    "ant": "ant.xml",
+    "humanoid": "humanoid.xml",
+    "cartpole": "inverted_pendulum.xml",
+    "half_cheetah": "half_cheetah.xml",
+    "hopper": "hopper.xml",
+}
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--worlds", type=int, default=int(os.environ.get("BENCH_WORLDS", 4096)))
-    ap.add_argument("--frames", type=int, default=50)
-    ap.add_argument("--substeps", type=int, default=4)
-    ap.add_argument("--robot", default="ant")
-    args = ap.parse_args()
 
+def device_mem_mb(*pytrees):
+    """Steady-state device memory: allocator stats when the backend exposes
+    them, else the exact byte count of the live benchmark buffers
+    (reference metric: free-memory delta, benchmark_metrics.py)."""
+    import jax
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            return round(stats["bytes_in_use"] / 2 ** 20, 1)
+    except Exception:
+        pass
+    total = 0
+    for t in pytrees:
+        for leaf in jax.tree_util.tree_leaves(t):
+            if hasattr(leaf, "nbytes"):
+                total += leaf.nbytes
+    return round(total / 2 ** 20, 1)
+
+
+def emit(payload, valid, error=None):
+    if not valid:
+        payload = dict(payload, value=0.0, vs_baseline=0.0,
+                       error=error or "validity gate failed")
+        print(json.dumps(payload))
+        sys.exit(1)
+    print(json.dumps(payload))
+
+
+def bench_robot(args):
     import jax
     import jax.numpy as jnp
 
     import newton_tpu as nt
+    from newton_tpu.parallel import batch_state
     from newton_tpu.sim.articulation import eval_fk
     from newton_tpu.sim.collide import CollisionPipeline
     from newton_tpu.solvers.generalized.solver import SolverMuJoCo
 
-    asset_dir = "/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/assets"
-    robot_xml = os.path.join(asset_dir, f"{args.robot}.xml")
-
-    from newton_tpu.parallel import batch_state
+    robot_xml = os.path.join(ASSET_DIR, ROBOT_XML.get(args.robot,
+                                                      f"{args.robot}.xml"))
 
     # env-batched architecture: ONE-world model, vmap over the env axis
     # (SURVEY.md §1 TPU mapping; ~2x faster than the flat multi-world layout)
@@ -90,7 +129,6 @@ def main():
     rollout_j = jax.jit(rollout, donate_argnums=0)
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
     state, key = rollout_j(state, key)
     jax.block_until_ready(state.joint_q)
 
@@ -100,7 +138,7 @@ def main():
         state, key = rollout_j(state, key)
     jax.block_until_ready(state.joint_q)
     elapsed = time.perf_counter() - t0
-    args.frames = n_chunks * chunk
+    frames = n_chunks * chunk
     # p95 synchronized step time (reference benchmark_metrics.py p95):
     # separate short pass — per-chunk syncing inside the headline loop
     # would bill tunnel sync latency (~5%) to the simulator
@@ -111,42 +149,31 @@ def main():
         jax.block_until_ready(state.joint_q)
         chunk_times.append(time.perf_counter() - tc)
     p95_frame_ms = float(np.percentile(chunk_times, 95)) / chunk * 1e3
-    # steady-state device memory (reference: free-memory delta metric)
-    mem_mb = None
-    try:
-        stats = jax.devices()[0].memory_stats()
-        if stats and "bytes_in_use" in stats:
-            mem_mb = round(stats["bytes_in_use"] / 2**20, 1)
-    except Exception:
-        pass
+    mem_mb = device_mem_mb(state, model)
 
     # validity gates (reference benchmark_metrics.py:160)
     jq = np.asarray(state.joint_q).reshape(-1)
     bq = np.asarray(state.body_q).reshape(-1, 7)
+    name = f"{args.robot}_env_steps_per_s"
     if np.isnan(jq).any() or np.isnan(bq).any():
-        print(json.dumps({"metric": "ant_env_steps_per_s", "value": 0.0,
-                          "unit": "env-steps/s", "vs_baseline": 0.0,
-                          "error": "NaN state"}))
-        sys.exit(1)
+        emit({"metric": name, "unit": "env-steps/s"}, False, "NaN state")
     quat_norms = np.linalg.norm(bq[:, 3:7], axis=-1)
     if np.abs(quat_norms - 1.0).max() > 1e-2:
-        print(json.dumps({"metric": "ant_env_steps_per_s", "value": 0.0,
-                          "unit": "env-steps/s", "vs_baseline": 0.0,
-                          "error": "non-normalized quaternions"}))
-        sys.exit(1)
+        emit({"metric": name, "unit": "env-steps/s"}, False,
+             "non-normalized quaternions")
 
-    env_steps = args.frames * args.substeps * args.worlds
+    env_steps = frames * args.substeps * args.worlds
     throughput = env_steps / elapsed
-    # vs_baseline: no published reference numbers in-repo (BASELINE.md);
-    # report ratio vs the BASELINE.json north-star placeholder 1.0
-    dt_total = args.frames * args.substeps * dt
-    print(json.dumps({
-        "metric": f"{args.robot}_env_steps_per_s",
+    dt_total = frames * args.substeps * dt
+    emit({
+        "metric": name,
         "value": round(throughput, 1),
         "unit": "env-steps/s",
+        # vs_baseline: no published reference numbers in-repo (BASELINE.md);
+        # ratio vs the BASELINE.json north-star placeholder 1e6
         "vs_baseline": round(throughput / 1.0e6, 4),
         "worlds": args.worlds,
-        "frames": args.frames,
+        "frames": frames,
         "substeps": args.substeps,
         "elapsed_s": round(elapsed, 3),
         # reference asv metric definitions (benchmark_metrics.py:16-120)
@@ -155,7 +182,129 @@ def main():
         "p95_frame_ms": round(p95_frame_ms, 3),
         "device_mem_mb": mem_mb,
         "solver_iterations": 8,
-    }))
+    }, True)
+
+
+def bench_cloth(args):
+    import jax
+
+    import newton_tpu as nt
+    from newton_tpu.solvers import SolverStyle3D
+
+    dim = args.cloth_dim
+    b = nt.ModelBuilder()
+    b.add_cloth_grid(pos=(0, 0, 2.0), dim_x=dim, dim_y=dim,
+                     cell_x=0.01, cell_y=0.01, mass=2.0, fix_top=True,
+                     tri_ke=500.0, edge_ke=1.0)
+    model = b.finalize()
+    solver = SolverStyle3D(model, iterations=4)
+    state, ctrl = model.state(), model.control()
+    dt = 1.0 / 240.0
+    substeps = 4
+    chunk = 10
+
+    @jax.jit
+    def block(s):
+        def frame(s, _):
+            def sub(s, _):
+                return solver.step(s, None, ctrl, None, dt), None
+            return jax.lax.scan(sub, s, None, length=substeps)[0], None
+        return jax.lax.scan(frame, s, None, length=chunk)[0]
+
+    state = block(state)
+    jax.block_until_ready(state.particle_q)
+    n_chunks = max(args.frames // chunk, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state = block(state)
+    jax.block_until_ready(state.particle_q)
+    elapsed = time.perf_counter() - t0
+
+    pq = np.asarray(state.particle_q)
+    N = pq.shape[0]
+    steps = n_chunks * chunk * substeps
+    throughput = N * steps / elapsed
+    emit({
+        "metric": "cloth_vertex_steps_per_s",
+        "value": round(throughput, 1),
+        "unit": "vertex-steps/s",
+        "vs_baseline": round(throughput / 1.0e6, 4),
+        "vertices": int(N),
+        "steps": steps,
+        "elapsed_s": round(elapsed, 3),
+        "device_mem_mb": device_mem_mb(state, model),
+    }, bool(np.isfinite(pq).all()), "NaN cloth state")
+
+
+def bench_mpm(args):
+    import jax
+
+    import newton_tpu as nt
+    from newton_tpu.solvers.solver_mpm import SolverImplicitMPM
+
+    rng = np.random.RandomState(0)
+    n = args.mpm_particles
+    b = nt.ModelBuilder()
+    pts = rng.uniform(-0.3, 0.3, (n, 3))
+    pts[:, 2] = rng.uniform(0.05, 0.8, n)
+    for p in pts:
+        b.add_particle(p, (0, 0, 0), 0.002)
+    model = b.finalize()
+    solver = SolverImplicitMPM(model, grid_lower=(-1, -1, 0),
+                               grid_upper=(1, 1, 2), resolution=64,
+                               friction_angle=0.6, young=5e4)
+    state = solver.init_state(model.state())
+    dt = 4e-4
+    chunk = 25
+
+    @jax.jit
+    def block(s):
+        def sub(s, _):
+            return solver.step(s, None, None, None, dt), None
+        return jax.lax.scan(sub, s, None, length=chunk)[0]
+
+    state = block(state)
+    jax.block_until_ready(state.particle_q)
+    n_chunks = max(args.frames // 5, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state = block(state)
+    jax.block_until_ready(state.particle_q)
+    elapsed = time.perf_counter() - t0
+
+    pq = np.asarray(state.particle_q)
+    steps = n_chunks * chunk
+    throughput = n * steps / elapsed
+    emit({
+        "metric": "mpm_particle_steps_per_s",
+        "value": round(throughput, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(throughput / 1.0e6, 4),
+        "particles": int(n),
+        "steps": steps,
+        "elapsed_s": round(elapsed, 3),
+        "device_mem_mb": device_mem_mb(state, model),
+    }, bool(np.isfinite(pq).all()), "NaN MPM state")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int,
+                    default=int(os.environ.get("BENCH_WORLDS", 4096)))
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--substeps", type=int, default=4)
+    ap.add_argument("--robot", default="ant")
+    ap.add_argument("--mode", default="robot",
+                    choices=["robot", "cloth", "mpm"])
+    ap.add_argument("--cloth-dim", type=int, default=100)
+    ap.add_argument("--mpm-particles", type=int, default=32768)
+    args = ap.parse_args()
+    if args.mode == "cloth":
+        bench_cloth(args)
+    elif args.mode == "mpm":
+        bench_mpm(args)
+    else:
+        bench_robot(args)
 
 
 if __name__ == "__main__":

