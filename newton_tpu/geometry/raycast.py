@@ -184,6 +184,34 @@ def raycast_model(model, state, origins: jnp.ndarray, dirs: jnp.ndarray,
         use = jnp.asarray(sdf_id >= 0)
         t = jnp.where(use, t_sdf, t)
         n_loc = jnp.where(use[:, None], n_sdf, n_loc)
+    # exact mesh raycast: per-mesh BVH traversal (geometry/bvh.py) replaces
+    # the sphere trace for MESH shapes with triangle-accurate hits
+    # (reference: wp.Mesh raycast + sensors/warp_raytrace BVH)
+    mesh_shapes = [s for s in range(S)
+                   if types[s] == int(GeoType.MESH)
+                   and int(st.shape_source_id[s]) >= 0
+                   and st.meshes]
+    for s in mesh_shapes:
+        mesh = st.meshes[int(st.shape_source_id[s])]
+        bvh = getattr(mesh, "_bvh", None)
+        if bvh is None:
+            from .bvh import MeshBVH
+            bvh = MeshBVH(mesh.vertices, mesh.indices)
+            try:
+                mesh._bvh = bvh
+            except AttributeError:
+                pass
+        # undo the per-shape scale by scaling the ray instead (t stays the
+        # shape-frame parameter; normals transform by the inverse scale)
+        sc = jnp.maximum(scale[s], 1e-9)
+        verts = jnp.asarray(np.asarray(mesh.vertices), dtype=dtype)
+        t_m, n_m = bvh.raycast(verts, o_loc[:, s] / sc, d_loc[:, s] / sc)
+        n_m = n_m / sc
+        n_m = n_m / jnp.maximum(jnp.linalg.norm(n_m, axis=-1,
+                                                keepdims=True), 1e-9)
+        t = t.at[:, s].set(t_m)
+        n_loc = n_loc.at[:, s].set(n_m)
+
     t = jnp.where(t <= max_dist, t, _INF)
     best = jnp.argmin(t, axis=-1)                              # (R,)
     t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]

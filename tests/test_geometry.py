@@ -2,6 +2,7 @@
 native parity (reference: tests/test_gjk.py, test_collision_primitives.py,
 test_sdf_*.py, test_hashtable.py)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -287,3 +288,84 @@ def test_raycast_mesh_sdf_trace():
     assert float(nrm[0][2]) > 0.9
     assert int(sidx[1]) == 1        # misses the mesh, hits the ground
     assert abs(float(t[1]) - 5.0) < 1e-3
+
+
+# ----------------------------------------------------------------------
+# triangle-mesh BVH (geometry/bvh.py; reference geometry/bvh.py:252-400)
+# ----------------------------------------------------------------------
+
+def _rand_mesh(n_tri=64, seed=0):
+    rng = np.random.default_rng(seed)
+    v0 = rng.uniform(-1, 1, (n_tri, 3))
+    v1 = v0 + rng.uniform(-0.3, 0.3, (n_tri, 3))
+    v2 = v0 + rng.uniform(-0.3, 0.3, (n_tri, 3))
+    verts = np.concatenate([v0, v1, v2])
+    idx = np.arange(3 * n_tri, dtype=np.int64).reshape(3, n_tri).T
+    return verts, idx
+
+
+def test_bvh_raycast_matches_bruteforce():
+    from newton_tpu.geometry.bvh import MeshBVH, ray_triangles
+    verts, idx = _rand_mesh()
+    bvh = MeshBVH(verts, idx)
+    rng = np.random.default_rng(1)
+    R = 128
+    o = jnp.asarray(rng.uniform(-2, 2, (R, 3)), jnp.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                    jnp.float32)
+    vj = jnp.asarray(verts, jnp.float32)
+    t_bvh, n_bvh = jax.jit(lambda o, d: bvh.raycast(vj, o, d))(o, d)
+    # brute force over all triangles
+    tv = vj[jnp.asarray(idx)]
+    t_all, _ = ray_triangles(o[:, None], d[:, None],
+                             tv[None, :, 0], tv[None, :, 1], tv[None, :, 2])
+    t_ref = jnp.min(t_all, axis=1)
+    np.testing.assert_allclose(np.asarray(t_bvh), np.asarray(t_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_bvh_refit_tracks_deformation():
+    from newton_tpu.geometry.bvh import MeshBVH
+    verts, idx = _rand_mesh(32, seed=2)
+    bvh = MeshBVH(verts, idx)
+    moved = jnp.asarray(verts + np.array([5.0, 0, 0]), jnp.float32)
+    bvh2 = bvh.refit(moved)
+    # old bounds miss the moved mesh; refit bounds contain it
+    o = jnp.asarray([[5.0, 0, -3.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0, 1.0]], jnp.float32)
+    t_stale, _ = bvh.raycast(moved, o, d)
+    t_fresh, _ = bvh2.raycast(moved, o, d)
+    assert float(t_fresh[0]) < 1e9, "refit BVH must find the moved mesh"
+    # stale bounds may miss — refit must at least match brute truth
+    from newton_tpu.geometry.bvh import ray_triangles
+    tv = moved[jnp.asarray(idx)]
+    t_all, _ = ray_triangles(o[:, None], d[:, None],
+                             tv[None, :, 0], tv[None, :, 1], tv[None, :, 2])
+    np.testing.assert_allclose(float(t_fresh[0]),
+                               float(jnp.min(t_all)), atol=1e-4)
+
+
+def test_raycast_model_mesh_exact():
+    """raycast_model uses the BVH for MESH shapes: hit distance matches
+    the analytic value on a unit cube mesh."""
+    import newton_tpu as nt
+    from newton_tpu.geometry.raycast import raycast_model
+    h = 0.5
+    v = np.array([[x, y, z] for x in (-h, h) for y in (-h, h)
+                  for z in (-h, h)])
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5],
+                  [0, 5, 1], [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4],
+                  [1, 5, 7], [1, 7, 3]])
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 1.0, 0, 0, 0, 1])
+    b.add_shape_mesh(body, mesh=nt.Mesh(v, f.reshape(-1)))
+    b.add_joint_free(body)
+    m = b.finalize()
+    s = m.state()
+    o = jnp.asarray([[0.0, 0, 3.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0, -1.0]], jnp.float32)
+    t, shape, n = raycast_model(m, s, o, d)
+    assert abs(float(t[0]) - 1.5) < 1e-3, f"t={float(t[0])}"
+    assert int(shape[0]) == 0
+    np.testing.assert_allclose(np.asarray(n[0]), [0, 0, 1], atol=1e-3)
