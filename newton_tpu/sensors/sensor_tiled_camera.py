@@ -42,12 +42,21 @@ class SensorTiledCamera:
 
     def __init__(self, model: Model, width: int = 64, height: int = 64,
                  fov_y: float = 1.0, light_dir=(0.3, 0.2, -0.9),
-                 max_dist: float = 100.0):
+                 max_dist: float = 100.0, shadows: bool = False,
+                 checker_texture: bool = False,
+                 light_intensity: float = 1.0, ambient: float = 0.15):
         self.model = model
         self.width = int(width)
         self.height = int(height)
         self.fov_y = float(fov_y)
         self.max_dist = float(max_dist)
+        # extended channels (reference warp_raytrace: hdr/albedo/texture +
+        # shadowed lighting): shadows fire a secondary occlusion ray per
+        # hit; checker_texture modulates albedo procedurally in world space
+        self.shadows = bool(shadows)
+        self.checker_texture = bool(checker_texture)
+        self.light_intensity = float(light_intensity)
+        self.ambient = float(ambient)
         ld = np.asarray(light_dir, dtype=np.float64)
         self.light_dir = ld / np.linalg.norm(ld)
 
@@ -86,12 +95,33 @@ class SensorTiledCamera:
         key_colors = _shape_palette(model.structure.shape_count,
                                     dtype=cam_xforms.dtype)
         base = jnp.where(hit[:, None], key_colors[jnp.maximum(shape, 0)], 0.0)
+        p_hit = (o_world.reshape(n * R, 3)
+                 + d_world.reshape(n * R, 3) * t[:, None])
+        if self.checker_texture:
+            # procedural world-space checker (reference texture channel)
+            ck = jnp.sum(jnp.floor(p_hit * 4.0), axis=-1) % 2.0
+            base = base * (0.6 + 0.4 * ck)[:, None]
         lam = jnp.maximum(
             -jnp.sum(nrm * jnp.asarray(self.light_dir, dtype=nrm.dtype), -1),
             0.1)
-        color = (base * lam[:, None]).reshape(n, H, W, 3)
+        if self.shadows:
+            # secondary occlusion ray toward the light
+            so = p_hit + nrm * 1e-3
+            sd = jnp.broadcast_to(
+                -jnp.asarray(self.light_dir, dtype=nrm.dtype), so.shape)
+            _, s_shape, _ = raycast_model(model, state, so, sd,
+                                          max_dist=self.max_dist)
+            lit = (s_shape < 0) | ~hit
+            lam = jnp.where(lit, lam, 0.0)
+        albedo = base.reshape(n, H, W, 3)
+        hdr = (base * (self.light_intensity * lam[:, None] + self.ambient)
+               ).reshape(n, H, W, 3)
+        # LDR color: legacy direct shading without shadows (golden-image
+        # stable); Reinhard-tonemapped radiance when shadowing
+        color = ((base * lam[:, None]).reshape(n, H, W, 3)
+                 if not self.shadows else hdr / (1.0 + hdr))
         return dict(depth=depth, normal=normal, shape_index=shape_index,
-                    color=color)
+                    color=color, albedo=albedo, hdr=hdr)
 
 
 def _shape_palette(n_shapes: int, dtype):

@@ -3,7 +3,8 @@ from .viewer_file import ViewerFile
 from .viewer_null import ViewerNull
 
 __all__ = ["ViewerBase", "ViewerFile", "ViewerGL", "ViewerNull",
-           "ViewerPlot", "ViewerRerun", "ViewerUSD", "ViewerViser"]
+           "ViewerPlot", "ViewerRerun", "ViewerRTX", "ViewerUSD",
+           "ViewerViser"]
 
 
 def __getattr__(name):
@@ -12,6 +13,9 @@ def __getattr__(name):
     if name == "ViewerGL":
         from .viewer_gl import ViewerGL
         return ViewerGL
+    if name == "ViewerRTX":
+        from .viewer_rtx import ViewerRTX
+        return ViewerRTX
     if name == "ViewerRerun":
         from .viewer_rerun import ViewerRerun
         return ViewerRerun

@@ -87,3 +87,61 @@ def test_camera_golden_image():
     both_hit = (sidx >= 0) & (golden["shape_index"] >= 0)
     err = np.abs(depth - golden["depth"])[both_hit]
     assert np.median(err) < 5e-3, f"depth drift: median {np.median(err)}"
+
+
+def test_camera_extended_channels_and_shadows():
+    """hdr/albedo channels + shadow rays (reference warp_raytrace channel
+    set): a box hovering over the ground must darken the ground under it
+    when shadows are on."""
+    import newton_tpu as nt
+    from newton_tpu.sensors.sensor_tiled_camera import SensorTiledCamera
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 0.6, 0, 0, 0, 1])
+    b.add_shape_box(body, hx=0.3, hy=0.3, hz=0.05)
+    b.add_joint_free(body)
+    b.add_ground_plane()
+    m = b.finalize()
+    s = m.state()
+    cam_x = np.asarray([0.0, -2.5, 1.5, 0.46, 0.0, 0.0, 0.888], np.float32)
+    plain = SensorTiledCamera(m, width=48, height=36,
+                              light_dir=(0.0, 0.0, -1.0))
+    shad = SensorTiledCamera(m, width=48, height=36,
+                             light_dir=(0.0, 0.0, -1.0), shadows=True)
+    o1 = plain.render(s, cam_x[None])
+    o2 = shad.render(s, cam_x[None])
+    for key in ("depth", "normal", "shape_index", "color", "albedo", "hdr"):
+        assert key in o1 and key in o2
+    # albedo is unlit (no lambert falloff): brighter or equal to color
+    assert float(jnp.mean(o1["albedo"])) >= float(jnp.mean(o1["color"])) - 1e-6
+    # shadowing removes light somewhere in the frame
+    assert float(jnp.mean(o2["hdr"])) < float(jnp.mean(o1["hdr"])) - 1e-4
+
+
+def test_viewer_rtx_writes_png(tmp_path):
+    """ViewerRTX renders a shadowed frame and writes a decodable PNG."""
+    import struct
+    import zlib
+
+    import newton_tpu as nt
+    from newton_tpu.viewer import ViewerRTX
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 0.5, 0, 0, 0, 1])
+    b.add_shape_sphere(body, radius=0.3)
+    b.add_joint_free(body)
+    b.add_ground_plane()
+    m = b.finalize()
+    v = ViewerRTX(out_dir=str(tmp_path), width=64, height=48)
+    v.set_model(m)
+    s = m.state()
+    v.begin_frame(0.0)
+    v.log_state(s)
+    v.end_frame()
+    files = sorted(p for p in tmp_path.iterdir() if p.suffix == ".png")
+    assert files, "no PNG written"
+    data = files[0].read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    assert (w, h) == (64, 48)
+    assert v.last_image is not None and np.isfinite(v.last_image).all()
+    # the sphere must be visible: some pixels differ from the sky (black)
+    assert float(np.asarray(v.last_image).max()) > 0.05
