@@ -2140,9 +2140,10 @@ class ModelBuilder:
                 sample_points[sidx] = pts
         for sidx, src in enumerate(self.shape_source):
             if self.shape_type[sidx] in mesh_types and isinstance(src, Mesh):
-                pts = _surface_sample_candidates(
-                    src.vertices * self.shape_scale[sidx], src.indices)
-                sample_points[sidx] = _fps_sample(pts, sample_K)
+                sv = src.vertices * self.shape_scale[sidx]
+                pts = _surface_sample_candidates(sv, src.indices)
+                seeds = _feature_edge_seeds(sv, src.indices, sample_K)
+                sample_points[sidx] = _fps_sample(pts, sample_K, seeds=seeds)
                 if sidx in needs_sdf:
                     key = id(src)
                     if key not in baked:
@@ -2710,14 +2711,50 @@ def _surface_sample_candidates(verts: np.ndarray,
                            interior.reshape(-1, 3)])
 
 
-def _fps_sample(points: np.ndarray, k: int) -> np.ndarray:
-    """Farthest-point sampling of contact candidates from mesh vertices."""
+def _feature_edge_seeds(verts: np.ndarray, indices: np.ndarray,
+                        max_seeds: int) -> np.ndarray:
+    """Priority contact samples on sharp feature edges, with redundant
+    parallel edges culled (geometry/edge_redundancy.py; reference
+    edge_redundancy.py:33 + types.py:961 _build_collision_edges). Seeding
+    FPS with these guarantees real features (box rims, bevels' survivors)
+    keep contact coverage on coarse sample budgets."""
+    from ..geometry.edge_redundancy import collision_edges
+    verts = np.asarray(verts, dtype=np.float64)
+    try:
+        ce = collision_edges(verts, indices)
+    except Exception:
+        return np.zeros((0, 3))
+    if len(ce) == 0:
+        return np.zeros((0, 3))
+    a, b = verts[ce[:, 0]], verts[ce[:, 1]]
+    if len(ce) > max_seeds:                   # longest edges first
+        order = np.argsort(-np.linalg.norm(b - a, axis=1))[:max_seeds]
+        a, b = a[order], b[order]
+    return np.concatenate([a, b, 0.5 * (a + b)])
+
+
+def _fps_sample(points: np.ndarray, k: int,
+                seeds: Optional[np.ndarray] = None) -> np.ndarray:
+    """Farthest-point sampling of contact candidates from mesh vertices.
+    ``seeds`` are chosen first (deduplicated, capped at k) so feature-edge
+    points always survive the downsample."""
     pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
     n = len(pts)
     if n == 0:
         return np.zeros((k, 3))
     if n <= k:
         return np.concatenate([pts, np.repeat(pts[-1:], k - n, axis=0)])
+    if seeds is not None and len(seeds):
+        sd = np.unique(np.asarray(seeds, dtype=np.float64), axis=0)
+        if len(sd) > k:
+            sd = _fps_sample(sd, k)
+        d = np.linalg.norm(pts[:, None, :] - sd[None, :, :], axis=-1).min(1)
+        chosen: List[int] = []
+        for _ in range(k - len(sd)):
+            i = int(np.argmax(d))
+            chosen.append(i)
+            d = np.minimum(d, np.linalg.norm(pts - pts[i], axis=1))
+        return np.concatenate([sd, pts[chosen]]) if chosen else sd
     chosen = [int(np.argmax(np.linalg.norm(pts - pts.mean(0), axis=1)))]
     d = np.linalg.norm(pts - pts[chosen[0]], axis=1)
     for _ in range(k - 1):
