@@ -614,8 +614,11 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
             pts_w = pts_w + outA * penA * fA
             pts_w_o = pts_w_o + outB * penB * fB
         half = pc.slots // 2
-        posA, nrmA, depA = _top_k(pts_w, nA, -dA, half)
-        posB, nrmB, depB = _top_k(pts_w_o, nB, -dB, pc.slots - half)
+        thick_ab = (model.shape_thickness[mi]
+                    + model.shape_thickness[oi])[:, None]
+        posA, nrmA, depA = _reduce_k(pipeline, pts_w, nA, -dA, half, thick_ab)
+        posB, nrmB, depB = _reduce_k(pipeline, pts_w_o, nB, -dB,
+                                     pc.slots - half, thick_ab)
         pos = jnp.concatenate([posA, posB], axis=1)
         nrm = jnp.concatenate([nrmA, nrmB], axis=1)
         depth = jnp.concatenate([depA, depB], axis=1)
@@ -632,7 +635,10 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
             pts_w = pts_w + n_w * jnp.maximum(-d, 0.0)[..., None] * frac
         # normal 0 -> 1: mesh_first means shape0 = mesh, so normal points
         # from mesh toward other = -outward
-        pos, nrm_out, depth = _top_k(pts_w, n_w, -d, pc.slots)
+        thick_ab = (model.shape_thickness[mi]
+                    + model.shape_thickness[oi])[:, None]
+        pos, nrm_out, depth = _reduce_k(pipeline, pts_w, n_w, -d, pc.slots,
+                                        thick_ab)
         mf = jnp.asarray(pc.mesh_first)[:, None, None]
         nrm = jnp.where(mf, -nrm_out, nrm_out)
 
@@ -699,6 +705,18 @@ def _top_k(pos, nrm, depth, k):
     vals, idx = jax.lax.top_k(depth, k)
     take = lambda arr: jnp.take_along_axis(arr, idx[..., None], axis=1)
     return take(pos), take(nrm), vals
+
+
+def _reduce_k(pipeline, pos, nrm, pen, k, thick):
+    """Diverse representative selection for oversampled mesh contacts
+    (geometry/contact_reduction.py; reference GlobalContactReducer,
+    contact_reduction_global.py:755). Falls back to plain top-k when the
+    candidate count does not exceed the slot budget."""
+    if pen.shape[-1] <= k:
+        return _top_k(pos, nrm, pen, k)
+    from ..geometry.contact_reduction import reduce_contact_set
+    active = (pen + thick) > -pipeline.rigid_contact_margin
+    return reduce_contact_set(pos, nrm, pen, k, active=active)
 
 
 def _sdf_of_shape(model, shape_idx, sdf_id, p_local, analytic_only=False):
