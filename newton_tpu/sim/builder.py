@@ -47,6 +47,11 @@ from ..geometry.inertia import (
 )
 from ..geometry.types import SDF, GeoType, Heightfield, Mesh
 from .enums import BodyFlags, EqType, JointType
+
+# shapes requesting an SDF bake at or above this resolution get sparse
+# quantized texture storage (geometry/sdf_texture.py) instead of a dense
+# pooled grid; below it a dense bake is smaller and faster to sample
+_SDF_TEXTURE_MIN_RES = 48
 from .model import (
     AttributeAssignment,
     AttributeFrequency,
@@ -243,6 +248,9 @@ class ModelBuilder:
         self.shape_conaffinity: List[int] = []
         self.shape_world: List[int] = []
         self.shape_source: List[Any] = []  # Mesh/SDF/Heightfield or None
+        # per-shape requested SDF bake resolution (0 = pipeline default;
+        # >= _SDF_TEXTURE_MIN_RES selects sparse quantized texture storage)
+        self.shape_sdf_resolution: List[int] = []
         self.shape_key: List[str] = []
         self.shape_collision_filter_pairs: Set[Tuple[int, int]] = set()
 
@@ -515,6 +523,7 @@ class ModelBuilder:
         self.shape_conaffinity += list(o.shape_conaffinity) * count
         self.shape_world += [w0 + i for i in range(count) for _ in range(ns)]
         self.shape_source += list(o.shape_source) * count
+        self.shape_sdf_resolution += list(o.shape_sdf_resolution) * count
         self.shape_key += list(o.shape_key) * count
         for i in range(count):
             off = s0 + i * ns
@@ -936,6 +945,8 @@ class ModelBuilder:
         w = self.body_world[body] if body >= 0 else self._current_world
         self.shape_world.append(w)
         self.shape_source.append(source)
+        self.shape_sdf_resolution.append(
+            int(getattr(cfg, "sdf_max_resolution", 0)))
         self.shape_key.append(key or f"shape_{idx}")
 
         # accumulate body mass/inertia from density
@@ -1636,6 +1647,7 @@ class ModelBuilder:
             self.shape_conaffinity.append(other.shape_conaffinity[i])
             self.shape_world.append(w)
             self.shape_source.append(other.shape_source[i])
+            self.shape_sdf_resolution.append(other.shape_sdf_resolution[i])
             self.shape_key.append(pre + other.shape_key[i])
         for (sa, sb) in other.shape_collision_filter_pairs:
             self.shape_collision_filter_pairs.add((sa + s0, sb + s0))
@@ -2069,11 +2081,13 @@ class ModelBuilder:
         sample_K = int(getattr(self, "mesh_sample_count", 32))
         sample_points = np.zeros((self.shape_count, sample_K, 3))
         shape_sdf_id = np.full(self.shape_count, -1, dtype=np.int32)
+        shape_sdf_tex_id = np.full(self.shape_count, -1, dtype=np.int32)
         sdf_res = 24
-        baked: Dict[int, int] = {}
+        baked: Dict[tuple, tuple] = {}
         sdf_grids: List[np.ndarray] = []
         sdf_lowers: List[np.ndarray] = []
         sdf_uppers: List[np.ndarray] = []
+        sdf_texes: List[Any] = []
         mesh_types = (int(GeoType.MESH), int(GeoType.CONVEX))
         # which mesh shapes appear as the SDF side of a pair: any mesh paired
         # with a mesh, or a primitive that samples into the mesh
@@ -2145,15 +2159,42 @@ class ModelBuilder:
                 seeds = _feature_edge_seeds(sv, src.indices, sample_K)
                 sample_points[sidx] = _fps_sample(pts, sample_K, seeds=seeds)
                 if sidx in needs_sdf:
-                    key = id(src)
+                    res = int(self.shape_sdf_resolution[sidx]) or sdf_res
+                    scl = np.asarray(self.shape_scale[sidx], dtype=np.float64)
+                    unit = np.allclose(scl, 1.0)
+                    use_tex = res >= _SDF_TEXTURE_MIN_RES
+                    key = (id(src), res, use_tex, tuple(np.round(scl, 12)))
                     if key not in baked:
-                        from ..geometry.sdf import bake_mesh_sdf
-                        sdfobj = bake_mesh_sdf(src, resolution=sdf_res)
-                        baked[key] = len(sdf_grids)
-                        sdf_grids.append(sdfobj.data)
-                        sdf_lowers.append(sdfobj.lower)
-                        sdf_uppers.append(sdfobj.upper)
-                    shape_sdf_id[sidx] = baked[key]
+                        # bake in the shape's SCALED local frame: contact
+                        # sample points are transformed without scale, so
+                        # the grid must live in scaled coordinates too
+                        bsrc = src if unit else Mesh(
+                            src.vertices * scl, src.indices,
+                            compute_inertia=False)
+                        if use_tex:
+                            # sparse quantized texture storage for high-res
+                            # bakes (geometry/sdf_texture.py; reference
+                            # sdf_texture.py:126 TextureSDFData)
+                            from ..geometry.sdf_cache import (
+                                cached_bake_texture_sdf)
+                            tex = cached_bake_texture_sdf(bsrc,
+                                                          resolution=res)
+                            baked[key] = ("tex", len(sdf_texes))
+                            sdf_texes.append(tex)
+                        else:
+                            from ..geometry.sdf_cache import (
+                                cached_bake_mesh_sdf)
+                            sdfobj = cached_bake_mesh_sdf(bsrc,
+                                                          resolution=res)
+                            baked[key] = ("dense", len(sdf_grids))
+                            sdf_grids.append(sdfobj.data)
+                            sdf_lowers.append(sdfobj.lower)
+                            sdf_uppers.append(sdfobj.upper)
+                    kind, kid = baked[key]
+                    if kind == "tex":
+                        shape_sdf_tex_id[sidx] = kid
+                    else:
+                        shape_sdf_id[sidx] = kid
             elif (self.shape_type[sidx] == int(GeoType.HFIELD)
                   and isinstance(src, Heightfield)):
                 # heightfield SDF: d(x, y, z) = z - h(x, y) over the padded
@@ -2199,6 +2240,49 @@ class ModelBuilder:
                 sdf_lowers.append(src.lower)
                 sdf_uppers.append(src.upper)
         st.shape_sdf_id = shape_sdf_id
+        st.shape_sdf_tex_id = shape_sdf_tex_id
+        # pool sparse SDF textures: block_index values become GLOBAL slots
+        # into one shared blocks pool; textures with a smaller block grid
+        # are padded by EXTENDING their domain upper bound (cell size kept
+        # identical, added blocks resolve to the replicated coarse far
+        # field), so the world->cell mapping stays exact per texture
+        if sdf_texes:
+            from ..geometry.sdf_texture import BLOCK as _TEX_BLOCK
+            Bmax = max(t.block_index.shape[0] for t in sdf_texes)
+            n_tex = len(sdf_texes)
+            tex_index = np.full((n_tex, Bmax, Bmax, Bmax), -1, np.int32)
+            tex_coarse = np.zeros((n_tex, Bmax + 1, Bmax + 1, Bmax + 1),
+                                  np.float32)
+            tex_lower = np.zeros((n_tex, 3))
+            tex_upper = np.zeros((n_tex, 3))
+            blocks_list, scale_list, offset_list = [], [], []
+            off = 0
+            for i, t in enumerate(sdf_texes):
+                Bi = t.block_index.shape[0]
+                bi = t.block_index.astype(np.int64)
+                bi = np.where(bi >= 0, bi + off, -1)
+                tex_index[i, :Bi, :Bi, :Bi] = bi
+                c = t.coarse
+                cp = np.pad(c, [(0, Bmax - Bi)] * 3, mode="edge")
+                tex_coarse[i] = cp
+                cell = (t.upper - t.lower) / (Bi * _TEX_BLOCK)
+                tex_lower[i] = t.lower
+                tex_upper[i] = t.lower + cell * (Bmax * _TEX_BLOCK)
+                blocks_list.append(t.blocks[:len(t.block_scale)])
+                scale_list.append(t.block_scale)
+                offset_list.append(t.block_offset)
+                off += len(t.block_scale)
+            tex_blocks = np.concatenate(blocks_list, axis=0)
+            tex_scale = np.concatenate(scale_list)
+            tex_offset = np.concatenate(offset_list)
+        else:
+            tex_index = np.full((0, 2, 2, 2), -1, np.int32)
+            tex_blocks = np.zeros((0, 9, 9, 9), np.uint8)
+            tex_scale = np.zeros(0, np.float32)
+            tex_offset = np.zeros(0, np.float32)
+            tex_coarse = np.zeros((0, 3, 3, 3), np.float32)
+            tex_lower = np.zeros((0, 3))
+            tex_upper = np.zeros((0, 3))
         if sdf_grids:
             R = max(g.shape[0] for g in sdf_grids)
             pooled = np.zeros((len(sdf_grids), R, R, R), dtype=np.float32)
@@ -2379,6 +2463,13 @@ class ModelBuilder:
             sdf_grids=dev(sdf_pool),
             sdf_lower=dev(sdf_lower_arr),
             sdf_upper=dev(sdf_upper_arr),
+            sdf_tex_block_index=dev_i(tex_index),
+            sdf_tex_blocks=jnp.asarray(tex_blocks, dtype=jnp.uint8),
+            sdf_tex_scale=dev(tex_scale),
+            sdf_tex_offset=dev(tex_offset),
+            sdf_tex_coarse=dev(tex_coarse),
+            sdf_tex_lower=dev(tex_lower),
+            sdf_tex_upper=dev(tex_upper),
             gravity=dev(gravity),
             particle_ke=dev(self.particle_ke), particle_kd=dev(self.particle_kd),
             particle_kf=dev(self.particle_kf), particle_mu=dev(self.particle_mu),

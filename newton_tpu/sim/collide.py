@@ -551,7 +551,9 @@ def _install_mesh_classes(pipeline: "CollisionPipeline"):
             # all K samples degenerate to the origin and would stack K
             # duplicate contacts on the same spot)
             t_other = t1 if in0 else t0
-            bidir = (int(st.shape_sdf_id[mesh]) >= 0
+            bidir = ((int(st.shape_sdf_id[mesh]) >= 0
+                      or int(getattr(st, "shape_sdf_tex_id",
+                                     np.full(1, -1))[mesh]) >= 0)
                      and t_other != int(GeoType.PLANE))
             key = ("ma", k, bidir)
             pc = classes.setdefault(key, _MeshPairClass(k, bidir))
@@ -725,13 +727,17 @@ def _sdf_of_shape(model, shape_idx, sdf_id, p_local, analytic_only=False):
     from ..geometry.sdf import sample_sdf_grad, sample_sdf_grid
     st = model.structure
     types = st.shape_type[shape_idx]
+    tex_all = getattr(st, "shape_sdf_tex_id", None)
+    if tex_all is None:
+        tex_all = np.full(st.shape_count, -1, dtype=np.int32)
+    tex_id = np.asarray(tex_all)[np.asarray(shape_idx)]
     if not analytic_only:
         # a mesh-typed shape with no baked grid would silently fall into
         # the capsule branch of _shape_sdf — wrong physics; fail loudly
         mesh_like = np.isin(np.asarray(types),
                             [int(GeoType.MESH), int(GeoType.CONVEX),
                              int(GeoType.HFIELD)])
-        missing = mesh_like & (np.asarray(sdf_id) < 0)
+        missing = mesh_like & (np.asarray(sdf_id) < 0) & (tex_id < 0)
         if missing.any():
             raise ValueError(
                 "mesh/convex/heightfield shapes "
@@ -747,20 +753,53 @@ def _sdf_of_shape(model, shape_idx, sdf_id, p_local, analytic_only=False):
                             p_local.dtype)
     d_an = d_an.reshape(n, K)
     g_an = g_an.reshape(n, K, 3)
-    if analytic_only or (np.asarray(sdf_id) < 0).all() or model.sdf_grids.shape[0] == 0:
+    has_tex = (not analytic_only and (tex_id >= 0).any()
+               and model.sdf_tex_block_index.shape[0] > 0)
+    if analytic_only or ((np.asarray(sdf_id) < 0).all()
+                         and not has_tex) or (
+            model.sdf_grids.shape[0] == 0 and not has_tex):
         return d_an, g_an
-    sid = np.maximum(sdf_id, 0)
-    lower = model.sdf_lower[sid][:, None, :]
-    upper = model.sdf_upper[sid][:, None, :]
-    grids = model.sdf_grids[sid]                             # (n, R, R, R)
     import jax
-    d_gr = jax.vmap(lambda g, lo, up, p: sample_sdf_grid(g, lo, up, p))(
-        grids, model.sdf_lower[sid], model.sdf_upper[sid], p_local)
-    g_gr = jax.vmap(lambda g, lo, up, p: sample_sdf_grad(g, lo, up, p))(
-        grids, model.sdf_lower[sid], model.sdf_upper[sid], p_local)
-    g_gr = g_gr / jnp.maximum(
-        jnp.linalg.norm(g_gr, axis=-1, keepdims=True), 1e-9)
-    use_grid = jnp.asarray(sdf_id >= 0)[:, None]
-    d = jnp.where(use_grid, d_gr, d_an)
-    g = jnp.where(use_grid[..., None], g_gr, g_an)
+    d, g = d_an, g_an
+    if (np.asarray(sdf_id) >= 0).any() and model.sdf_grids.shape[0] > 0:
+        sid = np.maximum(sdf_id, 0)
+        grids = model.sdf_grids[sid]                         # (n, R, R, R)
+        d_gr = jax.vmap(lambda g_, lo, up, p: sample_sdf_grid(g_, lo, up, p))(
+            grids, model.sdf_lower[sid], model.sdf_upper[sid], p_local)
+        g_gr = jax.vmap(lambda g_, lo, up, p: sample_sdf_grad(g_, lo, up, p))(
+            grids, model.sdf_lower[sid], model.sdf_upper[sid], p_local)
+        g_gr = g_gr / jnp.maximum(
+            jnp.linalg.norm(g_gr, axis=-1, keepdims=True), 1e-9)
+        use_grid = jnp.asarray(sdf_id >= 0)[:, None]
+        d = jnp.where(use_grid, d_gr, d)
+        g = jnp.where(use_grid[..., None], g_gr, g)
+    if has_tex:
+        # sparse quantized texture sampling (geometry/sdf_texture.py;
+        # reference sdf_texture.py:126) — shared global blocks pool,
+        # per-shape block index / coarse far field
+        from ..geometry.sdf_texture import sample_texture_sdf
+        tid = np.maximum(tex_id, 0)
+
+        def samp(bi, co, lo, up, p):
+            return sample_texture_sdf(bi, model.sdf_tex_blocks,
+                                      model.sdf_tex_scale,
+                                      model.sdf_tex_offset,
+                                      co, lo, up, p)
+
+        args = (model.sdf_tex_block_index[tid], model.sdf_tex_coarse[tid],
+                model.sdf_tex_lower[tid], model.sdf_tex_upper[tid])
+        d_tx = jax.vmap(samp)(*args, p_local)
+        eps = jnp.asarray(1e-3, dtype=p_local.dtype)
+        offs = jnp.stack([jnp.eye(3, dtype=p_local.dtype) * eps,
+                          -jnp.eye(3, dtype=p_local.dtype) * eps])  # (2,3,3)
+        d6 = jax.vmap(lambda bi, co, lo, up, p: samp(
+            bi, co, lo, up,
+            p[None, None, :, :] + offs[:, :, None, :]))(*args, p_local)
+        g_tx = (d6[:, 0] - d6[:, 1]) / (2 * eps)        # (n, 3, K)
+        g_tx = jnp.moveaxis(g_tx, 1, -1)                 # (n, K, 3)
+        g_tx = g_tx / jnp.maximum(
+            jnp.linalg.norm(g_tx, axis=-1, keepdims=True), 1e-9)
+        use_tex = jnp.asarray(tex_id >= 0)[:, None]
+        d = jnp.where(use_tex, d_tx, d)
+        g = jnp.where(use_tex[..., None], g_tx, g)
     return d, g

@@ -286,6 +286,16 @@ class Model(struct.PyTreeNode):
     sdf_grids: jnp.ndarray        # (n_sdf, R, R, R)
     sdf_lower: jnp.ndarray        # (n_sdf, 3)
     sdf_upper: jnp.ndarray        # (n_sdf, 3)
+    # sparse quantized SDF textures (geometry/sdf_texture.py; shapes with
+    # ShapeConfig.sdf_max_resolution >= 48 — reference sdf_texture.py:126).
+    # block_index holds GLOBAL slots into the shared blocks pool.
+    sdf_tex_block_index: jnp.ndarray  # (n_tex, B, B, B) int32, -1 = coarse
+    sdf_tex_blocks: jnp.ndarray       # (total_blocks, 9, 9, 9) uint8
+    sdf_tex_scale: jnp.ndarray        # (total_blocks,) f32
+    sdf_tex_offset: jnp.ndarray       # (total_blocks,) f32
+    sdf_tex_coarse: jnp.ndarray       # (n_tex, B+1, B+1, B+1) f32
+    sdf_tex_lower: jnp.ndarray        # (n_tex, 3)
+    sdf_tex_upper: jnp.ndarray        # (n_tex, 3)
 
     # --- global/scalar ---
     gravity: jnp.ndarray          # (W, 3)

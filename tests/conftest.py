@@ -38,6 +38,19 @@ def pytest_configure(config):
 
 
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache: nearly all suite wall time is jit
+# compilation of the same scenes run-over-run; with the cache warm the
+# suite runs in a fraction of the cold time. Repo-local so CI/driver
+# checkouts start cold but every later invocation is fast.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                          ".jax_test_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
 jax.config.update("jax_platforms", "cpu")
 
 if jax.devices()[0].platform != "cpu" or len(jax.devices()) < 8:
