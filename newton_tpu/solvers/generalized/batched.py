@@ -822,16 +822,17 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
 # ---------------------------------------------------------------------------
 
 def supports_batched_fast_path(solver) -> bool:
-    """True when step_batched can take the transposed fast path."""
-    if solver.sleep_threshold > 0.0:
-        return False
+    """True when step_batched can take the transposed fast path.
+
+    Sleeping and bilateral equality constraints run on the fast path too
+    (per-env masks ride the lane axis; the small equality fixup solve is
+    vmapped on top of the transposed smooth dynamics). Remaining fallbacks:
+    Newton-QP / ADMM contact backends and multi-articulation worlds.
+    """
     if getattr(solver, "contact_solver", "pgs") != "pgs":
         return False    # Newton QP contact solve runs via the vmapped path
     if getattr(solver, "use_admm", False):
         return False    # Kamino's ADMM contact solve is per-env (vmapped)
-    if any(p is not None and getattr(p, "rows", 0)
-           for p in solver.equality_plans):
-        return False
     return all(g.n == 1 for g in solver.gc.groups)
 
 
@@ -899,6 +900,15 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
     qd_new = qd_t
     has_contacts = (contacts_b is not None
                     and contacts_b.rigid_contact_mask.shape[-1] > 0)
+    any_eq = any(p is not None and getattr(p, "rows", 0)
+                 for p in solver.equality_plans)
+    if any_eq:
+        # env-major views for the small vmapped equality fixup: built once,
+        # shared by every group that carries equality rows
+        v_env = jnp.stack(v_o, axis=-1).transpose(1, 0, 2)   # (W, D, 3)
+        w_env = jnp.stack(w_o, axis=-1).transpose(1, 0, 2)
+        body_q_env = jnp.stack([*bp, *bq], axis=-1).transpose(1, 0, 2)
+        q_env = q_t.T                                        # (W, nq)
     for gi, g in enumerate(gc.groups):
         di = g.dof_idx[0]
         bi = g.body_idx[0]
@@ -912,9 +922,13 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
         L = _chol_t(Mi)
         qd_g = _cho_solve_t(L, rhs)                      # (d, W)
         plan = solver.contact_plans[gi]
-        if has_contacts and plan is not None and plan.c:
+        eplan = solver.equality_plans[gi]
+        has_eq = eplan is not None and getattr(eplan, "rows", 0)
+        Minv = None
+        if has_eq or (has_contacts and plan is not None and plan.c):
             Minv = _cho_solve_t(
                 L, jnp.broadcast_to(eye, (g.d, g.d, W)))
+        if has_contacts and plan is not None and plan.c:
             warm_lam = None
             if solver.warm_start:
                 prev = state_b.custom.get(f"contact:lam:{gi}")
@@ -928,6 +942,20 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
                 if solver.limit_mode == "constraint" else None, warm_lam)
             if solver.warm_start:
                 new_custom[f"contact:lam:{gi}"] = lam.T.reshape(W, 1, -1)
+        if has_eq:
+            # exact bilateral impulse fixup (same math as the vmapped
+            # path's _solve_equality, solver.py:497): the system is tiny
+            # (rows x rows per env), so a vmap over W on env-major views
+            # costs a couple of transposes and keeps full parity
+            def eq_one(mi, qd, vo, wo, bq_, qe,
+                       _g=g, _ep=eplan):
+                return solver._solve_equality(
+                    model, _g, _ep, mi, qd, vo, wo, bq_, qe, dt)
+            qd2 = jax.vmap(eq_one)(
+                Minv.transpose(2, 0, 1)[:, None],        # (W, 1, d, d)
+                qd_g.T[:, None, :],                      # (W, 1, d)
+                v_env, w_env, body_q_env, q_env)
+            qd_g = qd2[:, 0, :].T                        # (d, W)
         qd_new = qd_new.at[di].set(qd_g)
 
     vlim = model.joint_velocity_limit[:, None]
@@ -935,7 +963,37 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
     qd_new = jnp.clip(qd_new, -solver.max_velocity, solver.max_velocity)
     qd_new = jnp.where(jnp.isfinite(qd_new), qd_new, 0.0)
 
+    sleep_freeze = []
+    if solver.sleep_threshold > 0.0:
+        # transposed sleeping (vmapped path: solver._apply_sleep): per-env
+        # counters ride the lane axis as (W,) rows; frozen envs keep their
+        # input coordinates and zero velocity
+        if "sleep:count:0" not in state_b.custom:
+            raise ValueError(
+                "sleeping enabled: initialize the state with "
+                "solver.init_state(state) before batch_state to allocate "
+                "sleep counters")
+        joint_f_t = control_t[0] if control_t is not None else None
+        for gi, g in enumerate(gc.groups):
+            key = f"sleep:count:{gi}"
+            cnt = state_b.custom[key].reshape(W)          # (W, n=1) -> (W,)
+            di = g.dof_idx[0]
+            speed = jnp.max(jnp.abs(qd_new[di]), axis=0)  # (W,)
+            drive = (jnp.max(jnp.abs(joint_f_t[di]), axis=0)
+                     if joint_f_t is not None else jnp.zeros_like(speed))
+            quiet = (speed < solver.sleep_threshold) & (drive == 0.0)
+            cnt = jnp.where(quiet, cnt + 1, 0)
+            asleep = cnt >= solver.sleep_steps            # (W,)
+            new_custom[key] = cnt[:, None]
+            qd_new = qd_new.at[di].set(
+                jnp.where(asleep[None, :], 0.0, qd_new[di]))
+            sleep_freeze.append((g, asleep))
+
     q_new_t = _integrate_coords_t(model, q_t, qd_new, dt)
+    for g, asleep in sleep_freeze:
+        ci = g.coord_idx[0]
+        q_new_t = q_new_t.at[ci].set(
+            jnp.where(asleep[None, :], q_t[ci], q_new_t[ci]))
     bp2, bq2, bv2, bw2 = _fk_t(model, q_new_t, qd_new, bp, bq, bv, bw)
     body_q = jnp.stack([*bp2, *bq2], axis=1).transpose(2, 0, 1)  # (W, B, 7)
     body_qd = jnp.stack([*bv2, *bw2], axis=1).transpose(2, 0, 1)

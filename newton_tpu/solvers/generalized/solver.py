@@ -588,9 +588,10 @@ class SolverFeatherstone(SolverBase):
 
         Uses the transposed structure-of-arrays fast path (see
         ``generalized/batched.py``) — ~4x faster than ``jax.vmap(step)`` on
-        TPU because the env axis rides the 128-lane dimension. Falls back to
-        the vmapped per-env path for configurations the fast path does not
-        cover (sleeping, equality constraints, multi-articulation worlds).
+        TPU because the env axis rides the 128-lane dimension. Sleeping and
+        equality constraints are covered by the fast path; it falls back to
+        the vmapped per-env path only for Newton-QP/ADMM contact backends
+        and multi-articulation worlds.
         """
         from .batched import step_batched as _sb
         return _sb(self, state_in, state_out, control, contacts, dt)

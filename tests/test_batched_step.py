@@ -223,13 +223,105 @@ def test_solver_mujoco_warns_on_unknown_kwargs(ant):
     assert any("totally_bogus_option" in m for m in msgs)
 
 
-def test_fallback_paths_used(ant):
-    """Sleep-enabled solver falls back to the vmapped path and still works."""
+def test_fast_path_coverage(ant):
+    """Sleeping and equality ride the fast path; Newton-QP/ADMM fall back."""
     from newton_tpu.solvers.generalized.batched import (
         supports_batched_fast_path)
-    model = ant.model
-    solver = SolverMuJoCo(model, iterations=2)
-    assert supports_batched_fast_path(solver)
     from newton_tpu.solvers.generalized.solver import SolverFeatherstone
-    sleepy = SolverFeatherstone(model, sleep_threshold=1e-3)
-    assert not supports_batched_fast_path(sleepy)
+    model = ant.model
+    assert supports_batched_fast_path(SolverMuJoCo(model, iterations=2))
+    assert supports_batched_fast_path(
+        SolverFeatherstone(model, sleep_threshold=1e-3))
+    assert not supports_batched_fast_path(
+        SolverFeatherstone(model, contact_solver="newton"))
+
+
+def test_sleep_parity_batched(ant):
+    """Sleeping through the fast path == vmapped path: counters, freeze
+    masks, and frozen coordinates agree element-wise."""
+    from newton_tpu.solvers.generalized.solver import SolverFeatherstone
+    model, pipe = ant.model, ant.pipe
+    solver = SolverFeatherstone(model, contact_iterations=4, sleep_threshold=0.3,
+                                sleep_steps=2)
+    state0 = solver.init_state(ant.state0)
+    sb = batch_state(state0, 4)
+    # damp half the batch to (near) rest so those envs cross the threshold
+    qd = sb.joint_qd.at[:2].set(0.0)
+    sb = jax.jit(jax.vmap(lambda q, qd, s: eval_fk(model, q, qd, s)))(
+        sb.joint_q, qd, sb)
+    dt = 1.0 / 240.0
+
+    @jax.jit
+    def run_ref(s):
+        def sub(s, _):
+            ct = jax.vmap(pipe.collide)(s)
+            return jax.vmap(lambda si, cti: solver.step(
+                si, None, None, cti, dt))(s, ct), None
+        return jax.lax.scan(sub, s, None, length=5)[0]
+
+    @jax.jit
+    def run_bat(s):
+        def sub(s, _):
+            ct = jax.vmap(pipe.collide)(s)
+            return solver.step_batched(s, None, None, ct, dt), None
+        return jax.lax.scan(sub, s, None, length=5)[0]
+
+    ref = run_ref(sb)
+    got = run_bat(sb)
+    np.testing.assert_array_equal(np.asarray(got.custom["sleep:count:0"]),
+                                  np.asarray(ref.custom["sleep:count:0"]))
+    # at least the rest-initialized envs should have accumulated quiet steps
+    assert int(np.asarray(got.custom["sleep:count:0"]).max()) >= 2
+    _assert_state_close(got, ref)
+
+
+def _mimic_chain():
+    """One articulation (n=1 group) with a JOINT-equality (mimic) row and a
+    CONNECT loop closure to world — exercises both equality kinds on the
+    fast path."""
+    b = nt.ModelBuilder()
+    l1 = b.add_body(xform=[0.5, 0, 1, 0, 0, 0, 1])
+    b.add_shape_capsule(l1, radius=0.05, half_height=0.25)
+    j1 = b.add_joint_revolute(parent=-1, child=l1, axis="Y",
+                              xform_p=[0, 0, 1, 0, 0, 0, 1],
+                              xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+    l2 = b.add_body(xform=[1.5, 0, 1, 0, 0, 0, 1])
+    b.add_shape_capsule(l2, radius=0.05, half_height=0.25)
+    j2 = b.add_joint_revolute(parent=l1, child=l2, axis="Y",
+                              xform_p=[0.5, 0, 0, 0, 0, 0, 1],
+                              xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+    b.add_constraint_mimic(j2, j1, multiplier=-1.0)
+    b.add_equality_constraint(nt.EqType.CONNECT, body1=l2, body2=-1,
+                              anchor=(0.5, 0, 0))
+    return b.finalize()
+
+
+def test_equality_parity_batched():
+    """Equality fixup through the fast path == vmapped path."""
+    from newton_tpu.solvers.generalized.batched import (
+        supports_batched_fast_path)
+    from newton_tpu.solvers.generalized.solver import SolverFeatherstone
+    model = _mimic_chain()
+    solver = SolverFeatherstone(model, contact_iterations=4)
+    assert any(p is not None and p.rows for p in solver.equality_plans)
+    assert supports_batched_fast_path(solver)
+    state0 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    sb = _perturbed_batch(model, state0, 4, jax.random.PRNGKey(11))
+    dt = 1.0 / 240.0
+
+    @jax.jit
+    def run_ref(s):
+        def sub(s, _):
+            return jax.vmap(lambda si: solver.step(
+                si, None, None, None, dt))(s), None
+        return jax.lax.scan(sub, s, None, length=8)[0]
+
+    @jax.jit
+    def run_bat(s):
+        def sub(s, _):
+            return solver.step_batched(s, None, None, None, dt), None
+        return jax.lax.scan(sub, s, None, length=8)[0]
+
+    ref = run_ref(sb)
+    got = run_bat(sb)
+    _assert_state_close(got, ref)
