@@ -67,64 +67,112 @@ class _GroupContacts:
         return self.lb0.ndim == 1
 
 
+class _TableLookup:
+    """Dict-like ``get``/``in``/``[]`` over flat (gi, e, local) arrays."""
+
+    __slots__ = ("gi", "e", "loc")
+
+    def __init__(self, gi, e, loc):
+        self.gi, self.e, self.loc = gi, e, loc
+
+    def get(self, i, default=None):
+        if i is None or i < 0 or i >= len(self.gi) or self.gi[i] < 0:
+            return default
+        return (int(self.gi[i]), int(self.e[i]), int(self.loc[i]))
+
+    def __contains__(self, i):
+        return self.get(i) is not None
+
+    def __getitem__(self, i):
+        v = self.get(i)
+        if v is None:
+            raise KeyError(i)
+        return v
+
+
+def _body_env_tables(groups, n_body):
+    """Flat body -> (group, env, local-body) lookup arrays (vectorized
+    replacement for the per-body dict; finalize-time cost is O(bodies) numpy,
+    not O(worlds x bodies) Python at the reference's 8192-world shapes)."""
+    gi_of = -np.ones(n_body, dtype=np.int32)
+    e_of = -np.ones(n_body, dtype=np.int32)
+    lb_of = -np.ones(n_body, dtype=np.int32)
+    for gi, g in enumerate(groups):
+        bi = np.asarray(g.body_idx)                          # (n, b)
+        em = np.broadcast_to(np.arange(g.n, dtype=np.int32)[:, None],
+                             bi.shape)
+        lbm = np.broadcast_to(np.arange(bi.shape[1],
+                                        dtype=np.int32)[None, :], bi.shape)
+        ok = bi >= 0
+        gi_of[bi[ok]] = gi
+        e_of[bi[ok]] = em[ok]
+        lb_of[bi[ok]] = lbm[ok]
+    return gi_of, e_of, lb_of
+
+
 def _plan_group_contacts(st, groups):
     """Assign contact slots to (group, env); heterogeneous layouts are
     padded to the max per-env count with per-env local-body tables
     (reference: mujoco contact batching handles ragged worlds the same way
-    by padding nconmax)."""
-    body_to_env = {}
-    for gi, g in enumerate(groups):
-        for e in range(g.n):
-            for lb, b in enumerate(g.body_idx[e]):
-                body_to_env[int(b)] = (gi, e, lb)
+    by padding nconmax). Fully vectorized over slots."""
     plans = [None] * len(groups)
-    per_env = [dict() for _ in groups]
-    slot_b0 = getattr(st, "slot_body0", np.zeros(0, np.int32))
-    slot_b1 = getattr(st, "slot_body1", np.zeros(0, np.int32))
-    for slot in range(len(slot_b0)):
-        b0, b1 = int(slot_b0[slot]), int(slot_b1[slot])
-        owner = body_to_env.get(b1) or body_to_env.get(b0)
-        if owner is None:
-            continue
-        gi, e, _ = owner
-        lb0 = body_to_env[b0][2] if b0 in body_to_env and body_to_env[b0][0] == gi and body_to_env[b0][1] == e else -1
-        lb1 = body_to_env[b1][2] if b1 in body_to_env and body_to_env[b1][0] == gi and body_to_env[b1][1] == e else -1
-        per_env[gi].setdefault(e, []).append((slot, lb0, lb1))
+    slot_b0 = np.asarray(getattr(st, "slot_body0", np.zeros(0, np.int32)))
+    slot_b1 = np.asarray(getattr(st, "slot_body1", np.zeros(0, np.int32)))
+    S = len(slot_b0)
+    if S == 0:
+        return plans
+    B = int(st.body_count)
+    gi_of, e_of, lb_of = _body_env_tables(groups, B)
+
+    def look(b):
+        v = (b >= 0) & (b < B)
+        bc = np.clip(b, 0, max(B - 1, 0))
+        return (np.where(v, gi_of[bc], -1), np.where(v, e_of[bc], -1),
+                np.where(v, lb_of[bc], -1))
+    g0, e0, l0t = look(slot_b0)
+    g1, e1, l1t = look(slot_b1)
+    # owner: body1's articulation if it belongs to one, else body0's
+    owner_g = np.where(g1 >= 0, g1, g0)
+    owner_e = np.where(g1 >= 0, e1, e0)
+    lb0 = np.where((g0 == owner_g) & (e0 == owner_e), l0t, -1)
+    lb1 = np.where((g1 >= 0) & (g1 == owner_g) & (e1 == owner_e), l1t, -1)
+    slot_ids = np.arange(S, dtype=np.int32)
     pad_slot = int(getattr(st, "rigid_contact_max", 0))
     for gi, g in enumerate(groups):
-        envs = per_env[gi]
-        if not envs:
+        m = owner_g == gi
+        if not m.any():
             continue
-        counts = {len(v) for v in envs.values()}
-        patterns = {tuple((lb0, lb1) for _, lb0, lb1 in sorted(v, key=lambda t: t[0]))
-                    for v in envs.values()}
-        if len(counts) != 1 or len(envs) != g.n or len(patterns) != 1:
-            # heterogeneous contact layout: pad to max count with per-env
-            # local-body tables; padded entries read one-past-the-end
-            # (clamped, masked via valid) and scatter-drop on write
-            cmax = max(len(v) for v in envs.values())
-            slots = np.full((g.n, cmax), pad_slot, dtype=np.int32)
-            lb0m = -np.ones((g.n, cmax), dtype=np.int32)
-            lb1m = -np.ones((g.n, cmax), dtype=np.int32)
-            valid = np.zeros((g.n, cmax), dtype=bool)
-            for e in range(g.n):
-                lst = sorted(envs.get(e, []), key=lambda t: t[0])
-                for k, (s, l0, l1) in enumerate(lst):
-                    slots[e, k] = s
-                    lb0m[e, k] = l0
-                    lb1m[e, k] = l1
-                    valid[e, k] = True
-            plans[gi] = _GroupContacts(slots, lb0m, lb1m, valid)
-            continue
-        c = counts.pop()
-        slots = np.zeros((g.n, c), dtype=np.int32)
-        for e, lst in envs.items():
-            lst = sorted(lst, key=lambda t: t[0])
-            slots[e] = [s for s, _, _ in lst]
-        pat = list(patterns)[0]
-        lb0 = np.asarray([p[0] for p in pat], dtype=np.int32)
-        lb1 = np.asarray([p[1] for p in pat], dtype=np.int32)
-        plans[gi] = _GroupContacts(slots, lb0, lb1)
+        e_arr, s_arr = owner_e[m], slot_ids[m]
+        l0a, l1a = lb0[m], lb1[m]
+        # stable sort by env keeps ascending slot order within each env
+        order = np.argsort(e_arr, kind="stable")
+        e_arr, s_arr = e_arr[order], s_arr[order]
+        l0a, l1a = l0a[order], l1a[order]
+        counts = np.bincount(e_arr, minlength=g.n)
+        if counts.min() == counts.max() and counts[0] > 0:
+            c = int(counts[0])
+            slots = s_arr.reshape(g.n, c).astype(np.int32)
+            l0m = l0a.reshape(g.n, c)
+            l1m = l1a.reshape(g.n, c)
+            if (l0m == l0m[0]).all() and (l1m == l1m[0]).all():
+                plans[gi] = _GroupContacts(slots, l0m[0].astype(np.int32),
+                                           l1m[0].astype(np.int32))
+                continue
+        # heterogeneous contact layout: pad to max count with per-env
+        # local-body tables; padded entries read one-past-the-end
+        # (clamped, masked via valid) and scatter-drop on write
+        cmax = int(counts.max())
+        slots = np.full((g.n, cmax), pad_slot, dtype=np.int32)
+        lb0m = -np.ones((g.n, cmax), dtype=np.int32)
+        lb1m = -np.ones((g.n, cmax), dtype=np.int32)
+        valid = np.zeros((g.n, cmax), dtype=bool)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        k = np.arange(len(e_arr)) - starts[e_arr]
+        slots[e_arr, k] = s_arr
+        lb0m[e_arr, k] = l0a
+        lb1m[e_arr, k] = l1a
+        valid[e_arr, k] = True
+        plans[gi] = _GroupContacts(slots, lb0m, lb1m, valid)
     return plans
 
 
@@ -1057,16 +1105,25 @@ def _plan_group_equality(model, groups):
     import numpy as np
     from ...core.host_math import (np_quat_mul, np_transform_inverse,
                                    np_transform_multiply, np_transform_point)
-    body_to_env = {}
+    # vectorized lookup tables (finalize-time: O(bodies+dofs) numpy, not
+    # O(worlds x bodies) Python dict inserts)
+    bgi, be, blb = _body_env_tables(groups, int(st.body_count))
+    body_to_env = _TableLookup(bgi, be, blb)
+    D = int(np.concatenate([np.asarray(g.dof_idx).reshape(-1)
+                            for g in groups]).max()) + 1 if groups else 0
+    dgi = -np.ones(D, dtype=np.int32)
+    de = -np.ones(D, dtype=np.int32)
+    dld = -np.ones(D, dtype=np.int32)
     for gi, g in enumerate(groups):
-        for e in range(g.n):
-            for lb, b in enumerate(g.body_idx[e]):
-                body_to_env[int(b)] = (gi, e, lb)
-    dof_to_env = {}
-    for gi, g in enumerate(groups):
-        for e in range(g.n):
-            for ld, dglob in enumerate(g.dof_idx[e]):
-                dof_to_env[int(dglob)] = (gi, e, ld)
+        di = np.asarray(g.dof_idx)                           # (n, d)
+        em = np.broadcast_to(np.arange(g.n, dtype=np.int32)[:, None],
+                             di.shape)
+        ldm = np.broadcast_to(np.arange(di.shape[1],
+                                        dtype=np.int32)[None, :], di.shape)
+        dgi[di.reshape(-1)] = gi
+        de[di.reshape(-1)] = em.reshape(-1)
+        dld[di.reshape(-1)] = ldm.reshape(-1)
+    dof_to_env = _TableLookup(dgi, de, dld)
 
     bq0 = np.asarray(model.body_q, dtype=np.float64)
     anchors = np.asarray(model.eq_anchor, dtype=np.float64)
