@@ -43,6 +43,15 @@ EXAMPLES = {
     "mesh_stack": "newton_tpu.examples.example_mesh_stack",
     "ik_reach": "newton_tpu.examples.example_ik_reach",
     "terrain_ant": "newton_tpu.examples.example_terrain_ant",
+    "basic_dzhanibekov": "newton_tpu.examples.example_basic_dzhanibekov",
+    "basic_joints": "newton_tpu.examples.example_basic_joints",
+    "contact_restitution":
+        "newton_tpu.examples.example_contact_restitution",
+    "mujoco_sleeping": "newton_tpu.examples.example_mujoco_sleeping",
+    "pyramid": "newton_tpu.examples.example_pyramid",
+    "diffsim_ball": "newton_tpu.examples.example_diffsim_ball",
+    "diffsim_spring_cage":
+        "newton_tpu.examples.example_diffsim_spring_cage",
 }
 
 

@@ -1966,6 +1966,21 @@ class ModelBuilder:
             raise RuntimeError("finalize() called inside an open world scope")
         dtype = dtype or jnp.float32
 
+        # seed FREE/DISTANCE joint velocities from add_body(qd=...) so a
+        # floating body's initial twist survives into joint_qd0 (free qd
+        # layout is [v_com, w], matching body_qd)
+        for j in range(self.joint_count):
+            if self.joint_type[j] not in (int(JointType.FREE),
+                                          int(JointType.DISTANCE)):
+                continue
+            child = self.joint_child[j]
+            bqd = np.asarray(self.body_qd[child], dtype=np.float64)
+            if not np.any(bqd):
+                continue
+            ds = self.joint_qd_start[j]
+            if not np.any(self.joint_qd[ds:ds + 6]):
+                self.joint_qd[ds:ds + 6] = list(bqd[:6])
+
         st = ModelStructure()
         st.world_count = max(self.world_count, 1)
         st.body_count = self.body_count

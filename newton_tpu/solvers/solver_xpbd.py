@@ -98,8 +98,13 @@ class SolverXPBD(SolverBase):
     # ------------------------------------------------------------------
     def step(self, state_in: State, state_out: Optional[State] = None,
              control: Optional[Control] = None,
-             contacts: Optional[Contacts] = None, dt: float = 1e-3) -> State:
-        model = self.model
+             contacts: Optional[Contacts] = None, dt: float = 1e-3,
+             model: Optional[Model] = None) -> State:
+        # `model` overrides self.model with e.g. perturbed physical
+        # parameters (same topology/structure): the hook for
+        # differentiating a rollout w.r.t. model parameters
+        # (spring rest lengths, masses, gravity ...) with jax.grad
+        model = self.model if model is None else model
         plan = self._plan
         B = model.body_count
         dtype = state_in.body_q.dtype

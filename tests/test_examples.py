@@ -18,12 +18,20 @@ class _Args:
     benchmark = False
 
 
+# examples whose test_final needs a longer run than the 8-frame smoke
+FRAMES = {
+    "basic_sphere": 30, "selection_reset": 30, "basic_dzhanibekov": 30,
+    "basic_joints": 30, "contact_restitution": 60, "mujoco_sleeping": 60,
+    "pyramid": 40, "diffsim_ball": 8, "diffsim_spring_cage": 8,
+}
+
+
 @pytest.mark.parametrize("name", sorted(EXAMPLES))
 def test_example_headless(name):
     module = importlib.import_module(EXAMPLES[name])
     viewer = ViewerNull(max_frames=_Args.num_frames)
     example = module.Example(viewer, _Args())
-    frames = 30 if name in ("basic_sphere", "selection_reset") else 8
+    frames = FRAMES.get(name, 8)
     for _ in range(frames):
         example.step()
         example.render()
@@ -33,7 +41,7 @@ def test_example_headless(name):
         for attr in ("body_q", "body_qd", "particle_q", "joint_q"):
             arr = np.asarray(getattr(state, attr))
             assert np.isfinite(arr).all(), f"{name}: non-finite {attr}"
-    if frames >= 30 and hasattr(example, "test_final"):
+    if name in FRAMES and hasattr(example, "test_final"):
         example.test_final()
 
 

@@ -107,8 +107,13 @@ def shared():
     return get
 
 
-@pytest.mark.parametrize("name,shape,axes,spec", MESHES,
-                         ids=[m[0] for m in MESHES])
+@pytest.mark.parametrize(
+    "name,shape,axes,spec",
+    # the 2d-mesh variants re-verify the same step on a different device
+    # layout — keep the 1d mesh in the quick suite, mark 2d slow
+    [pytest.param(*m, marks=() if m[0].startswith("8x1")
+                  else pytest.mark.slow) for m in MESHES],
+    ids=[m[0] for m in MESHES])
 @pytest.mark.parametrize("solver_cls", [SolverXPBD, SolverMuJoCo],
                          ids=["xpbd", "generalized"])
 def test_sharded_step_bitwise_matches_vmap(name, shape, axes, spec,
