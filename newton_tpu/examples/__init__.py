@@ -52,6 +52,10 @@ EXAMPLES = {
     "diffsim_ball": "newton_tpu.examples.example_diffsim_ball",
     "diffsim_spring_cage":
         "newton_tpu.examples.example_diffsim_spring_cage",
+    "cloth_twist": "newton_tpu.examples.example_cloth_twist",
+    "softbody_hanging": "newton_tpu.examples.example_softbody_hanging",
+    "robot_cartpole": "newton_tpu.examples.example_robot_cartpole",
+    "recording": "newton_tpu.examples.example_recording",
 }
 
 

@@ -23,6 +23,8 @@ FRAMES = {
     "basic_sphere": 30, "selection_reset": 30, "basic_dzhanibekov": 30,
     "basic_joints": 30, "contact_restitution": 60, "mujoco_sleeping": 60,
     "pyramid": 40, "diffsim_ball": 8, "diffsim_spring_cage": 8,
+    "cloth_twist": 60, "softbody_hanging": 40, "robot_cartpole": 50,
+    "recording": 10,
 }
 
 
