@@ -609,7 +609,10 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     d = g.d
     c = plan.c
     W = qd_g.shape[-1]
-    slots = plan.slots[0]                               # (c,) static
+    S = contacts_b.rigid_contact_mask.shape[-1]
+    # padded plan rows (heterogeneous multi-articulation layouts) point
+    # one-past-the-end: clamp the read, mask via plan.valid
+    slots = np.minimum(plan.slots[0], S - 1)            # (c,) static
 
     def slot_vec(arr):                                  # (W, S, 3) -> tuple
         return tuple(arr[:, slots, k].T for k in range(3))
@@ -618,6 +621,9 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     pos = slot_vec(contacts_b.rigid_contact_position)
     depth = contacts_b.rigid_contact_depth[:, slots].T
     active = contacts_b.rigid_contact_mask[:, slots].T
+    valid = getattr(plan, "valid", None)
+    if valid is not None:
+        active = active & jnp.asarray(valid)[:, None]
 
     mu = 0.5 * (model.shape_material_mu[np.maximum(solver.slot_shape0, 0)]
                 + model.shape_material_mu[np.maximum(solver.slot_shape1, 0)]
@@ -821,19 +827,59 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
 # public entry
 # ---------------------------------------------------------------------------
 
+class _GroupRow:
+    """Single-articulation view of an ArticulationGroup row: the fast path
+    iterates a multi-articulation group row by row (same (d, W) math per
+    row; the unroll factor is the world's articulation count)."""
+
+    __slots__ = ("arts", "dof_idx", "body_idx", "anc", "n", "d", "b",
+                 "coord_idx", "nq")
+
+    def __init__(self, g, e):
+        self.arts = g.arts[e:e + 1]
+        self.dof_idx = g.dof_idx[e:e + 1]
+        self.body_idx = g.body_idx[e:e + 1]
+        self.coord_idx = g.coord_idx[e:e + 1]
+        self.anc = g.anc
+        self.n, self.d, self.b, self.nq = 1, g.d, g.b, g.nq
+
+
+class _PlanRow:
+    """Single-env view of a _GroupContacts plan (pads stay masked via
+    ``valid``; slot indices are clamped by the contact solve)."""
+
+    __slots__ = ("slots", "lb0", "lb1", "c", "valid")
+
+    def __init__(self, plan, e):
+        self.slots = plan.slots[e:e + 1]
+        self.c = plan.c
+        if plan.uniform:
+            self.lb0, self.lb1 = plan.lb0, plan.lb1
+        else:
+            self.lb0, self.lb1 = plan.lb0[e], plan.lb1[e]
+        self.valid = None if plan.valid is None else plan.valid[e]
+
+    @property
+    def uniform(self):
+        return True
+
+
 def supports_batched_fast_path(solver) -> bool:
     """True when step_batched can take the transposed fast path.
 
-    Sleeping and bilateral equality constraints run on the fast path too
-    (per-env masks ride the lane axis; the small equality fixup solve is
-    vmapped on top of the transposed smooth dynamics). Remaining fallbacks:
-    Newton-QP / ADMM contact backends and multi-articulation worlds.
+    Sleeping, bilateral equality constraints and multi-articulation worlds
+    run on the fast path too (per-env masks ride the lane axis; the small
+    equality fixup solve is vmapped on top of the transposed smooth
+    dynamics; multi-articulation groups iterate rows). Remaining fallbacks:
+    Newton-QP / ADMM contact backends and worlds with >32 articulations.
     """
     if getattr(solver, "contact_solver", "pgs") != "pgs":
         return False    # Newton QP contact solve runs via the vmapped path
     if getattr(solver, "use_admm", False):
         return False    # Kamino's ADMM contact solve is per-env (vmapped)
-    return all(g.n == 1 for g in solver.gc.groups)
+    # multi-articulation worlds iterate rows (unrolled): bound the unroll
+    # so compile time stays sane; very crowded worlds take the vmapped path
+    return sum(g.n for g in solver.gc.groups) <= 32
 
 
 def step_batched(solver, state_b: State, state_out=None, control_b=None,
@@ -910,53 +956,64 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
         body_q_env = jnp.stack([*bp, *bq], axis=-1).transpose(1, 0, 2)
         q_env = q_t.T                                        # (W, nq)
     for gi, g in enumerate(gc.groups):
-        di = g.dof_idx[0]
-        bi = g.body_idx[0]
-        Iw_g = [[Iw[i][j][bi] for j in range(3)] for i in range(3)]
-        x_b_g = _rows(x_b, bi)
-        M = _crba_t(model, g, v_o, w_o, x_b_g, Iw_g, m_b[bi])
-        kd_g = kd_implicit[di]                           # (d, W)
-        eye = jnp.eye(g.d, dtype=dtype)[:, :, None]
-        Mi = M + dt * eye * kd_g[:, None, :]
-        rhs = _mat_vec_t(M, qd_t[di]) + dt * tau_net[di]
-        L = _chol_t(Mi)
-        qd_g = _cho_solve_t(L, rhs)                      # (d, W)
         plan = solver.contact_plans[gi]
         eplan = solver.equality_plans[gi]
         has_eq = eplan is not None and getattr(eplan, "rows", 0)
-        Minv = None
-        if has_eq or (has_contacts and plan is not None and plan.c):
-            Minv = _cho_solve_t(
-                L, jnp.broadcast_to(eye, (g.d, g.d, W)))
-        if has_contacts and plan is not None and plan.c:
-            warm_lam = None
-            if solver.warm_start:
-                prev = state_b.custom.get(f"contact:lam:{gi}")
-                if prev is not None:
-                    # stored (W, n=1, 3c) by the vmapped path
-                    warm_lam = prev.reshape(W, -1).T
-            qd_g, lam = _solve_contacts_t(
-                solver, model, g, plan, Minv, qd_g, v_o, w_o,
-                bp, bq, bv, bw, x_b, contacts_b, q_t, dt,
-                solver.limit_plans[gi]
-                if solver.limit_mode == "constraint" else None, warm_lam)
-            if solver.warm_start:
-                new_custom[f"contact:lam:{gi}"] = lam.T.reshape(W, 1, -1)
+        has_ct = has_contacts and plan is not None and plan.c
+        eye = jnp.eye(g.d, dtype=dtype)[:, :, None]
+        qd_rows, minv_rows, lam_rows = [], [], []
+        prev = (state_b.custom.get(f"contact:lam:{gi}")
+                if solver.warm_start else None)
+        for e in range(g.n):
+            di = g.dof_idx[e]
+            bi = g.body_idx[e]
+            g_row = _GroupRow(g, e) if g.n > 1 else g
+            Iw_g = [[Iw[i][j][bi] for j in range(3)] for i in range(3)]
+            x_b_g = _rows(x_b, bi)
+            M = _crba_t(model, g_row, v_o, w_o, x_b_g, Iw_g, m_b[bi])
+            kd_g = kd_implicit[di]                       # (d, W)
+            Mi = M + dt * eye * kd_g[:, None, :]
+            rhs = _mat_vec_t(M, qd_t[di]) + dt * tau_net[di]
+            L = _chol_t(Mi)
+            qd_g = _cho_solve_t(L, rhs)                  # (d, W)
+            Minv = None
+            if has_eq or has_ct:
+                Minv = _cho_solve_t(
+                    L, jnp.broadcast_to(eye, (g.d, g.d, W)))
+            if has_ct:
+                warm_lam = (prev[:, e].reshape(W, -1).T
+                            if prev is not None else None)
+                qd_g, lam = _solve_contacts_t(
+                    solver, model, g_row,
+                    _PlanRow(plan, e) if g.n > 1 else plan,
+                    Minv, qd_g, v_o, w_o,
+                    bp, bq, bv, bw, x_b, contacts_b, q_t, dt,
+                    solver.limit_plans[gi]
+                    if solver.limit_mode == "constraint" else None, warm_lam)
+                lam_rows.append(lam)
+            qd_rows.append(qd_g)
+            minv_rows.append(Minv)
+        if lam_rows and solver.warm_start:
+            new_custom[f"contact:lam:{gi}"] = jnp.stack(
+                [l.T for l in lam_rows], axis=1)         # (W, n, 3c)
         if has_eq:
             # exact bilateral impulse fixup (same math as the vmapped
             # path's _solve_equality, solver.py:497): the system is tiny
             # (rows x rows per env), so a vmap over W on env-major views
             # costs a couple of transposes and keeps full parity
+            qd_grp = jnp.stack([q.T for q in qd_rows], axis=1)  # (W, n, d)
+            minv_grp = jnp.stack(
+                [m.transpose(2, 0, 1) for m in minv_rows], axis=1)
+
             def eq_one(mi, qd, vo, wo, bq_, qe,
                        _g=g, _ep=eplan):
                 return solver._solve_equality(
                     model, _g, _ep, mi, qd, vo, wo, bq_, qe, dt)
             qd2 = jax.vmap(eq_one)(
-                Minv.transpose(2, 0, 1)[:, None],        # (W, 1, d, d)
-                qd_g.T[:, None, :],                      # (W, 1, d)
-                v_env, w_env, body_q_env, q_env)
-            qd_g = qd2[:, 0, :].T                        # (d, W)
-        qd_new = qd_new.at[di].set(qd_g)
+                minv_grp, qd_grp, v_env, w_env, body_q_env, q_env)
+            qd_rows = [qd2[:, e, :].T for e in range(g.n)]
+        for e in range(g.n):
+            qd_new = qd_new.at[g.dof_idx[e]].set(qd_rows[e])
 
     vlim = model.joint_velocity_limit[:, None]
     qd_new = jnp.clip(qd_new, -vlim, vlim)
@@ -976,22 +1033,25 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
         joint_f_t = control_t[0] if control_t is not None else None
         for gi, g in enumerate(gc.groups):
             key = f"sleep:count:{gi}"
-            cnt = state_b.custom[key].reshape(W)          # (W, n=1) -> (W,)
-            di = g.dof_idx[0]
-            speed = jnp.max(jnp.abs(qd_new[di]), axis=0)  # (W,)
-            drive = (jnp.max(jnp.abs(joint_f_t[di]), axis=0)
-                     if joint_f_t is not None else jnp.zeros_like(speed))
-            quiet = (speed < solver.sleep_threshold) & (drive == 0.0)
-            cnt = jnp.where(quiet, cnt + 1, 0)
-            asleep = cnt >= solver.sleep_steps            # (W,)
-            new_custom[key] = cnt[:, None]
-            qd_new = qd_new.at[di].set(
-                jnp.where(asleep[None, :], 0.0, qd_new[di]))
-            sleep_freeze.append((g, asleep))
+            cnt_g = state_b.custom[key]                   # (W, n)
+            cnt_cols = []
+            for e in range(g.n):
+                di = g.dof_idx[e]
+                speed = jnp.max(jnp.abs(qd_new[di]), axis=0)   # (W,)
+                drive = (jnp.max(jnp.abs(joint_f_t[di]), axis=0)
+                         if joint_f_t is not None
+                         else jnp.zeros_like(speed))
+                quiet = (speed < solver.sleep_threshold) & (drive == 0.0)
+                cnt = jnp.where(quiet, cnt_g[:, e] + 1, 0)
+                asleep = cnt >= solver.sleep_steps        # (W,)
+                cnt_cols.append(cnt)
+                qd_new = qd_new.at[di].set(
+                    jnp.where(asleep[None, :], 0.0, qd_new[di]))
+                sleep_freeze.append((g.coord_idx[e], asleep))
+            new_custom[key] = jnp.stack(cnt_cols, axis=1)
 
     q_new_t = _integrate_coords_t(model, q_t, qd_new, dt)
-    for g, asleep in sleep_freeze:
-        ci = g.coord_idx[0]
+    for ci, asleep in sleep_freeze:
         q_new_t = q_new_t.at[ci].set(
             jnp.where(asleep[None, :], q_t[ci], q_new_t[ci]))
     bp2, bq2, bv2, bw2 = _fk_t(model, q_new_t, qd_new, bp, bq, bv, bw)

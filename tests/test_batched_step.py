@@ -325,3 +325,75 @@ def test_equality_parity_batched():
     ref = run_ref(sb)
     got = run_bat(sb)
     _assert_state_close(got, ref)
+
+
+def test_multi_articulation_parity_batched():
+    """Multi-articulation worlds (n>1 groups) ride the fast path row by
+    row: parity vs the vmapped per-env step, with ground contacts."""
+    from newton_tpu.solvers.generalized.batched import (
+        supports_batched_fast_path)
+    from newton_tpu.solvers.generalized.solver import SolverFeatherstone
+    b = nt.ModelBuilder()
+    sub = nt.ModelBuilder()
+    body = sub.add_body(xform=[0, 0, 0.4, 0, 0, 0, 1], key="box")
+    sub.add_shape_box(body, hx=0.2, hy=0.2, hz=0.2)
+    sub.add_joint_free(body)
+    b.replicate(sub, 3, spacing=(2.0, 2.0, 0))
+    b.add_ground_plane()
+    model = b.finalize()
+    solver = SolverFeatherstone(model, contact_iterations=8)
+    assert any(g.n > 1 for g in solver.gc.groups)
+    assert supports_batched_fast_path(solver)
+    pipe = CollisionPipeline(model)
+    state0 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    sb = _perturbed_batch(model, state0, 4, jax.random.PRNGKey(21),
+                          drop=0.12)
+    dt = 1.0 / 240.0
+    contacts = jax.vmap(pipe.collide)(sb)
+    ref = jax.jit(jax.vmap(lambda s, ct: solver.step(s, None, None, ct, dt))
+                  )(sb, contacts)
+    got = jax.jit(lambda s, ct: solver.step_batched(s, None, None, ct, dt)
+                  )(sb, contacts)
+    _assert_state_close(got, ref)
+
+
+def test_hetero_plan_parity_batched():
+    """Heterogeneous contact layouts (padded per-env slot tables) through
+    the fast path: the padded slots must stay masked."""
+    from newton_tpu.solvers.generalized.batched import (
+        supports_batched_fast_path)
+    from newton_tpu.solvers.generalized.solver import SolverFeatherstone
+    b = nt.ModelBuilder()
+    for i in range(2):
+        b.begin_world(key=f"w{i}")
+        b.add_articulation(key=f"art{i}")
+        body = b.add_body(xform=[i * 3.0, 0, 0.35, 0, 0, 0, 1],
+                          key=f"b{i}")
+        b.add_shape_box(body, hx=0.15, hy=0.15, hz=0.15)
+        if i == 0:
+            # extra shape in world 0 -> different slot counts per world
+            b.add_shape_sphere(body, radius=0.1,
+                               cfg=nt.ShapeConfig(density=100.0))
+        b.add_joint_free(body)
+        b.end_world()
+    b.add_ground_plane()
+    model = b.finalize()
+    solver = SolverFeatherstone(model, contact_iterations=8)
+    grp = [g for g in solver.gc.groups if g.n > 1]
+    assert grp, "expected a multi-articulation group"
+    gi = solver.gc.groups.index(grp[0])
+    plan = solver.contact_plans[gi]
+    assert plan is not None and plan.valid is not None, \
+        "expected a padded heterogeneous plan"
+    assert supports_batched_fast_path(solver)
+    pipe = CollisionPipeline(model)
+    state0 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
+    sb = _perturbed_batch(model, state0, 3, jax.random.PRNGKey(22),
+                          drop=0.1)
+    dt = 1.0 / 240.0
+    contacts = jax.vmap(pipe.collide)(sb)
+    ref = jax.jit(jax.vmap(lambda s, ct: solver.step(s, None, None, ct, dt))
+                  )(sb, contacts)
+    got = jax.jit(lambda s, ct: solver.step_batched(s, None, None, ct, dt)
+                  )(sb, contacts)
+    _assert_state_close(got, ref)
