@@ -56,6 +56,10 @@ EXAMPLES = {
     "softbody_hanging": "newton_tpu.examples.example_softbody_hanging",
     "robot_cartpole": "newton_tpu.examples.example_robot_cartpole",
     "recording": "newton_tpu.examples.example_recording",
+    "cable_bend_stiffness":
+        "newton_tpu.examples.example_cable_bend_stiffness",
+    "cable_twist_transfer":
+        "newton_tpu.examples.example_cable_twist_transfer",
 }
 
 

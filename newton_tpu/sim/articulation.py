@@ -93,10 +93,13 @@ class KinematicCache:
         self.ang_qd_idx = np.zeros((J, 3), dtype=np.int32)
         for j in range(J):
             t = JointType(int(st.joint_type[j]))
-            ln = int(lin_n[j]) if t not in (JointType.BALL, JointType.FREE,
-                                            JointType.DISTANCE) else 0
-            an = int(ang_n[j]) if t not in (JointType.BALL, JointType.FREE,
-                                            JointType.DISTANCE) else 0
+            # CABLE joints carry no joint_q coords (enums.dof_count): their
+            # axis-composition masks must stay zero or they would gather the
+            # next joint's coordinates
+            excl = (JointType.BALL, JointType.FREE, JointType.DISTANCE,
+                    JointType.CABLE)
+            ln = int(lin_n[j]) if t not in excl else 0
+            an = int(ang_n[j]) if t not in excl else 0
             for k in range(3):
                 self.lin_axis_idx[j, k] = jqd[j] + min(k, max(ln - 1, 0))
                 self.ang_axis_idx[j, k] = jqd[j] + ln + min(k, max(an - 1, 0))
@@ -168,8 +171,14 @@ def joint_motion(model: Model, joint_q: jnp.ndarray, joint_qd: jnp.ndarray
         return (jnp.zeros((0, 7), dtype=dtype), jnp.zeros((0, 6), dtype=dtype))
 
     q_mask = jnp.asarray(kc.q_mask, dtype=dtype)
-    qj = joint_q[kc.q_idx] * q_mask                     # (J, 7)
-    qdj = joint_qd[kc.qd_idx] * jnp.asarray(kc.qd_mask, dtype=dtype)  # (J, 6)
+    if joint_q.shape[0]:                                # (J, 7)
+        qj = joint_q[kc.q_idx] * q_mask
+    else:  # all joints coord-free (FIXED/CABLE chains)
+        qj = jnp.zeros((J, 7), dtype=dtype)
+    if joint_qd.shape[0]:
+        qdj = joint_qd[kc.qd_idx] * jnp.asarray(kc.qd_mask, dtype=dtype)
+    else:
+        qdj = jnp.zeros((J, 6), dtype=dtype)
 
     lin_mask = jnp.asarray(kc.lin_mask, dtype=dtype)    # (J, 3)
     ang_mask = jnp.asarray(kc.ang_mask, dtype=dtype)
@@ -179,10 +188,18 @@ def joint_motion(model: Model, joint_q: jnp.ndarray, joint_qd: jnp.ndarray
     pad = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=dtype), A_ang_raw.shape)
     A_ang = jnp.where(ang_mask[..., None] > 0, A_ang_raw, pad)
 
-    q_lin = joint_q[kc.lin_q_idx] * lin_mask            # (J, 3)
-    q_ang = joint_q[kc.ang_q_idx] * ang_mask
-    qd_lin = joint_qd[kc.lin_qd_idx] * lin_mask
-    qd_ang = joint_qd[kc.ang_qd_idx] * ang_mask
+    if joint_q.shape[0]:
+        q_lin = joint_q[kc.lin_q_idx] * lin_mask        # (J, 3)
+        q_ang = joint_q[kc.ang_q_idx] * ang_mask
+    else:
+        q_lin = jnp.zeros((J, 3), dtype=dtype)
+        q_ang = jnp.zeros((J, 3), dtype=dtype)
+    if joint_qd.shape[0]:
+        qd_lin = joint_qd[kc.lin_qd_idx] * lin_mask
+        qd_ang = joint_qd[kc.ang_qd_idx] * ang_mask
+    else:
+        qd_lin = jnp.zeros((J, 3), dtype=dtype)
+        qd_ang = jnp.zeros((J, 3), dtype=dtype)
 
     # --- unified axis-composition path (PRISMATIC/REVOLUTE/D6/FIXED) ---
     pos = jnp.einsum("jk,jkc->jc", q_lin, A_lin)

@@ -741,7 +741,7 @@ class ModelBuilder:
         elif joint_type == JointType.BALL:
             self.joint_q.extend([0.0, 0.0, 0.0, 1.0])
             self.joint_target_q.extend([0.0, 0.0, 0.0, 1.0])
-        else:
+        elif joint_type != JointType.CABLE:  # cables carry no coords
             for cfg in axes:
                 self.joint_q.append(float(cfg.target) if cfg.target_ke > 0 else 0.0)
                 self.joint_target_q.append(float(cfg.target))
@@ -890,6 +890,58 @@ class ModelBuilder:
         """Generic D6 joint with explicit dof axes (reference: builder.py:4925)."""
         return self.add_joint(JointType.D6, parent, child,
                               linear_axes=linear_axes, angular_axes=angular_axes,
+                              xform_p=xform_p, xform_c=xform_c, key=key,
+                              collision_filter_parent=collision_filter_parent,
+                              enabled=enabled)
+
+    def add_joint_cable(self, parent: int, child: int,
+                        xform_p: Optional[Transform] = None,
+                        xform_c: Optional[Transform] = None,
+                        stretch_stiffness: float = 1.0e5,
+                        stretch_damping: float = 0.0,
+                        shear_stiffness: Optional[float] = None,
+                        shear_damping: Optional[float] = None,
+                        bend_stiffness: float = 0.0,
+                        bend_damping: float = 0.0,
+                        twist_stiffness: Optional[float] = None,
+                        twist_damping: Optional[float] = None,
+                        key: Optional[str] = None,
+                        collision_filter_parent: bool = True,
+                        enabled: bool = True) -> int:
+        """Cable (Cosserat rod) joint with split stretch/shear and bend/twist
+        stiffness (reference: builder.py:5166 add_joint_cable).
+
+        Each anchor frame's local ``+Z`` is the material tangent: stretch acts
+        along the parent tangent, shear transverse to it, twist about it, and
+        bend across it. For a chained rod, the parent anchor ``+Z`` should
+        point from the parent attachment toward the child attachment
+        (:meth:`add_rod` satisfies this automatically). Stiffness/damping is
+        stored per dof in ``joint_target_ke``/``joint_target_kd`` in the
+        order [shear_x, shear_y, stretch_z, bend_x, bend_y, twist_z]. Cables
+        carry no ``joint_q`` coordinates — segment transforms are integrated
+        directly by the maximal-coordinate solvers (SolverXPBD / SolverVBD).
+        """
+        if shear_stiffness is None and shear_damping is None:
+            shear_stiffness, shear_damping = stretch_stiffness, stretch_damping
+        shear_stiffness = stretch_stiffness if shear_stiffness is None else shear_stiffness
+        shear_damping = 0.0 if shear_damping is None else shear_damping
+        if twist_stiffness is None and twist_damping is None:
+            twist_stiffness, twist_damping = bend_stiffness, bend_damping
+        twist_stiffness = bend_stiffness if twist_stiffness is None else twist_stiffness
+        twist_damping = 0.0 if twist_damping is None else twist_damping
+
+        def cfg(axis, ke, kd):
+            return JointDofConfig(axis=axis, target_ke=float(ke),
+                                  target_kd=float(kd), armature=0.0)
+
+        lin = [cfg(Axis.X, shear_stiffness, shear_damping),
+               cfg(Axis.Y, shear_stiffness, shear_damping),
+               cfg(Axis.Z, stretch_stiffness, stretch_damping)]
+        ang = [cfg(Axis.X, bend_stiffness, bend_damping),
+               cfg(Axis.Y, bend_stiffness, bend_damping),
+               cfg(Axis.Z, twist_stiffness, twist_damping)]
+        return self.add_joint(JointType.CABLE, parent, child,
+                              linear_axes=lin, angular_axes=ang,
                               xform_p=xform_p, xform_c=xform_c, key=key,
                               collision_filter_parent=collision_filter_parent,
                               enabled=enabled)
@@ -2552,10 +2604,18 @@ class ModelBuilder:
                 radius: float = 0.02, density: float = 1000.0,
                 bend_ke: float = 100.0, bend_kd: float = 1.0,
                 root_joint: str = "free", root_parent: int = -1,
+                joint: str = "ball",
+                stretch_ke: float = 1.0e5, stretch_kd: float = 0.0,
+                twist_ke: Optional[float] = None,
+                twist_kd: Optional[float] = None,
                 key: Optional[str] = None) -> List[int]:
-        """Discrete elastic rod as a capsule chain with compliant ball
-        joints (reference: builder.py:7632 add_rod; the reference's CABLE
-        joint stretch/bend maps to ball-joint drive stiffness here).
+        """Discrete elastic rod as a capsule chain (reference: builder.py:7632
+        add_rod). ``joint="ball"`` links segments with compliant ball joints
+        (bend via dof drive gains, usable by every rigid solver);
+        ``joint="cable"`` links them with CABLE joints carrying the
+        reference's split stretch/shear/bend/twist Cosserat stiffness
+        (solved by SolverXPBD/SolverVBD; ``twist_ke`` defaults to
+        ``bend_ke``). Segment +Z is the material tangent either way.
         Returns the body indices."""
         p0 = np.asarray(start_pos, dtype=np.float64)
         p1 = np.asarray(end_pos, dtype=np.float64)
@@ -2599,14 +2659,23 @@ class ModelBuilder:
             else:
                 anchor_p = np_transform(np.array([0.0, 0, seg_len / 2]))
                 anchor_c = np_transform(np.array([0.0, 0, -seg_len / 2]))
-                j = self.add_joint_ball(prev, b, xform_p=anchor_p,
-                                        xform_c=anchor_c,
-                                        key=(key or "rod") + f"_j{i}")
-                # bending stiffness via the dof drive gains
-                d0 = self.joint_qd_start[j]
-                for k in range(3):
-                    self.joint_target_ke[d0 + k] = bend_ke
-                    self.joint_target_kd[d0 + k] = bend_kd
+                if joint == "cable":
+                    self.add_joint_cable(
+                        prev, b, xform_p=anchor_p, xform_c=anchor_c,
+                        stretch_stiffness=stretch_ke,
+                        stretch_damping=stretch_kd,
+                        bend_stiffness=bend_ke, bend_damping=bend_kd,
+                        twist_stiffness=twist_ke, twist_damping=twist_kd,
+                        key=(key or "rod") + f"_j{i}")
+                else:
+                    j = self.add_joint_ball(prev, b, xform_p=anchor_p,
+                                            xform_c=anchor_c,
+                                            key=(key or "rod") + f"_j{i}")
+                    # bending stiffness via the dof drive gains
+                    d0 = self.joint_qd_start[j]
+                    for k in range(3):
+                        self.joint_target_ke[d0 + k] = bend_ke
+                        self.joint_target_kd[d0 + k] = bend_kd
             prev = b
             bodies.append(b)
         return bodies

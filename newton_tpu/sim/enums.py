@@ -53,6 +53,12 @@ class JointType(IntEnum):
             dof, coord = 6, 7
         elif self == JointType.FIXED:
             dof, coord = 0, 0
+        elif self == JointType.CABLE:
+            # split stretch/shear/bend/twist constraint slots, no joint_q
+            # coordinates: cable body transforms are integrated directly by
+            # the maximal-coordinate solvers (reference: builder.py:5166
+            # add_joint_cable note)
+            dof, coord = num_axes, 0
         return dof, coord
 
     def constraint_count(self, num_axes: int) -> int:

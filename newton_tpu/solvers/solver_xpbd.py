@@ -208,6 +208,8 @@ class SolverXPBD(SolverBase):
             v, w = plan.velocity_pass(
                 model, x, q, v, w, state_in, contacts, lam_n, dt,
                 self.enable_restitution)
+        if B and plan.has_cables:
+            v, w = plan.cable_velocity_pass(model, x, q, v, w, dt)
 
         if model.particle_count:
             pv = (px - px_prev) / dt
@@ -267,10 +269,19 @@ class _XPBDPlan:
         self.is_fixed = jt == int(JointType.FIXED)
         self.is_rev = jt == int(JointType.REVOLUTE)
         self.is_pris = jt == int(JointType.PRISMATIC)
+        self.is_cable = jt == int(JointType.CABLE)
+        self.has_cables = bool(self.is_cable.any()) if J else False
         self.lock_rot = self.is_fixed | self.is_pris
         # first dof index per joint (axis/limit lookup for 1-dof joints)
         self.dof0 = st.joint_qd_start[:-1] if J else np.zeros(0, np.int32)
         self.coord0 = st.joint_q_start[:-1] if J else np.zeros(0, np.int32)
+        if self.has_cables:
+            # per-joint dof indices for the 6 cable stiffness slots
+            # [shear_x, shear_y, stretch_z, bend_x, bend_y, twist_z]
+            # (clipped so non-cable rows stay in bounds; they are masked out)
+            D = max(int(st.joint_dof_count), 1)
+            self.cable_dof = np.minimum(
+                self.dof0[:, None] + np.arange(6)[None, :], D - 1)
 
         # contact slot -> body maps
         self.slot_body0 = getattr(st, "slot_body0", np.zeros(0, np.int32))
@@ -400,6 +411,8 @@ class _XPBDPlan:
         e_pris = e - axis_w * s_along[:, None] + axis_w * (s_along - s_clamped)[:, None]
         e = jnp.where(pris, e_pris, e)
         e = jnp.where(free, 0.0, e)
+        if self.has_cables:  # cables use compliant split constraints below
+            e = jnp.where(jnp.asarray(self.is_cable)[:, None], 0.0, e)
 
         c = safe_norm(e)
         n = safe_normalize(e)
@@ -457,6 +470,70 @@ class _XPBDPlan:
         ncon = ncon.at[child].add(active_a.astype(dtype))
         ncon = ncon.at[parent].add((active_a & self.j_has_parent).astype(dtype))
 
+        # ---------------- cable (Cosserat) constraints ----------------
+        # split stretch/shear (linear) + bend/twist (angular) compliant
+        # constraints with the parent-anchor local +Z as material tangent
+        # (reference: builder.py:5166 add_joint_cable semantics,
+        # vbd/rigid_vbd_kernels.py:421 bend/twist measure)
+        if self.has_cables:
+            cab = jnp.asarray(self.is_cable)
+            ke6 = model.joint_target_ke[jnp.asarray(self.cable_dof)]  # (J, 6)
+            z_l = jnp.zeros((3,), dtype=dtype).at[2].set(1.0)
+            t_p = quat_rotate(X_pj[:, 3:7], jnp.broadcast_to(z_l, (J, 3)))
+            t_c = quat_rotate(X_cj[:, 3:7], jnp.broadcast_to(z_l, (J, 3)))
+            e_full = X_cj[:, 0:3] - X_pj[:, 0:3]
+            s_ax = jnp.sum(e_full * t_p, axis=-1)
+            e_ax = t_p * s_ax[:, None]
+            e_sh = e_full - e_ax
+
+            def lin_c(e_vec, ke, mask):
+                nonlocal dx, dth, ncon
+                c_ = safe_norm(e_vec)
+                n_ = safe_normalize(e_vec)
+                rpn_ = jnp.cross(r_p, n_)
+                rcn_ = jnp.cross(r_c, n_)
+                wp_ = im_p + jnp.einsum("jc,jcd,jd->j", rpn_, Iinv_p, rpn_)
+                wc_ = im_c + jnp.einsum("jc,jcd,jd->j", rcn_, Iinv_c, rcn_)
+                al_ = 1.0 / jnp.maximum(ke, 1e-12) / (dt * dt)
+                dl_ = c_ / jnp.maximum(wp_ + wc_ + al_, 1e-9)
+                act = mask & (c_ > 1e-9) & (ke > 0)
+                im_ = n_ * (dl_ * act)[:, None]
+                dx = dx.at[child].add(-im_ * im_c[:, None])
+                dth = dth.at[child].add(
+                    -jnp.einsum("jcd,jd->jc", Iinv_c, jnp.cross(r_c, im_)))
+                dx = dx.at[parent].add(im_ * im_p[:, None])
+                dth = dth.at[parent].add(
+                    jnp.einsum("jcd,jd->jc", Iinv_p, jnp.cross(r_p, im_)))
+                ncon = ncon.at[child].add(act.astype(dtype))
+                ncon = ncon.at[parent].add(
+                    (act & jnp.asarray(self.j_has_parent)).astype(dtype))
+
+            def ang_c(dO_vec, ke, mask):
+                nonlocal dth, ncon
+                th_ = safe_norm(dO_vec)
+                n_ = safe_normalize(dO_vec)
+                wp_ = jnp.einsum("jc,jcd,jd->j", n_, Iinv_p, n_)
+                wc_ = jnp.einsum("jc,jcd,jd->j", n_, Iinv_c, n_)
+                al_ = 1.0 / jnp.maximum(ke, 1e-12) / (dt * dt)
+                dl_ = th_ / jnp.maximum(wp_ + wc_ + al_, 1e-9)
+                act = mask & (th_ > 1e-9) & (ke > 0)
+                im_ = n_ * (dl_ * act)[:, None]
+                dth = dth.at[child].add(-jnp.einsum("jcd,jd->jc", Iinv_c, im_))
+                dth = dth.at[parent].add(
+                    jnp.einsum("jcd,jd->jc", Iinv_p, im_)
+                    * jnp.asarray(self.j_has_parent)[:, None])
+                ncon = ncon.at[child].add(act.astype(dtype))
+                ncon = ncon.at[parent].add(
+                    (act & jnp.asarray(self.j_has_parent)).astype(dtype))
+
+            lin_c(e_ax, ke6[:, 2], cab)       # stretch along tangent
+            lin_c(e_sh, ke6[:, 0], cab)       # transverse shear
+            ang_c(jnp.cross(t_p, t_c), ke6[:, 3], cab)   # bend: align tangents
+            # twist about the tangent from the swing-twist decomposition
+            tw = 2.0 * jnp.arctan2(q_rel[:, 2], q_rel[:, 3])
+            t_mid = safe_normalize(t_p + t_c)
+            ang_c(t_mid * tw[:, None], ke6[:, 5], cab)
+
         # position/velocity target drives (compliance = 1/ke) about the axis
         if control is not None:
             ke = model.joint_target_ke[self.dof0]
@@ -485,6 +562,90 @@ class _XPBDPlan:
             dx = dx.at[parent].add(imp_p2 * im_p[:, None])
 
         return dx, dth, ncon
+
+    # ------------------------------------------------------------------
+    def cable_velocity_pass(self, model: Model, x, q, v, w, dt):
+        """Implicit per-dof-group cable damping (stretch/shear/bend/twist
+        ``joint_target_kd`` slots), applied to the reconstructed velocities
+        (reference: add_joint_cable damping semantics)."""
+        st = self.st
+        J = st.joint_count
+        dtype = x.dtype
+        B = model.body_count
+        cab = jnp.asarray(self.is_cable)
+        kd6 = model.joint_target_kd[jnp.asarray(self.cable_dof)]  # (J, 6)
+        parent, child = self.j_parent, self.j_child
+        hasp = jnp.asarray(self.j_has_parent)
+        identity = jnp.zeros((7,), dtype=dtype).at[6].set(1.0)
+        p_origin = x - quat_rotate(q, model.body_com)
+        body_pose = jnp.concatenate([p_origin, q], axis=-1)
+        X_wp = jnp.where(hasp[:, None], body_pose[parent], identity)
+        X_pj = transform_multiply(X_wp, model.joint_X_p)
+        X_cj = transform_multiply(body_pose[child], model.joint_X_c)
+        z_l = jnp.zeros((3,), dtype=dtype).at[2].set(1.0)
+        t_p = quat_rotate(X_pj[:, 3:7], jnp.broadcast_to(z_l, (J, 3)))
+
+        r_p = X_pj[:, 0:3] - x[parent]
+        r_c = X_cj[:, 0:3] - x[child]
+        v_p = jnp.where(hasp[:, None],
+                        v[parent] + jnp.cross(w[parent], r_p), 0.0)
+        v_c = v[child] + jnp.cross(w[child], r_c)
+        v_rel = v_c - v_p
+        w_rel = w[child] - jnp.where(hasp[:, None], w[parent], 0.0)
+
+        inv_m = model.body_inv_mass
+        Iinv = self._inv_inertia_world(model, q)
+        im_p = jnp.where(hasp, inv_m[parent], 0.0)
+        im_c = inv_m[child]
+        Iinv_p = jnp.where(hasp[:, None, None], Iinv[parent], 0.0)
+        Iinv_c = Iinv[child]
+
+        dv = jnp.zeros((B, 3), dtype=dtype)
+        dw = jnp.zeros((B, 3), dtype=dtype)
+
+        def lin_d(v_vec, kd):
+            nonlocal dv, dw
+            c_ = safe_norm(v_vec)
+            n_ = safe_normalize(v_vec)
+            rpn_ = jnp.cross(r_p, n_)
+            rcn_ = jnp.cross(r_c, n_)
+            wg_ = (im_p + jnp.einsum("jc,jcd,jd->j", rpn_, Iinv_p, rpn_)
+                   + im_c + jnp.einsum("jc,jcd,jd->j", rcn_, Iinv_c, rcn_))
+            g_ = kd * dt
+            lam = g_ * c_ / jnp.maximum(1.0 + g_ * wg_, 1e-9)
+            act = cab & (kd > 0)
+            imp = -n_ * (lam * act)[:, None]
+            dv = dv.at[child].add(imp * im_c[:, None])
+            dw = dw.at[child].add(
+                jnp.einsum("jcd,jd->jc", Iinv_c, jnp.cross(r_c, imp)))
+            dv = dv.at[parent].add(-imp * im_p[:, None])
+            dw = dw.at[parent].add(
+                -jnp.einsum("jcd,jd->jc", Iinv_p, jnp.cross(r_p, imp)))
+
+        def ang_d(w_vec, kd):
+            nonlocal dw
+            c_ = safe_norm(w_vec)
+            n_ = safe_normalize(w_vec)
+            wg_ = (jnp.einsum("jc,jcd,jd->j", n_, Iinv_p, n_)
+                   + jnp.einsum("jc,jcd,jd->j", n_, Iinv_c, n_))
+            g_ = kd * dt
+            lam = g_ * c_ / jnp.maximum(1.0 + g_ * wg_, 1e-9)
+            act = cab & (kd > 0)
+            imp = -n_ * (lam * act)[:, None]
+            dw = dw.at[child].add(jnp.einsum("jcd,jd->jc", Iinv_c, imp))
+            dw = dw.at[parent].add(
+                -jnp.einsum("jcd,jd->jc", Iinv_p, imp)
+                * hasp[:, None])
+
+        v_ax = t_p * jnp.sum(v_rel * t_p, axis=-1)[:, None]
+        lin_d(v_ax, kd6[:, 2])            # stretch damping
+        lin_d(v_rel - v_ax, kd6[:, 0])    # shear damping
+        w_ax = t_p * jnp.sum(w_rel * t_p, axis=-1)[:, None]
+        ang_d(w_ax, kd6[:, 5])            # twist damping
+        ang_d(w_rel - w_ax, kd6[:, 3])    # bend damping
+
+        dyn = (inv_m > 0)[:, None]
+        return v + dv * dyn, w + dw * dyn
 
     # ------------------------------------------------------------------
     def contact_bodies(self, contacts: Contacts):
