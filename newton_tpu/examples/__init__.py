@@ -60,6 +60,11 @@ EXAMPLES = {
         "newton_tpu.examples.example_cable_bend_stiffness",
     "cable_twist_transfer":
         "newton_tpu.examples.example_cable_twist_transfer",
+    "basic_conveyor": "newton_tpu.examples.example_basic_conveyor",
+    "basic_heightfield": "newton_tpu.examples.example_basic_heightfield",
+    "basic_urdf": "newton_tpu.examples.example_basic_urdf",
+    "domino_spiral": "newton_tpu.examples.example_domino_spiral",
+    "brick_stacking": "newton_tpu.examples.example_brick_stacking",
 }
 
 

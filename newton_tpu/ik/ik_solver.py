@@ -185,7 +185,14 @@ class IKSolver:
         single = targets[0].ndim == 1
         if single:
             targets = [t[None] for t in targets]
-        n_problems = targets[0].shape[0]
+        # one cached jit per target batch shape (eager dispatch of the LM
+        # loop is orders of magnitude slower)
+        if not hasattr(self, "_solve_jit"):
+            self._solve_jit = jax.jit(self._solve_batched)
+        return self._solve_jit(q0, tuple(targets))[0] if single \
+            else self._solve_jit(q0, tuple(targets))
+
+    def _solve_batched(self, q0, targets):
         Q = q0.shape[-1]
 
         # seeds
@@ -216,5 +223,4 @@ class IKSolver:
             best = jnp.argmin(costs)
             return qs[best]
 
-        out = jax.vmap(solve_problem)(tuple(targets))
-        return out[0] if single else out
+        return jax.vmap(solve_problem)(tuple(targets))

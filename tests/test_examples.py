@@ -24,7 +24,8 @@ FRAMES = {
     "basic_joints": 30, "contact_restitution": 60, "mujoco_sleeping": 60,
     "pyramid": 40, "diffsim_ball": 8, "diffsim_spring_cage": 8,
     "cloth_twist": 60, "softbody_hanging": 40, "robot_cartpole": 50,
-    "recording": 10,
+    "recording": 10, "basic_conveyor": 30, "domino_spiral": 110,
+    "brick_stacking": 25, "basic_urdf": 15,
 }
 
 
