@@ -78,7 +78,9 @@ class SolverXPBD(SolverBase):
                  enable_restitution: bool = True,
                  enable_particle_particle: bool = True,
                  friction_epsilon: float = 1e-5,
-                 max_depenetration_velocity: float = 3.0):
+                 max_depenetration_velocity: float = 3.0,
+                 friction_model: str = "coulomb",
+                 dahl_sigma: float = 2.0e4):
         super().__init__(model)
         self.iterations = int(iterations)
         self.relaxation = float(relaxation)
@@ -93,7 +95,28 @@ class SolverXPBD(SolverBase):
         # not convert into a launch velocity at reconstruction
         # (reference solver_xpbd max depenetration semantics)
         self.max_depenetration_velocity = float(max_depenetration_velocity)
+        # "dahl": bristle-state friction with hysteresis, the model the
+        # reference's VBD backend uses for cable bundles (reference:
+        # vbd/rigid_vbd_kernels.py Dahl friction state,
+        # example_cable_dahl_hysteresis.py). Per static contact slot the
+        # tangential bristle force f evolves with slip x as
+        # df/dx = sigma * (1 - (f . t̂) / f_c),  f_c = mu * N,
+        # persisted across steps in State.custom["xpbd:dahl_f"]
+        # (allocate with solver.init_state(state)).
+        if friction_model not in ("coulomb", "dahl"):
+            raise ValueError(f"unknown friction_model {friction_model!r}")
+        self.friction_model = friction_model
+        self.dahl_sigma = float(dahl_sigma)
         self._plan = _XPBDPlan(model)
+
+    def init_state(self, state: State) -> State:
+        """Allocate solver-carried custom state (Dahl bristle forces)."""
+        custom = dict(state.custom)
+        if self.friction_model == "dahl":
+            C = len(self._plan.slot_body0)
+            custom.setdefault("xpbd:dahl_f",
+                              jnp.zeros((C, 3), dtype=jnp.float32))
+        return state.replace(custom=custom)
 
     # ------------------------------------------------------------------
     def step(self, state_in: State, state_out: Optional[State] = None,
@@ -204,10 +227,18 @@ class SolverXPBD(SolverBase):
             w = jnp.zeros((0, 3), dtype=dtype)
 
         # 5. contact velocity pass: restitution + dynamic friction
+        dahl_new = None
         if B and contacts is not None and C:
-            v, w = plan.velocity_pass(
+            dahl_f = None
+            if self.friction_model == "dahl":
+                dahl_f = state_in.custom.get("xpbd:dahl_f")
+                if dahl_f is None:
+                    raise ValueError(
+                        "friction_model='dahl': initialize the state with "
+                        "solver.init_state(state) to allocate bristle state")
+            v, w, dahl_new = plan.velocity_pass(
                 model, x, q, v, w, state_in, contacts, lam_n, dt,
-                self.enable_restitution)
+                self.enable_restitution, dahl_f, self.dahl_sigma)
         if B and plan.has_cables:
             v, w = plan.cable_velocity_pass(model, x, q, v, w, dt)
 
@@ -227,6 +258,8 @@ class SolverXPBD(SolverBase):
 
         out = state_in.replace(body_q=body_q, body_qd=body_qd,
                                particle_q=px, particle_qd=pv)
+        if dahl_new is not None:
+            out = out.replace(custom={**out.custom, "xpbd:dahl_f": dahl_new})
         # write back generalized coordinates (reference updates joint_q via IK)
         if model.structure.joint_count:
             jq, jqd = eval_ik(model, out)
@@ -763,9 +796,13 @@ class _XPBDPlan:
 
     # ------------------------------------------------------------------
     def velocity_pass(self, model: Model, x, q, v, w, state_in: State,
-                      contacts: Contacts, lam_n, dt, enable_restitution):
+                      contacts: Contacts, lam_n, dt, enable_restitution,
+                      dahl_f=None, dahl_sigma=0.0):
         """Velocity-level friction + restitution at contacts
-        (reference solver_xpbd.py velocity update / restitution kernels)."""
+        (reference solver_xpbd.py velocity update / restitution kernels).
+        With ``dahl_f`` (C, 3) the tangential force comes from the Dahl
+        bristle state instead of memoryless Coulomb; returns the updated
+        state as the third output (None in Coulomb mode)."""
         st = self.st
         B = model.body_count
         dtype = v.dtype
@@ -805,10 +842,35 @@ class _XPBDPlan:
                + im1 + jnp.einsum("cd,cde,ce->c", r1n, I1, r1n))
 
         mu = 0.5 * (model.shape_material_mu[s0] + model.shape_material_mu[s1])
-        # dynamic friction: |dv_t| <= mu * lam_n / dt (impulse-consistent)
-        dv_t_mag = jnp.minimum(vt_norm, mu * lam_n / dt * jnp.maximum(w_t, 1e-9))
-        imp_t = -t_dir * jnp.where(active & (vt_norm > 1e-9),
-                                   dv_t_mag / jnp.maximum(w_t, 1e-9), 0.0)[:, None]
+        dahl_new = None
+        if dahl_f is not None:
+            # Dahl bristle friction: integrate df/dx = sigma (1 - f.t̂/f_c)
+            # over this step's slip, clamp to the friction cone, and apply
+            # the bristle force as an impulse (hysteresis memory lives in
+            # the returned state)
+            f_c = mu * lam_n / dt                     # normal force ~ lam/dt
+            slip = vt_norm * dt
+            f_par = jnp.sum(dahl_f * t_dir, axis=-1)
+            df = dahl_sigma * slip * (1.0 - f_par / jnp.maximum(f_c, 1e-9))
+            f_new = dahl_f + t_dir * df[:, None]
+            f_mag = safe_norm(f_new)
+            f_new = f_new * (jnp.minimum(f_mag, f_c)
+                             / jnp.maximum(f_mag, 1e-9))[:, None]
+            f_new = jnp.where(active[:, None], f_new, 0.0)
+            # impulse opposing the bristle force, capped so it cannot
+            # reverse the slip within the step
+            imp_mag = jnp.minimum(safe_norm(f_new) * dt,
+                                  vt_norm / jnp.maximum(w_t, 1e-9))
+            imp_t = -safe_normalize(f_new) * jnp.where(
+                active, imp_mag, 0.0)[:, None]
+            dahl_new = f_new
+        else:
+            # dynamic friction: |dv_t| <= mu * lam_n / dt (impulse-consistent)
+            dv_t_mag = jnp.minimum(vt_norm,
+                                   mu * lam_n / dt * jnp.maximum(w_t, 1e-9))
+            imp_t = -t_dir * jnp.where(active & (vt_norm > 1e-9),
+                                       dv_t_mag
+                                       / jnp.maximum(w_t, 1e-9), 0.0)[:, None]
 
         # restitution against pre-step normal velocity
         imp_total = imp_t
@@ -841,7 +903,7 @@ class _XPBDPlan:
         tor1 = jnp.einsum("cde,ce->cd", I1, jnp.cross(r1, imp_total)) * dyn1[:, None]
         tor0 = -jnp.einsum("cde,ce->cd", I0, jnp.cross(r0, imp_total)) * dyn0[:, None]
         dw = _segment_add(jnp.concatenate([tor1, tor0], axis=0), seg, B)
-        return v + dv, w + dw
+        return v + dv, w + dw, dahl_new
 
     # ------------------------------------------------------------------
     def solve_particles(self, model: Model, px, px_prev,
