@@ -65,6 +65,10 @@ EXAMPLES = {
     "basic_urdf": "newton_tpu.examples.example_basic_urdf",
     "domino_spiral": "newton_tpu.examples.example_domino_spiral",
     "brick_stacking": "newton_tpu.examples.example_brick_stacking",
+    "softbody_dropping_to_cloth":
+        "newton_tpu.examples.example_softbody_dropping_to_cloth",
+    "rigid_soft_contact":
+        "newton_tpu.examples.example_rigid_soft_contact",
 }
 
 

@@ -80,7 +80,8 @@ class SolverXPBD(SolverBase):
                  friction_epsilon: float = 1e-5,
                  max_depenetration_velocity: float = 3.0,
                  friction_model: str = "coulomb",
-                 dahl_sigma: float = 2.0e4):
+                 dahl_sigma: float = 2.0e4,
+                 particle_max_per_cell: int = 4):
         super().__init__(model)
         self.iterations = int(iterations)
         self.relaxation = float(relaxation)
@@ -107,6 +108,10 @@ class SolverXPBD(SolverBase):
             raise ValueError(f"unknown friction_model {friction_model!r}")
         self.friction_model = friction_model
         self.dahl_sigma = float(dahl_sigma)
+        # hashgrid candidate budget for particle-particle contacts; raise
+        # for dense packings (e.g. soft-grid-on-cloth) where 4 slots/cell
+        # would drop cross-object partners
+        self.particle_max_per_cell = int(particle_max_per_cell)
         self._plan = _XPBDPlan(model)
 
     def init_state(self, state: State) -> State:
@@ -165,7 +170,8 @@ class SolverXPBD(SolverBase):
             from ..geometry.hashgrid import HashGrid
             r_max = float(np.max(np.asarray(model.particle_radius), initial=0.0))
             if r_max > 0:
-                grid = HashGrid(cell_size=2.0 * r_max, max_per_cell=4)
+                grid = HashGrid(cell_size=2.0 * r_max,
+                                max_per_cell=self.particle_max_per_cell)
                 nbr = grid.query(px, 2.0 * r_max)
 
         C = contacts.rigid_contact_max if contacts is not None else 0
@@ -203,10 +209,13 @@ class SolverXPBD(SolverBase):
                     [dth / denom, jnp.zeros_like(dth[:, :1])], axis=-1), q)
                 q = quat_normalize(q + 0.5 * self.relaxation * dq)
             if model.particle_count:
-                dpx = plan.solve_particles(model, px, px_prev, contacts, dt, nbr)
-                # averaged Jacobi (divide by constraint degree, like bodies)
-                px = px + self.relaxation * dpx \
-                    / jnp.asarray(plan.particle_degree)[:, None]
+                dpx, dpxc, pnc = plan.solve_particles(
+                    model, px, px_prev, contacts, dt, nbr)
+                # averaged Jacobi: structural corrections by constraint
+                # degree, contact corrections by active-contact count
+                px = px + self.relaxation * (
+                    dpx / jnp.asarray(plan.particle_degree)[:, None]
+                    + dpxc / jnp.maximum(pnc, 1.0)[:, None])
             return (x, q, px, lam_n), None
 
         (x, q, px, lam_n), _ = jax.lax.scan(
@@ -979,6 +988,13 @@ class _XPBDPlan:
                 rest = jnp.linalg.norm(q0[w_] - q0[u], axis=-1)
                 dx = add_distance(dx, u, w_, rest, comp_mu)
 
+        # contact corrections accumulate separately so they are averaged by
+        # the number of ACTIVE contacts, not by the structural constraint
+        # degree — dividing a contact push by a tet particle's ~25
+        # structural constraints made dense soft bodies tunnel through cloth
+        dxc = jnp.zeros((N, 3), dtype=dtype)
+        ncon = jnp.zeros((N,), dtype=dtype)
+
         # particle-particle non-penetration (Jacobi over neighbor candidates)
         if nbr is not None:
             idx, nmask = nbr
@@ -991,7 +1007,8 @@ class _XPBDPlan:
             wsum = inv_m[:, None] + inv_m[idx]
             dlam = jnp.where(act, overlap / jnp.maximum(wsum, 1e-9), 0.0)
             # each particle accumulates only its own side (Jacobi symmetric)
-            dx = dx - jnp.sum(nrm * (dlam * inv_m[:, None])[..., None], axis=1)
+            dxc = dxc - jnp.sum(nrm * (dlam * inv_m[:, None])[..., None], axis=1)
+            ncon = ncon + jnp.sum(act.astype(dtype), axis=1)
 
         # soft particle-shape contacts: linearized depth at the current
         # particle position (contact frame frozen within the substep)
@@ -1005,5 +1022,6 @@ class _XPBDPlan:
             c = depth0 - jnp.sum((px[pi] - p_then) * n, axis=-1)
             act = contacts.soft_contact_mask & (c > 0)
             imp = n * jnp.where(act, c, 0.0)[:, None]
-            dx = dx.at[pi].add(imp * inv_m[pi][:, None])
-        return dx
+            dxc = dxc.at[pi].add(imp * inv_m[pi][:, None])
+            ncon = ncon.at[pi].add(act.astype(dtype))
+        return dx, dxc, ncon

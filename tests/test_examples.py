@@ -26,6 +26,7 @@ FRAMES = {
     "cloth_twist": 60, "softbody_hanging": 40, "robot_cartpole": 50,
     "recording": 10, "basic_conveyor": 30, "domino_spiral": 110,
     "brick_stacking": 25, "basic_urdf": 15,
+    "softbody_dropping_to_cloth": 30, "rigid_soft_contact": 40,
 }
 
 
