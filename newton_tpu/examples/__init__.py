@@ -69,6 +69,9 @@ EXAMPLES = {
         "newton_tpu.examples.example_softbody_dropping_to_cloth",
     "rigid_soft_contact":
         "newton_tpu.examples.example_rigid_soft_contact",
+    "selection_materials":
+        "newton_tpu.examples.example_selection_materials",
+    "cloth_bending": "newton_tpu.examples.example_cloth_bending",
 }
 
 

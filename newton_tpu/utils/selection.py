@@ -103,6 +103,16 @@ class ArticulationView:
         self.dof_idx = np.asarray(dof_rows, dtype=np.int32)       # (n, d)
         self.coord_idx = np.asarray(coord_rows, dtype=np.int32)   # (n, nq)
         self.link_idx = np.asarray(link_rows, dtype=np.int32)     # (n, L)
+        # per-articulation shape rows (shape-frequency attribute access,
+        # e.g. contact materials; reference selection.py AttributeSpec
+        # frequency metadata covers shapes the same way)
+        shape_body = np.asarray(st.shape_body)
+        shape_rows = [sorted(int(s) for s in
+                             np.nonzero(np.isin(shape_body, links))[0])
+                      for links in link_rows]
+        s_lens = {len(r) for r in shape_rows}
+        self.shape_idx = (np.asarray(shape_rows, dtype=np.int32)
+                          if len(s_lens) == 1 and shape_rows[0] else None)
         self.joint_idx = np.asarray(joint_rows, dtype=np.int32)
         self.root_joint = np.asarray(root_joint, dtype=np.int32)
         self.root_body = np.asarray(root_body, dtype=np.int32)
@@ -149,6 +159,8 @@ class ArticulationView:
             return arr[self.joint_idx]
         if n0 == st.articulation_count:
             return arr[np.asarray(self.articulation_indices)]
+        if n0 == st.shape_count and self.shape_idx is not None:
+            return arr[self.shape_idx]
         raise ValueError(f"Cannot infer frequency for {name} (len {n0})")
 
     def set_attribute(self, name: str, source, values, mask=None):
@@ -168,6 +180,8 @@ class ArticulationView:
             idx = self.link_idx
         elif n0 == st.joint_count:
             idx = self.joint_idx
+        elif n0 == st.shape_count and self.shape_idx is not None:
+            idx = self.shape_idx
         else:
             idx = np.asarray(self.articulation_indices)
         values = jnp.asarray(values, dtype=full.dtype)

@@ -27,6 +27,7 @@ FRAMES = {
     "recording": 10, "basic_conveyor": 30, "domino_spiral": 110,
     "brick_stacking": 25, "basic_urdf": 15,
     "softbody_dropping_to_cloth": 30, "rigid_soft_contact": 40,
+    "selection_materials": 70, "cloth_bending": 40,
 }
 
 
