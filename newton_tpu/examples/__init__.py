@@ -72,6 +72,8 @@ EXAMPLES = {
     "selection_materials":
         "newton_tpu.examples.example_selection_materials",
     "cloth_bending": "newton_tpu.examples.example_cloth_bending",
+    "mpm_snow_ball": "newton_tpu.examples.example_mpm_snow_ball",
+    "mpm_viscous": "newton_tpu.examples.example_mpm_viscous",
 }
 
 

@@ -42,13 +42,33 @@ class SolverImplicitMPM(SolverBase):
         friction_angle: Drucker-Prager friction angle (radians); None for
             purely elastic (jelly-like) material.
         density: particle material density (mass from model arrays).
+        material: "sand" (Drucker-Prager return map), "snow" (singular-value
+            clamp + plastic-compression hardening, Stomakhin et al. 2013 —
+            the reference's per-particle snow rheology,
+            example_mpm_snow_ball.py), or "viscous" (plastic relaxation of
+            deviatoric elastic strain -> honey-like creeping flow,
+            example_mpm_viscous.py).
+        snow_theta_c/snow_theta_s: snow critical compression/stretch.
+        snow_hardening: exponential hardening coefficient xi.
+        viscous_relax: per-step deviatoric strain relaxation rate in [0, 1].
     """
 
     def __init__(self, model: Model,
                  grid_lower=(-1.0, -1.0, 0.0), grid_upper=(1.0, 1.0, 2.0),
                  resolution: int = 64, young: float = 1.0e5,
                  poisson: float = 0.3, friction_angle: Optional[float] = 0.5,
-                 cohesion: float = 0.0, implicit_iterations: int = 0):
+                 cohesion: float = 0.0, implicit_iterations: int = 0,
+                 material: str = "sand",
+                 snow_theta_c: float = 2.5e-2, snow_theta_s: float = 7.5e-3,
+                 snow_hardening: float = 10.0,
+                 viscous_relax: float = 0.5):
+        if material not in ("sand", "snow", "viscous"):
+            raise ValueError(f"unknown material {material!r}")
+        self.material = material
+        self.snow_theta_c = float(snow_theta_c)
+        self.snow_theta_s = float(snow_theta_s)
+        self.snow_hardening = float(snow_hardening)
+        self.viscous_relax = float(viscous_relax)
         super().__init__(model)
         # implicit grid solve: with implicit_iterations > 0 the grid
         # velocities solve (M - D) v = M v* by matrix-free CG, where D is
@@ -85,6 +105,8 @@ class SolverImplicitMPM(SolverBase):
         custom["mpm:F"] = jnp.broadcast_to(jnp.eye(3, dtype=dtype),
                                            (N, 3, 3))
         custom["mpm:C"] = jnp.zeros((N, 3, 3), dtype=dtype)
+        if self.material == "snow":
+            custom["mpm:Jp"] = jnp.ones((N,), dtype=dtype)
         return state.replace(custom=custom)
 
     # ------------------------------------------------------------------
@@ -111,11 +133,39 @@ class SolverImplicitMPM(SolverBase):
         inv_dx = jnp.asarray(self.inv_dx, dtype=dtype)
         dx = jnp.asarray(self.dx, dtype=dtype)
 
-        # --- stress (fixed corotated + Drucker-Prager return map) ---
+        # --- stress (fixed corotated + per-material plastic projection) ---
+        Jp = state_in.custom.get("mpm:Jp")
+
         def projected_stress(F_in):
-            """(F_projected, P(F) F^T) with the DP return map applied."""
+            """(F_projected, P(F) F^T, Jp_new) with plasticity applied."""
             U, sig, Vt = _svd3(F_in)
-            if self.friction_angle is not None:
+            mu_p = self.mu0
+            lam_p = self.lam0
+            Jp_new = Jp
+            if self.material == "snow":
+                # Stomakhin snow: clamp singular values to the elastic
+                # region, fold the clipped volume change into Jp, and harden
+                # the moduli exponentially with plastic compression
+                sig_c = jnp.clip(sig, 1.0 - self.snow_theta_c,
+                                 1.0 + self.snow_theta_s)
+                Jp_new = jnp.clip(
+                    Jp * jnp.prod(sig, axis=-1) / jnp.maximum(
+                        jnp.prod(sig_c, axis=-1), 1e-9), 0.1, 10.0)
+                h = jnp.exp(jnp.clip(
+                    self.snow_hardening * (1.0 - Jp_new), -5.0, 5.0))
+                mu_p = self.mu0 * h[:, None, None]
+                lam_p = self.lam0 * h[:, None, None]
+                sig = sig_c
+                F_p = jnp.einsum("nij,nj,njk->nik", U, sig, Vt)
+            elif self.material == "viscous":
+                # plastic relaxation of deviatoric stretch: pull the
+                # singular values toward their isotropic mean each step ->
+                # creeping honey-like flow with volume preservation
+                mean = jnp.prod(sig, axis=-1,
+                                keepdims=True) ** (1.0 / 3.0)
+                sig = sig + self.viscous_relax * (mean - sig)
+                F_p = jnp.einsum("nij,nj,njk->nik", U, sig, Vt)
+            elif self.friction_angle is not None:
                 sig = _drucker_prager_project(sig, self.friction_angle,
                                               self.cohesion)
                 F_p = jnp.einsum("nij,nj,njk->nik", U, sig, Vt)
@@ -123,12 +173,13 @@ class SolverImplicitMPM(SolverBase):
                 F_p = F_in
             J = jnp.prod(sig, axis=-1)
             R = jnp.einsum("nij,njk->nik", U, Vt)
-            PFt = (2 * self.mu0 * jnp.einsum("nij,nkj->nik", F_p - R, F_p)
-                   + (self.lam0 * J * (J - 1.0))[:, None, None]
-                   * jnp.eye(3, dtype=dtype))
-            return F_p, PFt
+            lam_term = lam_p * J * (J - 1.0) if np.isscalar(lam_p) \
+                else lam_p[:, 0, 0] * J * (J - 1.0)
+            PFt = (2 * mu_p * jnp.einsum("nij,nkj->nik", F_p - R, F_p)
+                   + lam_term[:, None, None] * jnp.eye(3, dtype=dtype))
+            return F_p, PFt, Jp_new
 
-        F, PFt = projected_stress(F)
+        F, PFt, Jp_new = projected_stress(F)
         stress_coeff = (-dt * vol0 * 4.0 * inv_dx * inv_dx)
         affine = stress_coeff * PFt + m[:, None, None] * C
 
@@ -325,6 +376,8 @@ class SolverImplicitMPM(SolverBase):
         custom = dict(state_in.custom)
         custom["mpm:F"] = F_new
         custom["mpm:C"] = C_new
+        if self.material == "snow":
+            custom["mpm:Jp"] = Jp_new
         return state_in.replace(particle_q=x_new, particle_qd=v_new,
                                 custom=custom)
 

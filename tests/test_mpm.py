@@ -168,3 +168,45 @@ def test_implicit_grid_solve_extends_stable_dt():
     assert ok_im and v_im < 0.5, f"implicit elastic not stable: {v_im}"
     v_ex, ok_ex = run(0, 1.6e-3, None)
     assert not ok_ex, "explicit elastic unexpectedly finite at 4x dt"
+
+
+def test_mpm_material_family():
+    """Snow compacts and holds its shape, sand spreads into a shallow pile,
+    viscous creeps in between (reference: implicit_mpm rheologies —
+    example_mpm_snow_ball.py, example_mpm_viscous.py, sand defaults)."""
+    import jax
+    import newton_tpu as nt
+    from newton_tpu.solvers.solver_mpm import SolverImplicitMPM
+
+    def drop(material):
+        b = nt.ModelBuilder(gravity=-9.81)
+        rng = np.random.RandomState(0)
+        p = rng.randn(600, 3)
+        p /= np.maximum(np.linalg.norm(p, axis=1, keepdims=True), 1)
+        p = p * 0.15 * rng.rand(600, 1) ** (1 / 3) + np.array([0, 0, 0.5])
+        for pt in p:
+            b.add_particle(pt, (0, 0, -1.0), mass=0.01)
+        m = b.finalize()
+        sol = SolverImplicitMPM(m, grid_lower=(-1, -1, 0),
+                                grid_upper=(1, 1, 1.5), resolution=32,
+                                material=material, implicit_iterations=8)
+        s = sol.init_state(m.state())
+
+        @jax.jit
+        def frame(s):
+            def sub(s, _):
+                return sol.step(s, None, None, None, 2e-3), None
+            return jax.lax.scan(sub, s, None, length=8)[0]
+
+        for _ in range(25):
+            s = frame(s)
+        q = np.asarray(s.particle_q)
+        assert np.isfinite(q).all(), material
+        return float(q[:, 2].max()), float(np.abs(q[:, :2]).max())
+
+    h_sand, r_sand = drop("sand")
+    h_snow, r_snow = drop("snow")
+    h_visc, r_visc = drop("viscous")
+    # snow holds the tallest, least-spread pile; sand the flattest, widest
+    assert h_snow > h_visc > h_sand - 0.02, (h_sand, h_visc, h_snow)
+    assert r_snow < r_visc < r_sand + 0.02, (r_sand, r_visc, r_snow)
