@@ -2129,6 +2129,10 @@ class ModelBuilder:
                 shape_source_idx[s] = len(st.heightfields)
                 st.heightfields.append(src)
         st.shape_source_id = shape_source_idx
+        # gaussian splat clouds (visual only) keep their per-shape source
+        # dicts for viewers and the tiled camera's splat channel
+        st.gaussians = [(s, src) for s, src in enumerate(self.shape_source)
+                        if isinstance(src, dict) and "means" in src]
         v_off = [0]
         i_off = [0]
         for m in st.meshes:

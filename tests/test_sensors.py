@@ -145,3 +145,41 @@ def test_viewer_rtx_writes_png(tmp_path):
     assert v.last_image is not None and np.isfinite(v.last_image).all()
     # the sphere must be visible: some pixels differ from the sky (black)
     assert float(np.asarray(v.last_image).max()) > 0.05
+
+
+def test_camera_splat_channel():
+    """Gaussian splat clouds composite into the color channel with a
+    splat_alpha map (reference: sensors/warp_raytrace/gaussians.py)."""
+    import jax.numpy as jnp
+    import newton_tpu as nt
+    from newton_tpu.sensors.sensor_tiled_camera import SensorTiledCamera
+
+    b = nt.ModelBuilder()
+    body = b.add_body(xform=[0, 0, 0.5, 0, 0, 0, 1])
+    b.add_shape_sphere(body, radius=0.2)
+    b.add_joint_free(body)
+    b.add_shape_gaussian(-1, means=[[0.6, 0, 0.5], [0.8, 0.1, 0.6]],
+                         scales=[[0.1, 0.1, 0.1], [0.08, 0.15, 0.05]],
+                         quats=[[0, 0, 0, 1], [0, 0, 0, 1]],
+                         colors=[[1, 0, 0], [0, 1, 0]],
+                         opacities=[0.8, 0.7])
+    b.add_ground_plane()
+    m = b.finalize()
+    cam = SensorTiledCamera(m, width=48, height=32)
+    q = [np.sin(np.pi / 4), 0, 0, np.cos(np.pi / 4)]  # look along +y
+    out = cam.render(m.state(),
+                     jnp.asarray([[0.3, -2.2, 0.5] + q], dtype=jnp.float32))
+    sa = np.asarray(out["splat_alpha"])[0]
+    col = np.asarray(out["color"])[0]
+    assert np.isfinite(col).all()
+    assert sa.max() > 0.3                 # splats visible
+    assert sa.min() == 0.0                # background untouched
+    # red splat tints pixels red where alpha peaks
+    py, px = np.unravel_index(sa.argmax(), sa.shape)
+    assert col[py, px, 0] > col[py, px, 2]
+    # occlusion: splats behind the sphere do not bleed through it
+    ctr = cam.render(m.state(), jnp.asarray(
+        [[0.0, -2.2, 0.5] + q], dtype=jnp.float32))
+    si = np.asarray(ctr["shape_index"])[0]
+    sa2 = np.asarray(ctr["splat_alpha"])[0]
+    assert (sa2[si == 0] == 0).all() or sa2[si == 0].max() < 0.05
