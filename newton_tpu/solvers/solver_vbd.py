@@ -160,6 +160,16 @@ class SolverVBD(SolverBase):
             self.j_is_free = np.isin(jt, (int(JointType.FREE),
                                           int(JointType.DISTANCE)))
             self.j_lock_rot = (jt == int(JointType.FIXED))
+            # cable joints carry split stretch/shear/bend/twist stiffness in
+            # their 6 dof ke slots (reference: rigid_vbd_kernels.py:421
+            # cable bend/twist energies — VBD is the reference's cable home)
+            self.j_is_cable = jt == int(JointType.CABLE)
+            self.has_cables = bool(self.j_is_cable.any())
+            if self.has_cables:
+                D = max(int(st.joint_dof_count), 1)
+                d0 = np.asarray(st.joint_qd_start[:-1])
+                self.cable_dof = np.minimum(
+                    d0[:, None] + np.arange(6)[None, :], D - 1)
         N = st.particle_count
 
         # build the stretch-constraint set: springs + unique tri edges
@@ -472,6 +482,9 @@ class SolverVBD(SolverBase):
             nonfree = jnp.asarray(~self.j_is_free)
             lockr = jnp.asarray(self.j_lock_rot)
             kj = self.rigid_joint_ke
+            cable_any = getattr(self, "has_cables", False)
+            cab = jnp.asarray(getattr(self, "j_is_cable",
+                                      np.zeros(J, bool)))
 
         def assemble(x, q, lam):
             g = jnp.zeros((B, 6), dtype=dtype)
@@ -525,13 +538,32 @@ class SolverVBD(SolverBase):
                 Cv = (X_cj[:, 0:3] - X_pj[:, 0:3]) * nonfree[:, None]
                 rc = X_cj[:, 0:3] - x[jc]
                 rp = X_pj[:, 0:3] - x[jp]
-                # child: dC = dx + dth x rc -> Jc = [I | -[rc]x]
-                gc_lin = kj * Cv
-                gc_ang = kj * jnp.cross(rc, Cv)
-                gp_ang = -kj * jnp.cross(rp, Cv)
-                g = g.at[jc].add(jnp.concatenate([gc_lin, gc_ang], -1))
+                top = jnp.broadcast_to(eye3, (J, 3, 3))
+
+                # per-joint linear stiffness matrix: isotropic weld kj for
+                # ordinary joints; cables split stretch (along the parent
+                # tangent) from shear (transverse), reference cable energies
+                if cable_any:
+                    z_l = jnp.zeros((3,), dtype=dtype).at[2].set(1.0)
+                    t_p = quat_rotate(X_pj[:, 3:7],
+                                      jnp.broadcast_to(z_l, (J, 3)))
+                    t_c = quat_rotate(X_cj[:, 3:7],
+                                      jnp.broadcast_to(z_l, (J, 3)))
+                    ttT = t_p[:, :, None] * t_p[:, None, :]
+                    ke6 = model.joint_target_ke[jnp.asarray(self.cable_dof)]
+                    K_cab = (ke6[:, 2, None, None] * ttT
+                             + ke6[:, 0, None, None] * (top - ttT))
+                    weld = (nonfree & ~cab).astype(dtype)
+                    K_lin = jnp.where(cab[:, None, None], K_cab,
+                                      kj * top * weld[:, None, None])
+                else:
+                    K_lin = kj * top * nonfree.astype(dtype)[:, None, None]
+
+                gl = jnp.einsum("jab,jb->ja", K_lin, Cv)
+                g = g.at[jc].add(jnp.concatenate(
+                    [gl, jnp.cross(rc, gl)], -1))
                 g = g.at[jp].add(jnp.where(hasp[:, None], jnp.concatenate(
-                    [-gc_lin, gp_ang], -1), 0.0))
+                    [-gl, -jnp.cross(rp, gl)], -1), 0.0))
 
                 def rx(r):
                     zero = jnp.zeros_like(r[:, 0])
@@ -541,27 +573,41 @@ class SolverVBD(SolverBase):
                         jnp.stack([-r[:, 1], r[:, 0], zero], -1)], -2)
                 Rc = rx(rc)
                 Rp = rx(rp)
-                nf = nonfree.astype(dtype)[:, None, None]
-                top = jnp.broadcast_to(eye3, (J, 3, 3))
-                Hc = kj * nf * jnp.concatenate([
-                    jnp.concatenate([top, -Rc], -1),
-                    jnp.concatenate([Rc, -Rc @ Rc], -1)], -2)
-                Hp = kj * nf * jnp.concatenate([
-                    jnp.concatenate([top, -Rp], -1),
-                    jnp.concatenate([Rp, -Rp @ Rp], -1)], -2)
+                KRc = K_lin @ Rc
+                KRp = K_lin @ Rp
+                Hc = jnp.concatenate([
+                    jnp.concatenate([K_lin, -KRc], -1),
+                    jnp.concatenate([Rc @ K_lin, -Rc @ KRc], -1)], -2)
+                Hp = jnp.concatenate([
+                    jnp.concatenate([K_lin, -KRp], -1),
+                    jnp.concatenate([Rp @ K_lin, -Rp @ KRp], -1)], -2)
                 H = H.at[jc].add(Hc)
                 H = H.at[jp].add(jnp.where(hasp[:, None, None], Hp, 0.0))
-                # angular lock (FIXED): small-angle world rotvec penalty
+
+                # angular penalties: FIXED rotvec lock; cable bend (align
+                # tangents, transverse stiffness) + twist (about tangent)
                 q_rel = quat_mul(_qconj(X_pj[:, 3:7]), X_cj[:, 3:7])
                 q_rel = jnp.where(q_rel[:, 3:4] < 0, -q_rel, q_rel)
                 dO = quat_rotate(X_pj[:, 3:7], 2.0 * q_rel[:, 0:3]) \
                     * lockr[:, None]
+                K_ang = kj * lockr.astype(dtype)[:, None, None] * top
+                if cable_any:
+                    tau = 2.0 * jnp.arctan2(q_rel[:, 2], q_rel[:, 3])
+                    t_mid = t_p + t_c
+                    t_mid = t_mid / jnp.maximum(
+                        jnp.linalg.norm(t_mid, axis=-1, keepdims=True), 1e-9)
+                    e_cab = jnp.cross(t_p, t_c) + t_mid * tau[:, None]
+                    dO = jnp.where(cab[:, None], e_cab, dO)
+                    K_ang_cab = (ke6[:, 5, None, None] * ttT
+                                 + ke6[:, 3, None, None] * (top - ttT))
+                    K_ang = jnp.where(cab[:, None, None], K_ang_cab, K_ang)
+                ga = jnp.einsum("jab,jb->ja", K_ang, dO)
                 g = g.at[jc].add(jnp.concatenate(
-                    [jnp.zeros_like(dO), kj * dO], -1))
+                    [jnp.zeros_like(ga), ga], -1))
                 g = g.at[jp].add(jnp.where(hasp[:, None], jnp.concatenate(
-                    [jnp.zeros_like(dO), -kj * dO], -1), 0.0))
-                Hang = kj * lockr.astype(dtype)[:, None, None] * jnp.eye(
-                    6, dtype=dtype).at[:3, :3].set(0.0)[None]
+                    [jnp.zeros_like(ga), -ga], -1), 0.0))
+                Hang = jnp.zeros((J, 6, 6), dtype=dtype
+                                 ).at[:, 3:, 3:].set(K_ang)
                 H = H.at[jc].add(Hang)
                 H = H.at[jp].add(jnp.where(hasp[:, None, None], Hang, 0.0))
             return g, H

@@ -116,3 +116,31 @@ def test_cable_stretch_stiffness_controls_elongation():
     # rest: tip body center sits mid-segment at z = 0.3 -> depth 0.7
     assert lengths[0] > lengths[1] + 1e-3  # soft cable stretches further
     assert lengths[1] == pytest.approx(0.7, abs=0.05)  # stiff holds length
+
+
+def test_vbd_cable_bend_stiffness():
+    """SolverVBD solves cable joints through AVBD anisotropic penalty
+    energies (reference: VBD is the cable home, rigid_vbd_kernels.py:421)."""
+    from newton_tpu.solvers import SolverVBD
+    tips = []
+    for ke in (0.5, 500.0):
+        b = nt.ModelBuilder(gravity=-9.81)
+        bodies = b.add_rod([0, 0, 1.0], [0.6, 0, 1.0], segments=6,
+                           radius=0.01, joint="cable", bend_ke=ke,
+                           stretch_ke=2.0e4, root_joint="fixed")
+        m = b.finalize()
+        s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+        solver = SolverVBD(m, iterations=6)
+
+        @jax.jit
+        def run(s):
+            def sub(s, _):
+                return solver.step(s, None, None, None, 1 / 960.0), None
+            return jax.lax.scan(sub, s, None, length=600)[0]
+
+        s = run(s)
+        q = np.asarray(s.body_q)
+        assert np.isfinite(q).all()
+        tips.append(float(q[bodies[-1], 2]))
+    assert tips[0] < tips[1] <= 1.01, tips
+    assert tips[1] > 0.9
