@@ -74,6 +74,8 @@ EXAMPLES = {
     "cloth_bending": "newton_tpu.examples.example_cloth_bending",
     "mpm_snow_ball": "newton_tpu.examples.example_mpm_snow_ball",
     "mpm_viscous": "newton_tpu.examples.example_mpm_viscous",
+    "cable_dahl_hysteresis":
+        "newton_tpu.examples.example_cable_dahl_hysteresis",
 }
 
 
