@@ -765,11 +765,15 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
             + solver.contact_reg)
     v_free = (J * qd_g[None, :, :]).sum(axis=1)         # (r, W)
 
-    b_n = (jnp.maximum(-e_rest * vn_pre, 0.0)
-           + solver.baumgarte / dt
-           * jnp.maximum(depth - solver.contact_slop, 0.0)
-           + jnp.minimum(depth, 0.0) / dt)  # allow closing up to gap/dt
-           # (mirrors solver.py; otherwise bodies float one margin high)
+    # mirrors _solve_contacts exactly (parity tests): full restitution
+    # target on impacting rows even while still inside the margin gap;
+    # gap/dt closing allowance otherwise (or bodies float one margin high)
+    rest = jnp.where(vn_pre < -2.0 * 9.81 * dt, -e_rest * vn_pre, 0.0)
+    pen_term = (solver.baumgarte / dt
+                * jnp.maximum(depth - solver.contact_slop, 0.0))
+    gap_allow = jnp.minimum(depth, 0.0) / dt
+    b_n = jnp.where(depth > 0, rest + pen_term,
+                    jnp.where(rest > 0, rest, gap_allow))
     zc = jnp.zeros((2 * c, W), dtype=dtype)
     actf = active.astype(dtype)
     b_rows = jnp.concatenate([jnp.where(active, b_n, 0.0), zc], axis=0)

@@ -788,11 +788,18 @@ class SolverFeatherstone(SolverBase):
         # desired normal velocity: restitution + Baumgarte stabilization;
         # margin-active but separated rows (depth < 0) must still allow
         # closing speed up to gap/dt or everything floats one margin above
-        # every surface (caught by the MuJoCo resting-height parity gate)
-        b_n = jnp.maximum(-e_rest_c * vn_pre_c, 0.0) \
-            + self.baumgarte / dt * jnp.maximum(depth_c - self.contact_slop,
-                                                0.0) \
-            + jnp.minimum(depth_c, 0.0) / dt
+        # every surface (caught by the MuJoCo resting-height parity gate).
+        # A genuine impact (closing faster than the jitter threshold) takes
+        # the FULL restitution target even on a still-separated row —
+        # summing the gap allowance into it undercounted every bounce by
+        # gap/dt (a 4 m/s drop rebounded at 1.8 instead of 3.5 m/s)
+        rest = jnp.where(vn_pre_c < -2.0 * 9.81 * dt,
+                         -e_rest_c * vn_pre_c, 0.0)
+        pen_term = self.baumgarte / dt * jnp.maximum(
+            depth_c - self.contact_slop, 0.0)
+        gap_allow = jnp.minimum(depth_c, 0.0) / dt
+        b_n = jnp.where(depth_c > 0, rest + pen_term,
+                        jnp.where(rest > 0, rest, gap_allow))
         b = jnp.zeros((n_env, K, 3), dtype=dtype)
         b = b.at[:, :, 0].set(jnp.where(active_c, b_n, 0.0))
         b = b.reshape(n_env, 3 * K)

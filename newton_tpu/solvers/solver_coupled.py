@@ -42,9 +42,11 @@ class SolverCoupled(SolverBase):
     """
 
     def __init__(self, model: Model, rigid_solver: SolverBase,
-                 particle_solver: SolverBase,
+                 particle_solver: Optional[SolverBase] = None,
                  coupling_ke: float = 1.0e4, coupling_kd: float = 50.0,
-                 consensus_iters: int = 3, rho: float = 0.6):
+                 consensus_iters: int = 3, rho: float = 0.6,
+                 second_rigid_solver: Optional[SolverBase] = None,
+                 body_partition=None):
         super().__init__(model)
         self.rigid_solver = rigid_solver
         self.particle_solver = particle_solver
@@ -57,10 +59,43 @@ class SolverCoupled(SolverBase):
         self.consensus_iters = int(consensus_iters)
         self.rho = float(rho)
 
+        # arbitrary BODY partitions (reference: per-solver Entry ownership
+        # lists, solver_coupled.py:327 + ModelView proxy bodies): with
+        # ``body_partition`` (B,) bool, ``rigid_solver`` owns the True
+        # bodies and ``second_rigid_solver`` the rest. Each solver steps
+        # the full model — the other partition's bodies act as live proxy
+        # bodies at their latest poses — and the staggered Gauss-Seidel
+        # exchange repeats ``consensus_iters`` times.
+        self.second_rigid_solver = second_rigid_solver
+        self.body_partition = None
+        if body_partition is not None:
+            if second_rigid_solver is None:
+                raise ValueError("body_partition requires second_rigid_solver")
+            bp = np.asarray(body_partition, dtype=bool)
+            if bp.shape != (model.body_count,):
+                raise ValueError("body_partition must be (body_count,) bool")
+            self.body_partition = bp
+            st = model.structure
+            # joint coords/dofs follow their child body's owner
+            jc = np.asarray(st.joint_child)
+            own_j = bp[jc] if len(jc) else np.zeros(0, bool)
+            qmask = np.zeros(int(st.joint_coord_count), dtype=bool)
+            dmask = np.zeros(int(st.joint_dof_count), dtype=bool)
+            for j in range(st.joint_count):
+                if own_j[j]:
+                    qmask[st.joint_q_start[j]:st.joint_q_start[j + 1]] = True
+                    dmask[st.joint_qd_start[j]:st.joint_qd_start[j + 1]] = True
+            self._part_masks = (bp, qmask, dmask)
+        elif particle_solver is None:
+            raise ValueError("SolverCoupled needs a particle_solver or a "
+                             "body_partition + second_rigid_solver")
+
     def step(self, state_in: State, state_out: Optional[State] = None,
              control: Optional[Control] = None,
              contacts: Optional[Contacts] = None, dt: float = 1e-3) -> State:
         model = self.model
+        if self.body_partition is not None:
+            return self._step_partitioned(state_in, control, contacts, dt)
         has_coupling = (contacts is not None and contacts.soft_contact_max
                         and model.body_count)
         if not has_coupling:
@@ -104,6 +139,45 @@ class SolverCoupled(SolverBase):
             lam = jnp.maximum(lam + self.rho * m_p * (-gap), 0.0)
         return self._merge(state_in, rigid_out, particle_out,
                            jnp.stack(residuals))
+
+    def _step_partitioned(self, state_in, control, contacts, dt):
+        """Staggered Gauss-Seidel co-simulation over a body partition."""
+        bp, qmask, dmask = self._part_masks
+        mA = jnp.asarray(bp)[:, None]
+        mQ = jnp.asarray(qmask)
+        mD = jnp.asarray(dmask)
+
+        def merge(cur, out, keep_body, keep_q, keep_d):
+            return cur.replace(
+                body_q=jnp.where(keep_body, out.body_q, cur.body_q),
+                body_qd=jnp.where(keep_body, out.body_qd, cur.body_qd),
+                joint_q=jnp.where(keep_q, out.joint_q, cur.joint_q)
+                if cur.joint_q.shape[0] else cur.joint_q,
+                joint_qd=jnp.where(keep_d, out.joint_qd, cur.joint_qd)
+                if cur.joint_qd.shape[0] else cur.joint_qd,
+                custom={**cur.custom, **out.custom})
+
+        # fixed-point exchange: every iteration re-steps dt from state_in,
+        # with the partner partition's bodies shown at the previous
+        # iterate's post-step poses (proxy-body prediction). Iter 1 is a
+        # plain symmetric Jacobi split; more iterations tighten agreement
+        # without advancing time twice.
+        prev = state_in
+        for _ in range(max(self.consensus_iters, 1)):
+            inA = merge(state_in, prev, ~mA, ~mQ, ~mD)
+            inB = merge(state_in, prev, mA, mQ, mD)
+            outA = self.rigid_solver.step(inA, None, control, contacts, dt)
+            outB = self.second_rigid_solver.step(inB, None, control,
+                                                 contacts, dt)
+            prev = merge(merge(state_in, outA, mA, mQ, mD),
+                         outB, ~mA, ~mQ, ~mD)
+        cur = prev
+        if self.particle_solver is not None and self.model.particle_count:
+            outP = self.particle_solver.step(cur, None, control, contacts, dt)
+            cur = cur.replace(particle_q=outP.particle_q,
+                              particle_qd=outP.particle_qd,
+                              custom={**cur.custom, **outP.custom})
+        return cur
 
     def init_state(self, state: State) -> State:
         """Opt in to per-step convergence reporting: allocates the
