@@ -255,3 +255,49 @@ def test_coupled_consensus_momentum_transfer():
     res = np.asarray(s.custom["coupled:residuals"])
     assert res.shape[0] == 4
     assert res[-1] <= res[0] + 1e-6, res
+
+
+def test_coupled_body_partition_collision():
+    """Arbitrary body partitions (reference: solver_coupled.py:327 Entry
+    ownership): one ball owned by XPBD, the other by the generalized
+    solver; a head-on elastic collision exchanges momentum symmetrically
+    across the solver boundary."""
+    import jax.numpy as jnp
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers import SolverMuJoCo, SolverXPBD
+
+    b = nt.ModelBuilder(gravity=0.0)
+    cfg = b.default_shape_cfg.copy()
+    cfg.restitution = 0.9
+    b0 = b.add_body(xform=[-0.5, 0, 0.5, 0, 0, 0, 1])
+    b.add_shape_sphere(b0, radius=0.2, cfg=cfg)
+    b.add_joint_free(b0)
+    b1 = b.add_body(xform=[0.5, 0, 0.5, 0, 0, 0, 1])
+    b.add_shape_sphere(b1, radius=0.2, cfg=cfg)
+    b.add_joint_free(b1)
+    m = b.finalize()
+    pipe = CollisionPipeline(m)
+    solver = SolverCoupled(
+        m, rigid_solver=SolverXPBD(m, iterations=4),
+        second_rigid_solver=SolverMuJoCo(m, iterations=8),
+        body_partition=np.array([True, False]), consensus_iters=1)
+    s = m.state()
+    qd = np.zeros((2, 6))
+    qd[0, 0], qd[1, 0] = 1.0, -1.0
+    s = s.replace(body_qd=jnp.asarray(qd, dtype=s.body_qd.dtype))
+    jqd = np.zeros(m.joint_dof_count)
+    jqd[0], jqd[6] = 1.0, -1.0
+    s = s.replace(joint_qd=jnp.asarray(jqd, dtype=s.joint_qd.dtype))
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, None, pipe.collide(s), 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+
+    for _ in range(120):
+        s = frame(s)
+    v = np.asarray(s.body_qd)
+    assert np.isfinite(np.asarray(s.body_q)).all()
+    assert v[0, 0] < -0.7 and v[1, 0] > 0.7, v[:, 0]
+    assert abs(v[0, 0] + v[1, 0]) < 0.1  # momentum preserved
