@@ -38,10 +38,21 @@ class SolverStyle3D(SolverBase):
     """
 
     def __init__(self, model: Model, iterations: int = 8,
-                 contact_ke: float = 1.0e4, bend_scale: float = 1.0):
+                 contact_ke: float = 1.0e4, bend_scale: float = 1.0,
+                 handle_self_contact: bool = False,
+                 self_contact_ke: float = 2.0e3,
+                 self_contact_radius: Optional[float] = None,
+                 self_contact_max_per_cell: int = 4):
         super().__init__(model)
         self.iterations = int(iterations)
         self.contact_ke = float(contact_ke)
+        # cloth self-collision (reference: style3d/collision/): hashgrid
+        # vertex-vertex pairs anchored at step start, applied as penalty
+        # forces inside the PD local/global loop (A stays constant)
+        self.handle_self_contact = bool(handle_self_contact)
+        self.self_contact_ke = float(self_contact_ke)
+        self.self_contact_radius = self_contact_radius
+        self.self_contact_max_per_cell = int(self_contact_max_per_cell)
         st = model.structure
         N = st.particle_count
         if N == 0:
@@ -92,6 +103,19 @@ class SolverStyle3D(SolverBase):
             deg_w[a] += w
             deg_w[b] += w
         self._deg_w = deg_w
+
+        # static 1-ring exclusion table for self-collision (constraint
+        # neighbors never count as contacts)
+        if self.handle_self_contact:
+            ring = [[] for _ in range(N)]
+            for (a, b) in self.ci:
+                ring[int(a)].append(int(b))
+                ring[int(b)].append(int(a))
+            dmax = max((len(r) for r in ring), default=1) or 1
+            excl = np.full((N, dmax), -1, dtype=np.int32)
+            for i, r in enumerate(ring):
+                excl[i, :len(r)] = r
+            self._self_excl = excl
 
     def _diag(self, dt: float):
         m = np.asarray(self.model.particle_mass)
@@ -172,6 +196,26 @@ class SolverStyle3D(SolverBase):
             a_ext = a_ext + f_con * inv_m[:, None]
         y = x0 + dt * v0 * active + dt * dt * a_ext
 
+        # self-collision candidate pairs, anchored at step start
+        # (reference: style3d/collision/). Rest-close pairs (mesh
+        # neighbors) are excluded by their rest distance.
+        nbr = None
+        if self.handle_self_contact and N > 1:
+            from ..geometry.hashgrid import HashGrid
+            r_self = self.self_contact_radius
+            if r_self is None:
+                r_self = 2.0 * float(np.max(
+                    np.asarray(model.particle_radius), initial=0.0))
+            if r_self > 0:
+                grid = HashGrid(cell_size=r_self,
+                                max_per_cell=self.self_contact_max_per_cell)
+                idx, msk = grid.query(x0, r_self)
+                # exclude 1-ring constraint neighbors (static table)
+                excl = jnp.asarray(self._self_excl)         # (N, Dmax)
+                is_nb = jnp.any(excl[:, :, None] == idx[:, None, :], axis=1)
+                msk = msk & ~is_nb
+                nbr = (idx, msk, r_self)
+
         diag = self._diag(dt)
         h2 = 1.0 / (dt * dt)
         rhs_inertia = (m_eff * h2)[:, None] * y
@@ -188,6 +232,15 @@ class SolverStyle3D(SolverBase):
             contrib = w[:, None] * p
             rhs = rhs.at[ci[:, 0]].add(contrib)
             rhs = rhs.at[ci[:, 1]].add(-contrib)
+            if nbr is not None:
+                # penalty force pushing overlapping vertex pairs apart
+                idx, msk, r_self = nbr
+                dd = x[idx] - x[:, None, :]
+                dist = jnp.maximum(jnp.linalg.norm(dd, axis=-1), 1e-9)
+                pen = jnp.where(msk, jnp.maximum(r_self - dist, 0.0), 0.0)
+                push = -dd / dist[..., None] * (
+                    self.self_contact_ke * pen)[..., None]
+                rhs = rhs + jnp.sum(push, axis=1)
             # global: warm-started Jacobi-PCG on the constant sparse system
             x_new = self._pcg(x, rhs, diag, w, iters=8)
             return x_new, None

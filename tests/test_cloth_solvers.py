@@ -254,3 +254,31 @@ def test_xpbd_granular_no_interpenetration():
     d = np.linalg.norm(pq[:, None] - pq[None, :], axis=-1)
     d[np.arange(len(pq)), np.arange(len(pq))] = 1.0
     assert d.min() > 0.085            # no deep interpenetration (2r = 0.1)
+
+
+def test_style3d_self_collision_separates_layers():
+    """Style3D with handle_self_contact pushes overlapping layers apart
+    (reference: style3d/collision/); the penalty rides the PD rhs so the
+    prefactored global system stays constant."""
+    from newton_tpu.solvers import SolverStyle3D
+
+    def run(on):
+        m = _two_layer_model(radius=0.03)
+        solver = SolverStyle3D(m, iterations=4, handle_self_contact=on)
+        s, ctrl = m.state(), m.control()
+
+        @jax.jit
+        def frame(s):
+            def sub(s, _):
+                return solver.step(s, None, ctrl, None, 1 / 240.), None
+            return jax.lax.scan(sub, s, None, length=4)[0]
+
+        for _ in range(10):
+            s = frame(s)
+        assert np.isfinite(np.asarray(s.particle_q)).all()
+        return _layer_separation(m, s)
+
+    sep_on = run(True)
+    sep_off = run(False)
+    assert sep_on > 0.04, f"Style3D layers interpenetrate: {sep_on}"
+    assert sep_off < 0.02, f"control run should stay overlapped: {sep_off}"
