@@ -287,6 +287,57 @@ def bench_mpm(args):
     }, bool(np.isfinite(pq).all()), "NaN MPM state")
 
 
+def bench_ik(args):
+    """Batched multi-seed LM IK throughput (reference: asv IK benchmarks)."""
+    import jax
+    import jax.numpy as jnp
+
+    import newton_tpu as nt
+    from newton_tpu.ik import IKObjectivePosition, IKSolver
+
+    b = nt.ModelBuilder()
+    prev = -1
+    for i in range(3):
+        link = b.add_body(xform=[0.5 + i, 0, 0, 0, 0, 0, 1])
+        b.add_shape_capsule(link, radius=0.05, half_height=0.25)
+        b.add_joint_revolute(parent=prev, child=link, axis="Z",
+                             xform_p=[0.5, 0, 0, 0, 0, 0, 1] if prev >= 0
+                             else [0, 0, 0, 0, 0, 0, 1],
+                             xform_c=[-0.5, 0, 0, 0, 0, 0, 1])
+        prev = link
+    m = b.finalize()
+    n_prob = args.worlds
+    ik = IKSolver(m, [IKObjectivePosition(link=2, offset=(0.5, 0, 0))],
+                  iterations=16, n_seeds=4)
+    key = jax.random.PRNGKey(0)
+    ang = jax.random.uniform(key, (n_prob,), minval=0.0, maxval=2 * np.pi)
+    rad = jax.random.uniform(jax.random.PRNGKey(1), (n_prob,),
+                             minval=0.5, maxval=2.4)
+    targets = jnp.stack([rad * jnp.cos(ang), rad * jnp.sin(ang),
+                         jnp.zeros_like(ang)], axis=-1)
+    q = ik.solve(jnp.zeros(3), [targets])      # compile + warm
+    jax.block_until_ready(q)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        q = ik.solve(jnp.zeros(3), [targets])
+    jax.block_until_ready(q)
+    elapsed = time.perf_counter() - t0
+    throughput = reps * n_prob / elapsed
+    qn = np.asarray(q)
+    emit({
+        "metric": "ik_solves_per_s",
+        "value": round(throughput, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(throughput / 1.0e4, 4),
+        "problems": int(n_prob),
+        "seeds": 4,
+        "lm_iterations": 16,
+        "elapsed_s": round(elapsed, 3),
+        "device_mem_mb": device_mem_mb(q),
+    }, bool(np.isfinite(qn).all()), "NaN IK solution")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worlds", type=int,
@@ -295,7 +346,7 @@ def main():
     ap.add_argument("--substeps", type=int, default=4)
     ap.add_argument("--robot", default="ant")
     ap.add_argument("--mode", default="robot",
-                    choices=["robot", "cloth", "mpm"])
+                    choices=["robot", "cloth", "mpm", "ik"])
     ap.add_argument("--cloth-dim", type=int, default=100)
     ap.add_argument("--mpm-particles", type=int, default=32768)
     args = ap.parse_args()
@@ -303,6 +354,8 @@ def main():
         bench_cloth(args)
     elif args.mode == "mpm":
         bench_mpm(args)
+    elif args.mode == "ik":
+        bench_ik(args)
     else:
         bench_robot(args)
 

@@ -76,6 +76,7 @@ EXAMPLES = {
     "mpm_viscous": "newton_tpu.examples.example_mpm_viscous",
     "cable_dahl_hysteresis":
         "newton_tpu.examples.example_cable_dahl_hysteresis",
+    "basic_shapes": "newton_tpu.examples.example_basic_shapes",
 }
 
 
