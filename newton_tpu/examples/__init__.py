@@ -77,6 +77,8 @@ EXAMPLES = {
     "cable_dahl_hysteresis":
         "newton_tpu.examples.example_cable_dahl_hysteresis",
     "basic_shapes": "newton_tpu.examples.example_basic_shapes",
+    "mpm_multi_material":
+        "newton_tpu.examples.example_mpm_multi_material",
 }
 
 

@@ -61,10 +61,18 @@ class SolverImplicitMPM(SolverBase):
                  material: str = "sand",
                  snow_theta_c: float = 2.5e-2, snow_theta_s: float = 7.5e-3,
                  snow_hardening: float = 10.0,
-                 viscous_relax: float = 0.5):
+                 viscous_relax: float = 0.5,
+                 material_id=None):
         if material not in ("sand", "snow", "viscous"):
             raise ValueError(f"unknown material {material!r}")
         self.material = material
+        # per-particle materials (reference: implicit_mpm per-particle
+        # rheology, example_mpm_multi_material.py): material_id (N,) int
+        # with 0 = sand, 1 = snow, 2 = viscous; overrides ``material``
+        self.material_id = None
+        if material_id is not None:
+            self.material_id = np.asarray(material_id, dtype=np.int32)
+            self.material = "mixed"
         self.snow_theta_c = float(snow_theta_c)
         self.snow_theta_s = float(snow_theta_s)
         self.snow_hardening = float(snow_hardening)
@@ -105,7 +113,7 @@ class SolverImplicitMPM(SolverBase):
         custom["mpm:F"] = jnp.broadcast_to(jnp.eye(3, dtype=dtype),
                                            (N, 3, 3))
         custom["mpm:C"] = jnp.zeros((N, 3, 3), dtype=dtype)
-        if self.material == "snow":
+        if self.material in ("snow", "mixed"):
             custom["mpm:Jp"] = jnp.ones((N,), dtype=dtype)
         return state.replace(custom=custom)
 
@@ -164,6 +172,31 @@ class SolverImplicitMPM(SolverBase):
                 mean = jnp.prod(sig, axis=-1,
                                 keepdims=True) ** (1.0 / 3.0)
                 sig = sig + self.viscous_relax * (mean - sig)
+                F_p = jnp.einsum("nij,nj,njk->nik", U, sig, Vt)
+            elif self.material == "mixed":
+                # per-particle material select: all three projections are
+                # cheap vector ops on the shared SVD
+                mid = jnp.asarray(self.material_id)
+                fa = 0.5 if self.friction_angle is None else \
+                    self.friction_angle
+                sig_sand = _drucker_prager_project(sig, fa, self.cohesion)
+                sig_c = jnp.clip(sig, 1.0 - self.snow_theta_c,
+                                 1.0 + self.snow_theta_s)
+                Jp_snow = jnp.clip(
+                    Jp * jnp.prod(sig, axis=-1) / jnp.maximum(
+                        jnp.prod(sig_c, axis=-1), 1e-9), 0.1, 10.0)
+                h = jnp.exp(jnp.clip(
+                    self.snow_hardening * (1.0 - Jp_snow), -5.0, 5.0))
+                mean = jnp.prod(sig, axis=-1,
+                                keepdims=True) ** (1.0 / 3.0)
+                sig_v = sig + self.viscous_relax * (mean - sig)
+                sig = jnp.where((mid == 1)[:, None], sig_c,
+                                jnp.where((mid == 2)[:, None], sig_v,
+                                          sig_sand))
+                Jp_new = jnp.where(mid == 1, Jp_snow, Jp)
+                hmul = jnp.where(mid == 1, h, 1.0)
+                mu_p = self.mu0 * hmul[:, None, None]
+                lam_p = self.lam0 * hmul[:, None, None]
                 F_p = jnp.einsum("nij,nj,njk->nik", U, sig, Vt)
             elif self.friction_angle is not None:
                 sig = _drucker_prager_project(sig, self.friction_angle,
@@ -376,7 +409,7 @@ class SolverImplicitMPM(SolverBase):
         custom = dict(state_in.custom)
         custom["mpm:F"] = F_new
         custom["mpm:C"] = C_new
-        if self.material == "snow":
+        if self.material in ("snow", "mixed"):
             custom["mpm:Jp"] = Jp_new
         return state_in.replace(particle_q=x_new, particle_qd=v_new,
                                 custom=custom)
