@@ -79,6 +79,9 @@ EXAMPLES = {
     "basic_shapes": "newton_tpu.examples.example_basic_shapes",
     "mpm_multi_material":
         "newton_tpu.examples.example_mpm_multi_material",
+    "basic_plotting": "newton_tpu.examples.example_basic_plotting",
+    "selection_articulations":
+        "newton_tpu.examples.example_selection_articulations",
 }
 
 
