@@ -82,6 +82,8 @@ EXAMPLES = {
     "basic_plotting": "newton_tpu.examples.example_basic_plotting",
     "selection_articulations":
         "newton_tpu.examples.example_selection_articulations",
+    "kamino_heterogeneous":
+        "newton_tpu.examples.example_kamino_heterogeneous",
 }
 
 
