@@ -93,7 +93,7 @@ def create_parser() -> argparse.ArgumentParser:
     p.add_argument("example", nargs="?", choices=sorted(EXAMPLES),
                    help="example to run")
     p.add_argument("--viewer", default="null",
-                   choices=["null", "file", "gl", "rerun", "viser", "usd"],
+                   choices=["null", "file", "gl", "rtx", "rerun", "viser", "usd"],
                    help="viewer backend")
     p.add_argument("--num-frames", type=int, default=100)
     p.add_argument("--device", default=None,
@@ -121,6 +121,9 @@ def init(argv=None):
     elif args.viewer == "gl":
         from ..viewer.viewer_gl import ViewerGL
         viewer = ViewerGL()
+    elif args.viewer == "rtx":
+        from ..viewer.viewer_rtx import ViewerRTX
+        viewer = ViewerRTX()
     elif args.viewer == "rerun":
         from ..viewer import ViewerRerun
         viewer = ViewerRerun()
