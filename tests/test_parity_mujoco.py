@@ -14,7 +14,8 @@ same MJCF scenes and compared:
 
 Measured deviations (this box, float32): pendulum 3.7e-6 rad @ 200 steps,
 cartpole 2e-7 @ 150 actuated steps, ant hinge RMS 7e-4 rad @ 100 contact
-steps. Tolerances below carry ~10x margin.
+steps, humanoid hinge RMS 3.0e-2 rad / torso dz 1.0e-2 m / contact-force
+sum within 7% @ 80 contact-rich fall steps. Tolerances carry margin.
 """
 
 import numpy as np
@@ -216,4 +217,30 @@ def test_ant_trajectory_parity_with_contacts():
     f_mj = np.mean(mj.contact_normal_force[-5:])
     f_nt = np.mean(nt.contact_normal_force[-5:])
     assert abs(f_mj - f_nt) < 0.05 * max(f_mj, 1.0), \
+        f"contact force sum: mj {f_mj} nt {f_nt}"
+
+
+HUMANOID = ("/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/"
+            "assets/humanoid.xml")
+
+
+def test_humanoid_trajectory_parity_with_contacts():
+    """The north-star robot: humanoid falling onto the plane, hinge
+    trajectories and contact normal-force sums vs MuJoCo-C (same harness
+    as the ant gate; tolerances scaled for the 17-dof contact-rich fall)."""
+    T = 80
+    mjm = mujoco.MjModel.from_xml_path(HUMANOID)
+    dt = mjm.opt.timestep
+    model, _ = P.build_newton_model(HUMANOID)
+    qpos0 = P.newton_qpos_to_mj(
+        model.structure, np.asarray(model.state().joint_q, np.float64))
+    mj = P.mujoco_rollout(HUMANOID, T, qpos0=qpos0)
+    nt = P.newton_rollout(model, T, dt, qpos0_mj=qpos0)
+    rms = np.sqrt(np.mean((mj.qpos[:, 7:] - nt.qpos[:, 7:]) ** 2))
+    assert rms < 0.05, f"humanoid hinge trajectory RMS {rms} rad"
+    assert abs(mj.qpos[-1][2] - nt.qpos[-1][2]) < 0.10, \
+        f"torso height: mj {mj.qpos[-1][2]} nt {nt.qpos[-1][2]}"
+    f_mj = np.mean(mj.contact_normal_force[-5:])
+    f_nt = np.mean(nt.contact_normal_force[-5:])
+    assert abs(f_mj - f_nt) < 0.15 * max(f_mj, 1.0), \
         f"contact force sum: mj {f_mj} nt {f_nt}"
