@@ -84,6 +84,7 @@ EXAMPLES = {
         "newton_tpu.examples.example_selection_articulations",
     "kamino_heterogeneous":
         "newton_tpu.examples.example_kamino_heterogeneous",
+    "cloth_style3d": "newton_tpu.examples.example_cloth_style3d",
 }
 
 

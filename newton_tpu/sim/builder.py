@@ -1240,6 +1240,22 @@ class ModelBuilder:
         self.spring_damping.append(float(kd))
         return len(self.spring_indices) - 1
 
+    def sew_particles(self, indices_a, indices_b, ke: float = 2.0e3,
+                      kd: float = 1.0, shrink: float = 0.0) -> List[int]:
+        """Sewing lines between two cloth panels (reference: the Style3D
+        builder's garment seam assembly, style3d/builder.py): zero-or-short
+        rest-length springs pulling paired vertices together. ``shrink``
+        in [0, 1) scales the rest length below the current separation
+        (1.0-shrink factor); 0.0 keeps the panels where they are and lets
+        the solver drape them, while values near 1 cinch the seam closed.
+        Returns the spring indices."""
+        out = []
+        for a, b in zip(indices_a, indices_b):
+            s = self.add_spring(int(a), int(b), ke=ke, kd=kd,
+                                control=max(1.0 - float(shrink), 0.0))
+            out.append(s)
+        return out
+
     def add_triangle(self, i: int, j: int, k: int,
                      tri_ke: float = 100.0, tri_ka: float = 100.0,
                      tri_kd: float = 10.0, tri_drag: float = 0.0,
