@@ -85,6 +85,9 @@ EXAMPLES = {
     "kamino_heterogeneous":
         "newton_tpu.examples.example_kamino_heterogeneous",
     "cloth_style3d": "newton_tpu.examples.example_cloth_style3d",
+    "balance_bird": "newton_tpu.examples.example_balance_bird",
+    "multi_solver_overlay":
+        "newton_tpu.examples.example_basic_multi_solver_overlay",
 }
 
 
