@@ -88,6 +88,8 @@ EXAMPLES = {
     "balance_bird": "newton_tpu.examples.example_balance_bird",
     "multi_solver_overlay":
         "newton_tpu.examples.example_basic_multi_solver_overlay",
+    "cable_y_junction":
+        "newton_tpu.examples.example_cable_y_junction",
 }
 
 

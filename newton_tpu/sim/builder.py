@@ -2702,10 +2702,14 @@ class ModelBuilder:
 
     def add_rod_graph(self, points, edges, radius: float = 0.02,
                       density: float = 1000.0, bend_ke: float = 100.0,
-                      bend_kd: float = 1.0,
+                      bend_kd: float = 1.0, joint: str = "ball",
+                      stretch_ke: float = 1.0e5, stretch_kd: float = 0.0,
+                      twist_ke: Optional[float] = None,
+                      twist_kd: Optional[float] = None,
                       key: Optional[str] = None) -> List[int]:
         """Branching rod network: one capsule body per edge, compliant ball
-        joints where edges share a point (reference: builder.py:7861
+        joints — or, with ``joint="cable"``, split-stiffness CABLE joints —
+        where edges share a point (reference: builder.py:7861
         add_rod_graph). ``points`` is (P, 3); ``edges`` is a list of (i, j)
         point-index pairs forming a tree (first edge's start point is the
         free root). Returns the per-edge body indices."""
@@ -2713,6 +2717,7 @@ class ModelBuilder:
         cfg = self.default_shape_cfg.copy()
         cfg.density = density
         point_body = {}          # point index -> (body, local offset end)
+        body_rot = {}            # body -> world quat at build
         bodies = []
         for ei, (i, j) in enumerate(edges):
             p0, p1 = pts[int(i)], pts[int(j)]
@@ -2723,6 +2728,7 @@ class ModelBuilder:
             center = (p0 + p1) / 2
             b = self.add_body(xform=np_transform(center, q),
                               key=(key or "rodg") + f"_{ei}")
+            body_rot[b] = q
             self.add_shape_capsule(b, radius=radius,
                                    half_height=max(length / 2 - radius * 0.5,
                                                    radius * 0.25),
@@ -2730,14 +2736,31 @@ class ModelBuilder:
                                    key=(key or "rodg") + f"_shape_{ei}")
             if int(i) in point_body:
                 parent, off = point_body[int(i)]
-                jt = self.add_joint_ball(
-                    parent, b, xform_p=np_transform(off),
-                    xform_c=np_transform(np.array([0.0, 0, -length / 2])),
-                    key=(key or "rodg") + f"_j{ei}")
-                d0 = self.joint_qd_start[jt]
-                for k in range(3):
-                    self.joint_target_ke[d0 + k] = bend_ke
-                    self.joint_target_kd[d0 + k] = bend_kd
+                if joint == "cable":
+                    # rest-pose-anchored child frame: at build the child
+                    # anchor's rotation matches the parent anchor, so the
+                    # branch angle is the zero-strain configuration
+                    q_par = body_rot[parent]
+                    q_conj = np.array([-q[0], -q[1], -q[2], q[3]])
+                    q_cl = np_quat_mul(q_conj, q_par)
+                    self.add_joint_cable(
+                        parent, b, xform_p=np_transform(off),
+                        xform_c=np_transform(
+                            np.array([0.0, 0, -length / 2]), q_cl),
+                        stretch_stiffness=stretch_ke,
+                        stretch_damping=stretch_kd,
+                        bend_stiffness=bend_ke, bend_damping=bend_kd,
+                        twist_stiffness=twist_ke, twist_damping=twist_kd,
+                        key=(key or "rodg") + f"_j{ei}")
+                else:
+                    jt = self.add_joint_ball(
+                        parent, b, xform_p=np_transform(off),
+                        xform_c=np_transform(np.array([0.0, 0, -length / 2])),
+                        key=(key or "rodg") + f"_j{ei}")
+                    d0 = self.joint_qd_start[jt]
+                    for k in range(3):
+                        self.joint_target_ke[d0 + k] = bend_ke
+                        self.joint_target_kd[d0 + k] = bend_kd
             else:
                 self.add_joint_free(b, key=(key or "rodg") + f"_root{ei}")
             # register both endpoints in this body's local frame (z-aligned)
