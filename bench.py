@@ -84,7 +84,14 @@ def bench_robot(args):
     model = robot.finalize()
 
     pipeline = CollisionPipeline(model)
-    solver = SolverMuJoCo(model, iterations=8)
+    if args.solver == "xpbd":
+        # reference KPI shape: Quadruped XPBD (bench_quadruped_xpbd.py)
+        from newton_tpu.solvers import SolverXPBD
+        solver = SolverXPBD(model, iterations=8)
+        solver.step_batched = jax.vmap(
+            solver.step, in_axes=(0, None, 0, 0, None))
+    else:
+        solver = SolverMuJoCo(model, iterations=8)
     state1 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
     control = model.control()
     state = batch_state(state1, args.worlds)
@@ -165,6 +172,8 @@ def bench_robot(args):
     env_steps = frames * args.substeps * args.worlds
     throughput = env_steps / elapsed
     dt_total = frames * args.substeps * dt
+    if args.solver != "generalized":
+        name = f"{args.robot}_{args.solver}_env_steps_per_s"
     emit({
         "metric": name,
         "value": round(throughput, 1),
@@ -345,6 +354,8 @@ def main():
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--substeps", type=int, default=4)
     ap.add_argument("--robot", default="ant")
+    ap.add_argument("--solver", default="generalized",
+                    choices=["generalized", "xpbd"])
     ap.add_argument("--mode", default="robot",
                     choices=["robot", "cloth", "mpm", "ik"])
     ap.add_argument("--cloth-dim", type=int, default=100)
