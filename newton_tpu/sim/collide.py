@@ -618,9 +618,11 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
         half = pc.slots // 2
         thick_ab = (model.shape_thickness[mi]
                     + model.shape_thickness[oi])[:, None]
-        posA, nrmA, depA = _reduce_k(pipeline, pts_w, nA, -dA, half, thick_ab)
-        posB, nrmB, depB = _reduce_k(pipeline, pts_w_o, nB, -dB,
-                                     pc.slots - half, thick_ab)
+        posA, nrmA, depA, dropA = _reduce_k(pipeline, pts_w, nA, -dA, half,
+                                            thick_ab)
+        posB, nrmB, depB, dropB = _reduce_k(pipeline, pts_w_o, nB, -dB,
+                                            pc.slots - half, thick_ab)
+        samples_dropped = dropA + dropB
         pos = jnp.concatenate([posA, posB], axis=1)
         nrm = jnp.concatenate([nrmA, nrmB], axis=1)
         depth = jnp.concatenate([depA, depB], axis=1)
@@ -639,8 +641,8 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
         # from mesh toward other = -outward
         thick_ab = (model.shape_thickness[mi]
                     + model.shape_thickness[oi])[:, None]
-        pos, nrm_out, depth = _reduce_k(pipeline, pts_w, n_w, -d, pc.slots,
-                                        thick_ab)
+        pos, nrm_out, depth, samples_dropped = _reduce_k(
+            pipeline, pts_w, n_w, -d, pc.slots, thick_ab)
         mf = jnp.asarray(pc.mesh_first)[:, None, None]
         nrm = jnp.where(mf, -nrm_out, nrm_out)
 
@@ -662,6 +664,7 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
             jnp.broadcast_to(jnp.asarray(s0, dtype=jnp.int32)[:, None], idx.shape)),
         rigid_contact_shape1=out.rigid_contact_shape1.at[idx].set(
             jnp.broadcast_to(jnp.asarray(s1, dtype=jnp.int32)[:, None], idx.shape)),
+        mesh_samples_dropped=out.mesh_samples_dropped + samples_dropped,
     )
 
 
@@ -713,12 +716,18 @@ def _reduce_k(pipeline, pos, nrm, pen, k, thick):
     """Diverse representative selection for oversampled mesh contacts
     (geometry/contact_reduction.py; reference GlobalContactReducer,
     contact_reduction_global.py:755). Falls back to plain top-k when the
-    candidate count does not exceed the slot budget."""
-    if pen.shape[-1] <= k:
-        return _top_k(pos, nrm, pen, k)
-    from ..geometry.contact_reduction import reduce_contact_set
+    candidate count does not exceed the slot budget. Returns
+    (pos, nrm, depth, n_dropped) — n_dropped counts in-contact samples that
+    did not fit the slot budget (reference surfaces the same overflow,
+    collide.py:883-889), so a thin manifold on a big mesh fails loudly
+    instead of quietly."""
     active = (pen + thick) > -pipeline.rigid_contact_margin
-    return reduce_contact_set(pos, nrm, pen, k, active=active)
+    act_per_pair = jnp.sum(active.astype(jnp.int32), axis=-1)
+    dropped = jnp.sum(jnp.maximum(act_per_pair - k, 0))
+    if pen.shape[-1] <= k:
+        return (*_top_k(pos, nrm, pen, k), jnp.zeros((), jnp.int32))
+    from ..geometry.contact_reduction import reduce_contact_set
+    return (*reduce_contact_set(pos, nrm, pen, k, active=active), dropped)
 
 
 def _sdf_of_shape(model, shape_idx, sdf_id, p_local, analytic_only=False):

@@ -63,6 +63,13 @@ class Contacts(struct.PyTreeNode):
     broad_phase_dropped: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((), dtype=jnp.int32))
 
+    # mesh narrow phase: in-contact SDF samples that overflowed the per-pair
+    # slot budget this frame (reference overflow counters,
+    # narrow_phase.py:1512-1528) — a nonzero value means the manifold was
+    # thinned and mesh_sample_count / slot budgets should be raised
+    mesh_samples_dropped: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), dtype=jnp.int32))
+
     custom: Dict[str, Any] = struct.field(default_factory=dict)
 
     @property
