@@ -18,6 +18,8 @@ from typing import Optional
 __all__ = ["create_parser", "init", "run", "main", "EXAMPLES"]
 
 EXAMPLES = {
+    "newton_cradle": "newton_tpu.examples.example_newton_cradle",
+    "cloth_rollers": "newton_tpu.examples.example_cloth_rollers",
     "box_pile": "newton_tpu.examples.example_box_pile",
     "fourbar_kamino": "newton_tpu.examples.example_fourbar_kamino",
     "convex_stack": "newton_tpu.examples.example_convex_stack",

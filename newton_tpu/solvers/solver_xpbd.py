@@ -184,6 +184,23 @@ class SolverXPBD(SolverBase):
         if B and contacts is not None and C:
             anchors = plan.contact_local_anchors(model, state_in, contacts)
 
+        # shape surface displacement over the substep at each soft contact
+        # (v + w x r of the shape's body): moving/spinning kinematic shapes
+        # drag particles through friction (conveyor belts, rollers)
+        soft_surf_disp = None
+        if (B and model.particle_count and contacts is not None
+                and contacts.soft_contact_max):
+            sc_shape = contacts.soft_contact_shape
+            sc_body = model.shape_body[jnp.maximum(sc_shape, 0)]
+            bsafe = jnp.maximum(sc_body, 0)
+            com_w = state_in.body_q[bsafe, 0:3] + quat_rotate(
+                state_in.body_q[bsafe, 3:7], model.body_com[bsafe])
+            v_surf = (state_in.body_qd[bsafe, 0:3]
+                      + jnp.cross(state_in.body_qd[bsafe, 3:6],
+                                  contacts.soft_contact_position - com_w))
+            soft_surf_disp = jnp.where(
+                (sc_body >= 0)[:, None], v_surf, 0.0) * dt
+
         # 3. iterate positional constraints (lax.scan -> differentiable)
         def one_iteration(carry, _):
             x, q, px, lam_n = carry
@@ -210,7 +227,7 @@ class SolverXPBD(SolverBase):
                 q = quat_normalize(q + 0.5 * self.relaxation * dq)
             if model.particle_count:
                 dpx, dpxc, pnc = plan.solve_particles(
-                    model, px, px_prev, contacts, dt, nbr)
+                    model, px, px_prev, contacts, dt, nbr, soft_surf_disp)
                 # averaged Jacobi: structural corrections by constraint
                 # degree, contact corrections by active-contact count
                 px = px + self.relaxation * (
@@ -916,7 +933,8 @@ class _XPBDPlan:
 
     # ------------------------------------------------------------------
     def solve_particles(self, model: Model, px, px_prev,
-                        contacts: Optional[Contacts], dt, nbr=None):
+                        contacts: Optional[Contacts], dt, nbr=None,
+                        soft_surf_disp=None):
         """Distance/volume constraints + particle-shape contacts (Jacobi)."""
         st = self.st
         N = model.particle_count
@@ -1021,7 +1039,26 @@ class _XPBDPlan:
             p_then = contacts.soft_contact_position + n * (radius - depth0)[:, None]
             c = depth0 - jnp.sum((px[pi] - p_then) * n, axis=-1)
             act = contacts.soft_contact_mask & (c > 0)
-            imp = n * jnp.where(act, c, 0.0)[:, None]
-            dxc = dxc.at[pi].add(imp * inv_m[pi][:, None])
+            # one-sided constraint against the shape: the full positional
+            # correction goes to the particle (w_p / (w_p + 0) = 1); pinned
+            # particles (inv_mass 0) receive nothing
+            corr = n * jnp.where(act, c, 0.0)[:, None]
+            # position-level Coulomb friction (reference:
+            # xpbd/kernels.py solve_particle_shape_contacts): tangential
+            # slip over the substep relative to the shape SURFACE motion
+            # (soft_surf_disp carries v + w x r of the shape body, so
+            # conveyors and rollers drag particles), clamped to mu * c
+            s = contacts.soft_contact_shape
+            mu = 0.5 * (model.shape_material_mu[jnp.maximum(s, 0)]
+                        + model.particle_mu)
+            slip = px[pi] - px_prev[pi]
+            if soft_surf_disp is not None:
+                slip = slip - soft_surf_disp
+            slip_t = slip - n * jnp.sum(slip * n, axis=-1, keepdims=True)
+            t_len = safe_norm(slip_t)
+            f_max = mu * jnp.where(act, c, 0.0)
+            corr = corr - slip_t * jnp.minimum(
+                1.0, f_max / jnp.maximum(t_len, 1e-9))[:, None]
+            dxc = dxc.at[pi].add(corr * (inv_m[pi] > 0)[:, None])
             ncon = ncon.at[pi].add(act.astype(dtype))
         return dx, dxc, ncon

@@ -282,3 +282,66 @@ def test_style3d_self_collision_separates_layers():
     sep_off = run(False)
     assert sep_on > 0.04, f"Style3D layers interpenetrate: {sep_on}"
     assert sep_off < 0.02, f"control run should stay overlapped: {sep_off}"
+
+
+def test_particle_shape_rest_mass_independent():
+    """A light particle rests on the ground at the same height as a heavy
+    one: the soft-contact positional correction must not scale with
+    inv_mass (regression: light particles were launched off shapes)."""
+    import newton_tpu as nt
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers.solver_xpbd import SolverXPBD
+
+    b = nt.ModelBuilder(gravity=-9.81)
+    b.add_particle([0, 0, 0.3], mass=0.02, radius=0.05)
+    b.add_particle([1, 0, 0.3], mass=2.0, radius=0.05)
+    b.add_ground_plane()
+    m = b.finalize()
+    pipe = CollisionPipeline(m)
+    solver = SolverXPBD(m, iterations=4)
+    s = m.state()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, None, pipe.collide(s), 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+
+    for _ in range(90):
+        s = frame(s)
+    z = np.asarray(s.particle_q)[:, 2]
+    assert np.allclose(z, 0.05, atol=5e-3), z
+
+
+def test_particle_shape_friction_follows_surface():
+    """Particle-shape friction is evaluated against the shape SURFACE
+    velocity: a kinematic belt drags a resting particle along at belt
+    speed (reference: xpbd solve_particle_shape_contacts friction)."""
+    import newton_tpu as nt
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers.solver_xpbd import SolverXPBD
+
+    b = nt.ModelBuilder(gravity=-9.81)
+    cfg = b.default_shape_cfg.copy()
+    cfg.mu = 0.8
+    belt = b.add_body(xform=[0, 0, 0.05, 0, 0, 0, 1],
+                      qd=np.array([0.5, 0, 0, 0, 0, 0]), kinematic=True)
+    b.add_shape_box(belt, hx=2.0, hy=0.5, hz=0.05, cfg=cfg)
+    b.add_particle([0, 0, 0.18], mass=0.05, radius=0.05)
+    m = b.finalize()
+    pipe = CollisionPipeline(m)
+    solver = SolverXPBD(m, iterations=4)
+    s = m.state()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, None, pipe.collide(s), 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+
+    for _ in range(120):
+        s = frame(s)
+    v = np.asarray(s.particle_qd)[0]
+    p = np.asarray(s.particle_q)[0]
+    assert abs(v[0] - 0.5) < 0.05, f"vx={v[0]} (belt 0.5)"
+    assert p[0] > 0.7, f"x={p[0]}"

@@ -31,6 +31,7 @@ FRAMES = {
     "mpm_snow_ball": 25, "mpm_viscous": 25, "cable_dahl_hysteresis": 65, "basic_shapes": 60, "mpm_multi_material": 25, "basic_plotting": 40,
     "selection_articulations": 50, "kamino_heterogeneous": 40, "cloth_style3d": 50, "balance_bird": 60,
     "multi_solver_overlay": 60, "cable_y_junction": 50,
+    "newton_cradle": 130, "cloth_rollers": 70,
 }
 
 
