@@ -19,6 +19,9 @@ __all__ = ["create_parser", "init", "run", "main", "EXAMPLES"]
 
 EXAMPLES = {
     "newton_cradle": "newton_tpu.examples.example_newton_cradle",
+    "diffsim_cloth": "newton_tpu.examples.example_diffsim_cloth",
+    "diffsim_drone": "newton_tpu.examples.example_diffsim_drone",
+    "diffsim_soft_body": "newton_tpu.examples.example_diffsim_soft_body",
     "cloth_rollers": "newton_tpu.examples.example_cloth_rollers",
     "box_pile": "newton_tpu.examples.example_box_pile",
     "fourbar_kamino": "newton_tpu.examples.example_fourbar_kamino",

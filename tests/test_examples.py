@@ -32,6 +32,7 @@ FRAMES = {
     "selection_articulations": 50, "kamino_heterogeneous": 40, "cloth_style3d": 50, "balance_bird": 60,
     "multi_solver_overlay": 60, "cable_y_junction": 50,
     "newton_cradle": 130, "cloth_rollers": 70,
+    "diffsim_cloth": 8, "diffsim_drone": 50, "diffsim_soft_body": 8,
 }
 
 
