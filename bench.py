@@ -27,12 +27,21 @@ import time
 import numpy as np
 
 ASSET_DIR = "/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/assets"
+_GYM_ROBOTICS = "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/assets"
 ROBOT_XML = {
     "ant": "ant.xml",
     "humanoid": "humanoid.xml",
     "cartpole": "inverted_pendulum.xml",
     "half_cheetah": "half_cheetah.xml",
     "hopper": "hopper.xml",
+    # dexterous hand — the Allegro-hand KPI shape (reference
+    # asv/benchmarks/simulation/bench_mujoco.py:324: 8192 worlds, 300
+    # frames, high-DoF hand): 30-dof adroit hand manipulating a pen
+    "adroit": os.path.join(_GYM_ROBOTICS, "adroit_hand/adroit_pen.xml"),
+    # robot-in-environment — the Kitchen-G1 KPI shape (bench_mujoco.py:337:
+    # 512 worlds, large static scene + articulated robot)
+    "kitchen": os.path.join(_GYM_ROBOTICS,
+                            "kitchen_franka/kitchen_assets/kitchen_env_model.xml"),
 }
 
 
@@ -74,8 +83,9 @@ def bench_robot(args):
     from newton_tpu.sim.collide import CollisionPipeline
     from newton_tpu.solvers.generalized.solver import SolverMuJoCo
 
-    robot_xml = os.path.join(ASSET_DIR, ROBOT_XML.get(args.robot,
-                                                      f"{args.robot}.xml"))
+    robot_xml = ROBOT_XML.get(args.robot, f"{args.robot}.xml")
+    if not os.path.isabs(robot_xml):
+        robot_xml = os.path.join(ASSET_DIR, robot_xml)
 
     # env-batched architecture: ONE-world model, vmap over the env axis
     # (SURVEY.md §1 TPU mapping; ~2x faster than the flat multi-world layout)

@@ -368,6 +368,18 @@ def capsule_cylinder(X0, X1, s0, s1):
     return capsule_capsule(X0, X1, s0, s1)
 
 
+def sphere_cylinder(X0, X1, s0, s1):
+    # cylinder ~ capsule (same (radius, half-height) size layout)
+    return sphere_capsule(X0, X1, s0, s1)
+
+
+def box_cylinder(X0, X1, s0, s1):
+    # cylinder ~ capsule; capsule_box is defined (capsule, box) with the
+    # normal 0->1, so swap args and flip the normal back to box->cylinder
+    pos, nrm, depth = capsule_box(X1, X0, s1, s0)
+    return pos, -nrm, depth
+
+
 def ellipsoid_ellipsoid(X0, X1, s0, s1):
     d = X1[:, 0:3] - X0[:, 0:3]
     n = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
@@ -403,6 +415,8 @@ PRIMITIVE_FNS = {
     (_B, _B): box_box,
     (_C, _CY): capsule_cylinder,
     (_CY, _CY): capsule_capsule,
+    (_S, _CY): sphere_cylinder,
+    (_B, _CY): box_cylinder,
     (_E, _E): ellipsoid_ellipsoid,
 }
 

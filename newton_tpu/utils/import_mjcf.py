@@ -114,6 +114,49 @@ def _load_defaults(elem: ET.Element, parent: Optional[_Defaults] = None) -> _Def
     return d
 
 
+def _expand_includes(elem: ET.Element, base_dir: str, depth: int = 0) -> None:
+    """Inline MJCF ``<include file=.../>`` elements (MuJoCo semantics: the
+    included file's root children replace the include element in place).
+    Reference models such as gymnasium-robotics' adroit hand and franka
+    kitchen are split across include files."""
+    if depth > 8:
+        return
+    i = 0
+    while i < len(elem):
+        child = elem[i]
+        if child.tag == "include":
+            path = os.path.join(base_dir, child.get("file", ""))
+            try:
+                sub = ET.parse(path).getroot()
+            except (OSError, ET.ParseError):
+                del elem[i]
+                continue
+            _expand_includes(sub, os.path.dirname(os.path.abspath(path)),
+                             depth + 1)
+            del elem[i]
+            for j, grand in enumerate(list(sub)):
+                elem.insert(i + j, grand)
+            i += len(sub)
+        else:
+            _expand_includes(child, base_dir, depth)
+            i += 1
+
+
+def _merge_repeated_sections(root: ET.Element) -> None:
+    """MuJoCo allows repeated top-level sections (``<asset>`` twice, etc.);
+    this parser uses ``root.find`` which sees only the first. Fold every
+    repeat's children into the first occurrence."""
+    for tag in ("asset", "default", "worldbody", "actuator", "tendon",
+                "equality", "contact", "sensor", "keyframe"):
+        secs = root.findall(tag)
+        if len(secs) > 1:
+            first = secs[0]
+            for extra in secs[1:]:
+                for child in list(extra):
+                    first.append(child)
+                root.remove(extra)
+
+
 def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None,
                armature_scale: float = 1.0, scale: float = 1.0,
                ignore_names: Tuple[str, ...] = (),
@@ -134,15 +177,19 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
     else:
         root = ET.fromstring(source)
         base_dir = "."
+    _expand_includes(root, base_dir)
+    _merge_repeated_sections(root)
 
     # --- compiler settings ---
     compiler = root.find("compiler")
     angle_deg = True
     inertia_from_geom = True
+    mesh_dir = ""
     if compiler is not None:
         angle_deg = compiler.get("angle", "degree") == "degree"
         ifg = compiler.get("inertiafromgeom", "auto")
         inertia_from_geom = ifg in ("true", "auto")
+        mesh_dir = compiler.get("meshdir", compiler.get("assetdir", ""))
     autolimits = compiler.get("autolimits", "true") == "true" if compiler is not None else True
 
     def to_rad(x):
@@ -168,7 +215,7 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
             fname = m.get("file")
             mscale = _parse_vec(m.get("scale"), default=[1, 1, 1], n=3)
             if fname:
-                path = os.path.join(base_dir, fname)
+                path = os.path.join(base_dir, mesh_dir, fname)
                 mesh = _load_mesh_file(path)
                 if mesh is not None:
                     mesh.vertices = mesh.vertices * mscale * scale

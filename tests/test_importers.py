@@ -289,3 +289,56 @@ def test_usd_deformable_cable_and_attachments():
     # the pin became a CONNECT equality to the rigid anchor
     assert m.structure.eq_count == 1
     assert info["attachments"] == ["/World/pin"]
+
+
+ADROIT = ("/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/"
+          "assets/adroit_hand/adroit_pen.xml")
+KITCHEN = ("/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/"
+           "assets/kitchen_franka/kitchen_assets/kitchen_env_model.xml")
+
+
+def test_mjcf_include_expansion_adroit():
+    """<include> + meshdir: the 30-dof adroit hand is split across four
+    include files with STL meshes under a meshdir (the reference resolves
+    these through MuJoCo's own compiler, import_mjcf.py)."""
+    b = nt.ModelBuilder()
+    info = b.add_mjcf(ADROIT)
+    m = b.finalize()
+    s = m.structure
+    assert s.body_count == 29
+    assert m.joint_dof_count == 30
+    # pen free joint -> 6 dofs of the 30; the hand contributes 24
+    assert s.shape_count > 60
+    assert len(info["actuators"]) > 0
+
+
+def test_mjcf_include_kitchen_scene():
+    """Robot-in-environment scene (franka + kitchen appliances) imports via
+    nested includes across sibling asset directories."""
+    b = nt.ModelBuilder()
+    b.add_mjcf(KITCHEN)
+    m = b.finalize()
+    s = m.structure
+    assert s.body_count == 43
+    assert m.joint_dof_count == 29
+    assert s.shape_count > 150
+
+
+def test_mjcf_repeated_sections_merge():
+    """MuJoCo permits repeated top-level sections; children must merge."""
+    xml = """
+    <mujoco>
+      <worldbody>
+        <body name=\"a\" pos=\"0 0 1\"><joint type=\"hinge\" axis=\"0 1 0\"/>
+          <geom type=\"sphere\" size=\"0.1\"/></body>
+      </worldbody>
+      <worldbody>
+        <body name=\"b\" pos=\"1 0 1\"><joint type=\"hinge\" axis=\"0 1 0\"/>
+          <geom type=\"sphere\" size=\"0.1\"/></body>
+      </worldbody>
+    </mujoco>
+    """
+    b = nt.ModelBuilder()
+    b.add_mjcf(xml)
+    m = b.finalize()
+    assert m.structure.body_count == 2
