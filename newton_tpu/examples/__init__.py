@@ -95,6 +95,11 @@ EXAMPLES = {
         "newton_tpu.examples.example_basic_multi_solver_overlay",
     "cable_y_junction":
         "newton_tpu.examples.example_cable_y_junction",
+    "robot_hand": "newton_tpu.examples.example_robot_hand",
+    "robot_kitchen": "newton_tpu.examples.example_robot_kitchen",
+    "nut_bolt_sdf": "newton_tpu.examples.example_nut_bolt_sdf",
+    "gripper_soft": "newton_tpu.examples.example_gripper_soft",
+    "cable_pile": "newton_tpu.examples.example_cable_pile",
 }
 
 

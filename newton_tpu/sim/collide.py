@@ -47,7 +47,7 @@ class _PairClass:
     """Host-side grouping of candidate pairs sharing a contact function."""
 
     __slots__ = ("fn", "swapped", "slots", "pair_idx", "shape0", "shape1",
-                 "out_offsets", "cap")
+                 "out_offsets", "cap", "plane_side")
 
     def __init__(self, fn, swapped, slots):
         self.fn = fn
@@ -199,12 +199,29 @@ class CollisionPipeline:
         self.classes = list(classes.values())
         self.mesh_classes = []
         self._unsupported = unsupported
-        n_total = sum(len(pc.pair_idx) for pc in self.classes) or 1
+        # infinite planes: center-distance culling is meaningless (the
+        # plane's "center" is wherever it was authored) and a resting scene
+        # needs every shape-on-ground contact live at once, so plane classes
+        # get their full pair count (bounded by O(shape_count)) and only the
+        # finite-shape classes share the dynamic budget.
+        pt = int(GeoType.PLANE)
+        for pc in self.classes:
+            pc.plane_side = None
+            if len(pc.shape0):
+                if int(types[pc.shape0[0]]) == pt:
+                    pc.plane_side = 0
+                elif int(types[pc.shape1[0]]) == pt:
+                    pc.plane_side = 1
+        n_total = sum(len(pc.pair_idx) for pc in self.classes
+                      if pc.plane_side is None) or 1
         budget = self.dynamic_pair_budget
         offset = 0
         for pc in self.classes:
             n_c = len(pc.pair_idx)
-            cap = min(n_c, max(8, (budget * n_c + n_total - 1) // n_total))
+            if pc.plane_side is not None:
+                cap = n_c
+            else:
+                cap = min(n_c, max(8, (budget * n_c + n_total - 1) // n_total))
             pc.cap = cap
             pc.shape0 = np.asarray(pc.shape0, dtype=np.int32)
             pc.shape1 = np.asarray(pc.shape1, dtype=np.int32)
@@ -237,9 +254,23 @@ class CollisionPipeline:
             i0s, i1s = pc.shape0, pc.shape1              # static (n_c,)
             c0 = X_ws[i0s][:, 0:3]
             c1 = X_ws[i1s][:, 0:3]
-            rsum = (model.shape_collision_radius[i0s]
-                    + model.shape_collision_radius[i1s] + margin)
-            dist = jnp.linalg.norm(c1 - c0, axis=-1)
+            if pc.plane_side is not None:
+                # signed height of the finite shape's center above the
+                # plane (local +Z), not center-to-center distance — the
+                # plane's authored origin is arbitrary for an infinite plane
+                pl, other = ((i0s, i1s) if pc.plane_side == 0
+                             else (i1s, i0s))
+                from ..math import quat_rotate as _qr
+                n_w = _qr(X_ws[pl][:, 3:7],
+                          jnp.array([0.0, 0.0, 1.0], dtype=dtype))
+                h = jnp.sum(n_w * (X_ws[other][:, 0:3] - X_ws[pl][:, 0:3]),
+                            axis=-1)
+                rsum = model.shape_collision_radius[other] + margin
+                dist = h
+            else:
+                rsum = (model.shape_collision_radius[i0s]
+                        + model.shape_collision_radius[i1s] + margin)
+                dist = jnp.linalg.norm(c1 - c0, axis=-1)
             near = dist < rsum
             n_near = jnp.sum(near.astype(jnp.int32))
             dropped = dropped + jnp.maximum(n_near - pc.cap, 0)

@@ -33,6 +33,7 @@ FRAMES = {
     "multi_solver_overlay": 60, "cable_y_junction": 50,
     "newton_cradle": 130, "cloth_rollers": 70,
     "diffsim_cloth": 8, "diffsim_drone": 50, "diffsim_soft_body": 8,
+    "nut_bolt_sdf": 120, "gripper_soft": 100, "cable_pile": 140,
 }
 
 
