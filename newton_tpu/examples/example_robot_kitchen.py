@@ -73,9 +73,22 @@ class Example:
     def test_final(self):
         q = np.asarray(self.state.joint_q)
         assert np.isfinite(q).all(), "non-finite kitchen coordinates"
-        # passive appliance joints must stay within their limits (+slack)
-        lo = np.asarray(self.model.joint_limit_lower)
-        hi = np.asarray(self.model.joint_limit_upper)
         qd_all = np.asarray(self.state.joint_qd)
         assert np.abs(qd_all).max() < 50.0, "kitchen scene blew up"
-        del lo, hi
+        # passive appliance joints must stay within their limits (+slack);
+        # coord<->dof indices align only for 1-coord-per-dof joints
+        st = self.model.structure
+        lo = np.asarray(self.model.joint_limit_lower)
+        hi = np.asarray(self.model.joint_limit_upper)
+        qs, ds = st.joint_q_start, st.joint_qd_start
+        slack = 0.05
+        for j in range(len(qs) - 1):
+            nq, nd = qs[j + 1] - qs[j], ds[j + 1] - ds[j]
+            if nq != nd:
+                continue
+            for k in range(nq):
+                d, c = int(ds[j] + k), int(qs[j] + k)
+                if lo[d] > -1e9 and hi[d] < 1e9:
+                    assert lo[d] - slack <= q[c] <= hi[d] + slack, (
+                        f"joint coord {c} out of limits: "
+                        f"{q[c]} not in [{lo[d]}, {hi[d]}]")

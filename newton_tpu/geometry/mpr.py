@@ -8,6 +8,12 @@ whole pair batch with fixed iteration counts — every conditional portal
 update is a ``jnp.where`` select, so one program serves all pairs and XLA
 vectorizes across them.
 
+The core (`mpr_contact_support`) works on arbitrary support maps
+``sup(d) -> point`` (see geometry/support.py — the reference's
+`SupportMapDataProvider`, support_function.py:49), so analytic primitives
+(cone, ellipsoid, cylinder, ...) and hull vertex clouds share one contact
+path. `mpr_contact` / `convex_manifold` are the hull-cloud wrappers.
+
 Outputs follow the repo contact convention (sim/collide.py): ``normal``
 points from shape A (first) toward shape B (second), ``depth > 0`` means
 penetration, and translating B by ``+depth * normal`` separates the pair.
@@ -20,14 +26,16 @@ reference's polygon clipping machinery.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..math import quat_rotate_inv, transform_point
+from ..math import transform_point
+from .support import _hull_support
 
-__all__ = ["mpr_contact", "convex_manifold"]
+__all__ = ["mpr_contact", "mpr_contact_support", "convex_manifold",
+           "support_manifold"]
 
 
 def _normalize(v, eps=1e-12):
@@ -39,49 +47,35 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def _support1(verts, X, d):
-    """World support point of a local vertex cloud. verts (n, H, 3),
-    X (n, 7), d (n, 3) world direction."""
-    dl = quat_rotate_inv(X[:, 3:7], d)
-    dots = jnp.einsum("nhc,nc->nh", verts, dl)
-    idx = jnp.argmax(dots, axis=-1)
-    p = jnp.take_along_axis(
-        verts, jnp.broadcast_to(idx[:, None, None], (verts.shape[0], 1, 3)),
-        axis=1)[:, 0]
-    return transform_point(X, p)
-
-
-def _msup(va, Xa, vb, Xb, d):
-    """Minkowski difference (A - B) support along d, with witnesses."""
-    pa = _support1(va, Xa, d)
-    pb = _support1(vb, Xb, -d)
-    return pa - pb, pa, pb
-
-
-def mpr_contact(va: jnp.ndarray, Xa: jnp.ndarray,
-                vb: jnp.ndarray, Xb: jnp.ndarray,
-                discover_iters: int = 6, refine_iters: int = 20
-                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def mpr_contact_support(supA: Callable, supB: Callable,
+                        ca: jnp.ndarray, cb: jnp.ndarray,
+                        discover_iters: int = 6, refine_iters: int = 20
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                   jnp.ndarray]:
     """Penetration depth / normal / midpoint for overlapping convex pairs.
 
-    va/vb: (n, H, 3) shape-local hull vertices (pad by repeating any vertex);
-    Xa/Xb: (n, 7) world transforms. Returns (hit (n,), depth (n,),
-    normal (n, 3) from A toward B, point (n, 3) world contact midpoint).
-    For non-overlapping pairs hit is False and the other outputs are
-    best-effort (use a GJK distance pass for margin contacts).
+    supA/supB: world support maps ``(n, 3) dir -> (n, 3) point``;
+    ca/cb: (n, 3) strictly interior points (portal ray origins). Returns
+    (hit (n,), depth (n,), normal (n, 3) from A toward B, point (n, 3)
+    world contact midpoint). For non-overlapping pairs hit is False and the
+    other outputs are best-effort (use a separation probe for margin
+    contacts — see `support_manifold`).
     """
-    n_pairs = va.shape[0]
-    dtype = Xa.dtype
+    dtype = ca.dtype
 
-    ca = transform_point(Xa, jnp.mean(va, axis=1))
-    cb = transform_point(Xb, jnp.mean(vb, axis=1))
+    def msup(d):
+        """Minkowski difference (A - B) support along d, with witnesses."""
+        pa = supA(d)
+        pb = supB(-d)
+        return pa - pb, pa, pb
+
     v0 = ca - cb
     # degenerate coincident centers: nudge so the ray is defined
     tiny = jnp.asarray([1e-5, 0.0, 0.0], dtype=dtype)
     v0 = jnp.where((_dot(v0, v0) < 1e-12)[:, None], v0 + tiny, v0)
 
     d1 = _normalize(-v0)
-    v1, a1, b1 = _msup(va, Xa, vb, Xb, d1)
+    v1, a1, b1 = msup(d1)
     # miss when the boundary along the origin ray is before the origin
     miss = _dot(v1, d1) < 0.0
 
@@ -96,7 +90,7 @@ def mpr_contact(va: jnp.ndarray, Xa: jnp.ndarray,
                        s * d1[:, 0] * d1[:, 1] * a_,
                        -s * d1[:, 0]], axis=-1)
     d2 = _normalize(jnp.where(colinear[:, None], ortho, d2r))
-    v2, a2, b2 = _msup(va, Xa, vb, Xb, d2)
+    v2, a2, b2 = msup(d2)
     miss = miss | (~colinear & (_dot(v2, d2) < 0.0))
 
     n = jnp.cross(v1 - v0, v2 - v0)
@@ -109,7 +103,7 @@ def mpr_contact(va: jnp.ndarray, Xa: jnp.ndarray,
     a2 = jnp.where(swap, a1_, a2)
     b2 = jnp.where(swap, b1_, b2)
     n = jnp.where(swap, -n, n)
-    v3, a3, b3 = _msup(va, Xa, vb, Xb, _normalize(n))
+    v3, a3, b3 = msup(_normalize(n))
 
     # portal discovery (libccd discoverPortal, made branch-free): keep the
     # candidate portal (v1, v2, v3) wrapped around the v0->origin ray
@@ -123,7 +117,7 @@ def mpr_contact(va: jnp.ndarray, Xa: jnp.ndarray,
         a1 = jnp.where(c_repl1, a3, a1)
         b1 = jnp.where(c_repl1, b3, b1)
         n = _normalize(jnp.cross(v1 - v0, v2 - v0))
-        v3n, a3n, b3n = _msup(va, Xa, vb, Xb, n)
+        v3n, a3n, b3n = msup(n)
         changed = c_repl1 | c_repl2
         v3 = jnp.where(changed, v3n, v3)
         a3 = jnp.where(changed, a3n, a3)
@@ -135,7 +129,7 @@ def mpr_contact(va: jnp.ndarray, Xa: jnp.ndarray,
         pn = jnp.cross(v2 - v1, v3 - v1)
         flip = (_dot(pn, v1 - v0) < 0.0)[:, None]
         pn = _normalize(jnp.where(flip, -pn, pn))
-        v4, a4, b4 = _msup(va, Xa, vb, Xb, pn)
+        v4, a4, b4 = msup(pn)
         done = (_dot(pn, v4 - v1) < 1e-6)[:, None]
         w = jnp.cross(v4, v0)
         c1 = (_dot(v1, w) > 0.0)[:, None]
@@ -188,10 +182,24 @@ def mpr_contact(va: jnp.ndarray, Xa: jnp.ndarray,
     return hit, depth, pn, point
 
 
-def convex_manifold(va: jnp.ndarray, Xa: jnp.ndarray,
-                    vb: jnp.ndarray, Xb: jnp.ndarray,
-                    tilt: float = 0.02
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def mpr_contact(va: jnp.ndarray, Xa: jnp.ndarray,
+                vb: jnp.ndarray, Xb: jnp.ndarray,
+                discover_iters: int = 6, refine_iters: int = 20
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hull-cloud MPR: va/vb (n, H, 3) shape-local hull vertices (pad by
+    repeating any vertex); Xa/Xb (n, 7) world transforms."""
+    ca = transform_point(Xa, jnp.mean(va, axis=1))
+    cb = transform_point(Xb, jnp.mean(vb, axis=1))
+    return mpr_contact_support(
+        lambda d: _hull_support(va, Xa, d),
+        lambda d: _hull_support(vb, Xb, d),
+        ca, cb, discover_iters, refine_iters)
+
+
+def support_manifold(supA: Callable, supB: Callable,
+                     ca: jnp.ndarray, cb: jnp.ndarray,
+                     tilt: float = 0.02
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Up to 5 contacts per pair: the MPR core contact plus four
     tilted-support probes that walk to the corners of a flat contact patch
     (reference multicontact.py:118; method per MuJoCo multiccd).
@@ -200,16 +208,14 @@ def convex_manifold(va: jnp.ndarray, Xa: jnp.ndarray,
     negative (separation distance along the core normal) so the caller's
     contact margin decides activation.
     """
-    hit, depth0, n0, p0 = mpr_contact(va, Xa, vb, Xb)
-    dtype = Xa.dtype
+    hit, depth0, n0, p0 = mpr_contact_support(supA, supB, ca, cb)
+    dtype = ca.dtype
 
     # separated pairs: estimate direction/overlap from a support probe along
     # the center line so margin contacts still form
-    ca = transform_point(Xa, jnp.mean(va, axis=1))
-    cb = transform_point(Xb, jnp.mean(vb, axis=1))
     d_ab = _normalize(cb - ca)
-    pa_s = _support1(va, Xa, d_ab)
-    pb_s = _support1(vb, Xb, -d_ab)
+    pa_s = supA(d_ab)
+    pb_s = supB(-d_ab)
     sep = _dot(pa_s - pb_s, d_ab)          # negative gap when separated
     n0 = jnp.where(hit[:, None], n0, d_ab)
     depth0 = jnp.where(hit, depth0, sep)
@@ -228,8 +234,8 @@ def convex_manifold(va: jnp.ndarray, Xa: jnp.ndarray,
     probes = []
     for tdir in (t1 + t2, t1 - t2, -t1 + t2, -t1 - t2):
         t = _normalize(tdir)
-        qa = _support1(va, Xa, _normalize(n0 + tilt * t))   # A's face extreme
-        qb = _support1(vb, Xb, _normalize(-n0 + tilt * t))  # B's, same side
+        qa = supA(_normalize(n0 + tilt * t))    # A's face extreme
+        qb = supB(_normalize(-n0 + tilt * t))   # B's, same side
         # patch boundary toward t = the tighter of the two face extremes
         pick_a = (_dot(qa, t) < _dot(qb, t))[:, None]
         p = jnp.where(pick_a, qa, qb)
@@ -250,3 +256,16 @@ def convex_manifold(va: jnp.ndarray, Xa: jnp.ndarray,
             dup = dup.at[:, i - 1].set(dup[:, i - 1] | close)
     dep = dep.at[:, 1:].set(jnp.where(dup, -1e9, dep[:, 1:]))
     return pos, nrm, dep.astype(dtype)
+
+
+def convex_manifold(va: jnp.ndarray, Xa: jnp.ndarray,
+                    vb: jnp.ndarray, Xb: jnp.ndarray,
+                    tilt: float = 0.02
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hull-cloud manifold: see `support_manifold`."""
+    ca = transform_point(Xa, jnp.mean(va, axis=1))
+    cb = transform_point(Xb, jnp.mean(vb, axis=1))
+    return support_manifold(
+        lambda d: _hull_support(va, Xa, d),
+        lambda d: _hull_support(vb, Xb, d),
+        ca, cb, tilt)

@@ -55,6 +55,9 @@ _SLOTS: Dict[Tuple[int, int], int] = {
     (_M, _M): 16, (_CY, _CY): 2, (_B, _CY): 4, (_C, _CY): 2, (_E, _E): 1,
     (_B, _CX): 5, (_CX, _CX): 5, (_C, _CX): 8,
     (_HF, _S): 1, (_HF, _C): 2, (_HF, _B): 8, (_HF, _M): 16,
+    # generic support-MPR pairs (see contact_fn_for fallback)
+    (_C, _CO): 2, (_CY, _CO): 4, (_CO, _CO): 4, (_B, _CO): 4,
+    (_CO, _E): 1, (_B, _E): 4, (_C, _E): 1, (_CY, _E): 2,
 }
 
 
@@ -364,17 +367,25 @@ def box_box(X0, X1, s0, s1):
 
 
 def capsule_cylinder(X0, X1, s0, s1):
-    # treat the cylinder as a capsule for contact (conservative approximation)
+    """Cylinder approximated as a capsule (same (radius, half-height)
+    layout). Known deviation from the reference's exact cylinder kernels:
+    contacts at the flat end caps engage one radius early (the cap is
+    treated as domed), so a cylinder resting on its end sits ~r high. For
+    exact end-cap behavior route the pair through the generic support-map
+    MPR path (`contact_fn_for` fallback) by removing this entry from
+    PRIMITIVE_FNS; the capsule model is kept because it is cheaper and the
+    lateral (rolling) contact — the common case — is exact."""
     return capsule_capsule(X0, X1, s0, s1)
 
 
 def sphere_cylinder(X0, X1, s0, s1):
-    # cylinder ~ capsule (same (radius, half-height) size layout)
+    # cylinder ~ capsule; see capsule_cylinder for the end-cap deviation
     return sphere_capsule(X0, X1, s0, s1)
 
 
 def box_cylinder(X0, X1, s0, s1):
-    # cylinder ~ capsule; capsule_box is defined (capsule, box) with the
+    # cylinder ~ capsule (see capsule_cylinder for the end-cap deviation);
+    # capsule_box is defined (capsule, box) with the
     # normal 0->1, so swap args and flip the normal back to box->cylinder
     pos, nrm, depth = capsule_box(X1, X0, s1, s0)
     return pos, -nrm, depth
@@ -422,11 +433,24 @@ PRIMITIVE_FNS = {
 
 
 def contact_fn_for(t0: int, t1: int):
-    """Return (fn, swapped, slots) for a type pair, or (None, False, slots)."""
+    """Return (fn, swapped, slots) for a type pair, or (None, False, slots).
+
+    Pairs without a bespoke analytic kernel fall back to the generic
+    support-map MPR path when both types have analytic support functions
+    (cone/ellipsoid vs box/capsule/cylinder/... — the reference routes these
+    through support_function.py:49 + mpr.py instead of skipping them).
+    """
     key = (int(t0), int(t1))
     if key in PRIMITIVE_FNS:
         return PRIMITIVE_FNS[key], False, pair_slot_count(t0, t1)
     rkey = (int(t1), int(t0))
     if rkey in PRIMITIVE_FNS:
         return PRIMITIVE_FNS[rkey], True, pair_slot_count(t0, t1)
+    from .support import SUPPORT_TYPES, support_contact_fn
+    if int(t0) in SUPPORT_TYPES and int(t1) in SUPPORT_TYPES:
+        # canonical (sorted) argument order, like PRIMITIVE_FNS entries, so
+        # pair classes keyed by (min, max, swapped) stay consistent
+        k = pair_slot_count(t0, t1)
+        lo, hi = min(int(t0), int(t1)), max(int(t0), int(t1))
+        return support_contact_fn(lo, hi, k), int(t0) > int(t1), k
     return None, False, pair_slot_count(t0, t1)

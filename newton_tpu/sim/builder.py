@@ -2086,6 +2086,9 @@ class ModelBuilder:
         # structured MuJoCo actuation tables (import_mjcf actuation="mjc");
         # consumed by the generalized solver's actuation stage
         st.mjc_actuation = getattr(self, "mjc_actuation", None)
+        # MJCF <option> values the solver honors (integrator, timestep —
+        # reference solver_mujoco.py:613-614 reads the same fields)
+        st.mjc_options = dict(getattr(self, "mjc_options", {}))
         st.muscle_count = len(self.muscle_params)
         st.muscle_start = np.asarray(
             self.muscle_start + [len(self.muscle_bodies)], dtype=np.int32)

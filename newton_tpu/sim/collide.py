@@ -44,15 +44,23 @@ __all__ = ["CollisionPipeline", "collide", "match_contacts"]
 
 
 class _PairClass:
-    """Host-side grouping of candidate pairs sharing a contact function."""
+    """Host-side grouping of candidate pairs sharing a contact function.
+
+    ``kind`` selects the dynamic-mode narrow phase: "prim" (analytic pair
+    function), "support" (generic support-map MPR — hull and/or analytic
+    supports, per-class static types), "plane_convex" (hull vertices vs
+    plane SDF).
+    """
 
     __slots__ = ("fn", "swapped", "slots", "pair_idx", "shape0", "shape1",
-                 "out_offsets", "cap", "plane_side")
+                 "out_offsets", "cap", "plane_side", "kind", "types01")
 
-    def __init__(self, fn, swapped, slots):
+    def __init__(self, fn, swapped, slots, kind="prim", types01=None):
         self.fn = fn
         self.swapped = swapped
         self.slots = slots
+        self.kind = kind
+        self.types01 = types01
         self.pair_idx: List[int] = []
         self.shape0: List[int] = []
         self.shape1: List[int] = []
@@ -173,10 +181,26 @@ class CollisionPipeline:
             if int(GeoType.CONVEX) in (t0, t1):
                 from ..geometry.narrow_phase import pair_slot_count
                 k = pair_slot_count(t0, t1)
-                key = (-1, -1, False)   # convex MPR class
-                pc = classes.get(key)
-                if pc is None:
-                    pc = classes[key] = _PairClass(None, False, k)
+                pt_ = int(GeoType.PLANE)
+                if pt_ in (t0, t1):
+                    # plane-convex: hull vertices vs plane SDF — own class,
+                    # so the convex MPR class stays plane-free and the
+                    # plane-height cull below is type-homogeneous (fixes the
+                    # mixed-class cull that dropped convex-convex contacts)
+                    side = 0 if t0 == pt_ else 1
+                    key = (-2, -2, side)
+                    pc = classes.get(key)
+                    if pc is None:
+                        pc = classes[key] = _PairClass(
+                            None, False, k, kind="plane_convex")
+                else:
+                    # support-map MPR, keyed by the static type pair so each
+                    # class mixes hull and analytic supports consistently
+                    key = (-1, t0, t1)
+                    pc = classes.get(key)
+                    if pc is None:
+                        pc = classes[key] = _PairClass(
+                            None, False, k, kind="support", types01=(t0, t1))
                 pc.pair_idx.append(i)
                 pc.shape0.append(int(a))
                 pc.shape1.append(int(b))
@@ -208,9 +232,14 @@ class CollisionPipeline:
         for pc in self.classes:
             pc.plane_side = None
             if len(pc.shape0):
-                if int(types[pc.shape0[0]]) == pt:
+                # only type-homogeneous classes qualify for the plane-height
+                # cull (classes are keyed by type pair, so np.all is a
+                # safety net, not a per-pair decision)
+                s0t = types[np.asarray(pc.shape0, dtype=np.int32)]
+                s1t = types[np.asarray(pc.shape1, dtype=np.int32)]
+                if np.all(s0t == pt):
                     pc.plane_side = 0
-                elif int(types[pc.shape1[0]]) == pt:
+                elif np.all(s1t == pt):
                     pc.plane_side = 1
         n_total = sum(len(pc.pair_idx) for pc in self.classes
                       if pc.plane_side is None) or 1
@@ -279,14 +308,54 @@ class CollisionPipeline:
             i0 = jnp.asarray(i0s)[sel]
             i1 = jnp.asarray(i1s)[sel]
             near_sel = near[sel]
-            if pc.fn is None:
-                # convex MPR manifolds from hull vertex clouds
-                from ..geometry.mpr import convex_manifold
+            if pc.kind == "plane_convex":
+                # hull vertices vs plane SDF: deepest-K vertex contacts
+                from ..geometry.narrow_phase import _plane_sdf
                 hulls = jnp.asarray(st.shape_hull_verts, dtype=dtype)
-                pos, nrm, depth = convex_manifold(
-                    hulls[i0], X_ws[i0], hulls[i1], X_ws[i1])
+                ip = i0 if pc.plane_side == 0 else i1
+                ic = i1 if pc.plane_side == 0 else i0
+                verts_w = transform_point(X_ws[ic][:, None, :], hulls[ic])
+                d, n_pl = _plane_sdf(X_ws[ip][:, None, :], verts_w)
+                k = min(pc.slots, d.shape[1])
+                negd, sel = jax.lax.top_k(-d, k)             # deepest verts
+                p_sel = jnp.take_along_axis(verts_w, sel[..., None], axis=1)
+                d_sel = -negd
+                # padded hulls repeat vertices — drop duplicate picks
+                dup = jnp.zeros(d_sel.shape, dtype=bool)
+                for ii in range(1, k):
+                    for jj in range(ii):
+                        close = jnp.sum((p_sel[:, ii] - p_sel[:, jj]) ** 2,
+                                        axis=-1) < 1e-12
+                        dup = dup.at[:, ii].set(dup[:, ii] | close)
+                depth = jnp.where(dup, -1e9, -d_sel)
+                pos = p_sel - n_pl * (d_sel[..., None] * 0.5)
+                nrm = jnp.broadcast_to(n_pl, pos.shape)
+                if pc.plane_side == 1:
+                    nrm = -nrm           # normal must point shape0 -> shape1
+                idx = pc.out_offsets[:, :k]
+            elif pc.kind == "support":
+                # generic support-map MPR manifolds: hull verts for
+                # CONVEX/MESH sides, analytic supports otherwise
+                from ..geometry.mpr import support_manifold
+                from ..geometry.support import make_support, support_center
+                t0c, t1c = pc.types01
+                hull_t = (int(GeoType.CONVEX), int(GeoType.MESH))
+                hulls = jnp.asarray(st.shape_hull_verts, dtype=dtype)
+                v0 = hulls[i0] if t0c in hull_t else None
+                v1 = hulls[i1] if t1c in hull_t else None
+                supA = make_support(t0c, X_ws[i0], model.shape_scale[i0], v0)
+                supB = make_support(t1c, X_ws[i1], model.shape_scale[i1], v1)
+                ca = support_center(t0c, X_ws[i0], model.shape_scale[i0], v0)
+                cb = support_center(t1c, X_ws[i1], model.shape_scale[i1], v1)
+                pos, nrm, depth = support_manifold(supA, supB, ca, cb)
                 k = min(pc.slots, pos.shape[1])
-                pos, nrm, depth = pos[:, :k], nrm[:, :k], depth[:, :k]
+                if k < pos.shape[1]:
+                    top, sel = jax.lax.top_k(depth, k)
+                    pos = jnp.take_along_axis(pos, sel[..., None], axis=1)
+                    nrm = jnp.take_along_axis(nrm, sel[..., None], axis=1)
+                    depth = top
+                else:
+                    pos, nrm, depth = pos[:, :k], nrm[:, :k], depth[:, :k]
                 idx = pc.out_offsets[:, :k]
             else:
                 a, b = (i1, i0) if pc.swapped else (i0, i1)

@@ -273,6 +273,16 @@ def actuator_forces(au: MJCActuation, model, q, qd, ctrl, act, dt):
     force = jnp.where(itbl(au.forcelimited),
                       jnp.clip(force, tbl(fr[:, 0]), tbl(fr[:, 1])), force)
 
+    # ∂force/∂velocity per actuator — consumed by the implicit/implicitfast
+    # integrators (MuJoCo mjd_actuator_vel semantics: affine gain/bias
+    # velocity coefficients; muscle/clamp derivatives omitted like MuJoCo's
+    # implicitfast does for the non-smooth parts)
+    dfdv = jnp.where(gaintype == GAIN_AFFINE, tbl(gp[:, 2]) * inp,
+                     jnp.zeros_like(length))
+    dfdv = dfdv + jnp.where(biastype == BIAS_AFFINE,
+                            jnp.broadcast_to(tbl(bp[:, 2]), length.shape),
+                            jnp.zeros_like(length))
+
     # map to generalized torques: joint transmission tau += gear * force;
     # tendon transmission scatters through the tendon coefficient rows
     tau = jnp.zeros_like(qd)

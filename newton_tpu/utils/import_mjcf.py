@@ -128,7 +128,15 @@ def _expand_includes(elem: ET.Element, base_dir: str, depth: int = 0) -> None:
             path = os.path.join(base_dir, child.get("file", ""))
             try:
                 sub = ET.parse(path).getroot()
-            except (OSError, ET.ParseError):
+            except (OSError, ET.ParseError) as e:
+                # importing a silently truncated model is worse than a loud
+                # warning (ADVICE r3) — keep going (MuJoCo would hard-fail)
+                # but tell the user what was dropped
+                import warnings
+                warnings.warn(
+                    f"MJCF <include file={child.get('file')!r}> could not "
+                    f"be loaded ({e}); the included subtree is missing "
+                    "from the imported model")
                 del elem[i]
                 continue
             _expand_includes(sub, os.path.dirname(os.path.abspath(path)),
@@ -201,6 +209,18 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
         g = _parse_vec(option.get("gravity"))
         if g is not None:
             builder.gravity = float(np.linalg.norm(g)) * (-1.0 if g[2] <= 0 else 1.0)
+        # integrator/timestep flow to the solver via Model.structure
+        # (reference import path: solver_mujoco.py:613-614 honors
+        # <option integrator="euler|rk4|implicit|implicitfast">)
+        opts = getattr(builder, "mjc_options", None)
+        if opts is None:
+            opts = builder.mjc_options = {}
+        integ = option.get("integrator")
+        if integ is not None:
+            opts["integrator"] = integ.strip().lower()
+        ts = option.get("timestep")
+        if ts is not None:
+            opts["timestep"] = float(ts)
 
     # --- defaults ---
     defaults_elem = root.find("default")

@@ -135,3 +135,59 @@ def test_dynamic_pipeline_xpbd_pile_rests():
     assert np.isfinite(bq).all()
     assert (bq[:, 2] > 0.05).all(), f"fell through: {bq[:, 2]}"
     assert bq[:, 2].max() < 2.0
+
+
+def test_dynamic_pipeline_convex_stack_on_plane():
+    """Regression (ADVICE r3 high): plane-convex pairs used to pollute the
+    mixed MPR class's plane-height cull, dropping convex-convex contacts —
+    two stacked touching convex cubes over a ground plane lost their mutual
+    contact in dynamic mode. Now plane-convex pairs have their own class."""
+    import jax
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers import SolverXPBD
+    from newton_tpu.geometry.types import Mesh
+
+    h = 0.25
+    v = np.array([[sx * h, sy * h, sz * h]
+                  for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                 dtype=np.float32)
+    faces = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                      [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                      [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
+                     dtype=np.int32)
+    mesh = Mesh(vertices=v, indices=faces.reshape(-1))
+
+    b = nt.ModelBuilder()
+    zs = [0.25, 0.75]
+    for z in zs:
+        body = b.add_body(xform=[0, 0, z, 0, 0, 0, 1])
+        b.add_shape_convex_hull(body, mesh=mesh)
+        b.add_joint_free(body)
+    b.add_ground_plane()
+    m = b.finalize()
+
+    pipe = CollisionPipeline(m, mode="dynamic", dynamic_pair_budget=16)
+    c = jax.jit(pipe.collide)(m.state())
+    mask = np.asarray(c.rigid_contact_mask)
+    s0 = np.asarray(c.rigid_contact_shape0)[mask]
+    s1 = np.asarray(c.rigid_contact_shape1)[mask]
+    touching = {(min(a, b), max(a, b)) for a, b in zip(s0, s1)}
+    # both ground contacts AND the cube-cube contact must be live
+    assert (0, 1) in touching, f"convex-convex contact lost: {touching}"
+    assert any(2 in p for p in touching), f"ground contact lost: {touching}"
+
+    # and the stack must rest, not fall through
+    solver = SolverXPBD(m, iterations=4)
+    s, ctrl = m.state(), m.control()
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, pipe.collide(s), 1 / 240.), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+
+    for _ in range(90):
+        s = frame(s)
+    z = np.asarray(s.body_q)[:, 2]
+    assert np.isfinite(np.asarray(s.body_q)).all()
+    np.testing.assert_allclose(z, zs, atol=0.08)

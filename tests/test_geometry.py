@@ -369,3 +369,102 @@ def test_raycast_model_mesh_exact():
     assert abs(float(t[0]) - 1.5) < 1e-3, f"t={float(t[0])}"
     assert int(shape[0]) == 0
     np.testing.assert_allclose(np.asarray(n[0]), [0, 0, 1], atol=1e-3)
+
+
+# ----------------------------------------------------------------------
+# generic support-map MPR pairs (geometry/support.py; reference
+# support_function.py:49 routes any convex pair instead of skipping)
+# ----------------------------------------------------------------------
+
+def test_support_mpr_cone_box():
+    from newton_tpu.geometry.narrow_phase import contact_fn_for
+    from newton_tpu.geometry.types import GeoType
+    B, CO = int(GeoType.BOX), int(GeoType.CONE)
+    fn, swapped, k = contact_fn_for(CO, B)
+    assert fn is not None and swapped  # canonicalized to (BOX, CONE)
+    # cone r=0.3 h=0.25, center z=0.7 -> base plane z=0.45; box top z=0.5
+    pos, nrm, dep = fn(xf([0, 0, 0]), xf([0, 0, 0.7]),
+                       s3([0.5, 0.5, 0.5]), s3([0.3, 0.25, 0.0]))
+    d = np.asarray(dep[0])
+    assert d.max() == pytest.approx(0.05, abs=1e-3)
+    np.testing.assert_allclose(np.asarray(nrm[0, 0]), [0, 0, 1], atol=1e-3)
+    # manifold points sit on the contact plane, on the base rim circle
+    p = np.asarray(pos[0])[d > 0]
+    np.testing.assert_allclose(p[:, 2], 0.475, atol=1e-3)
+    rr = np.linalg.norm(p[:, :2], axis=-1)
+    assert (rr < 0.3 + 1e-3).all()
+
+
+def test_support_mpr_ellipsoid_box_and_cylinder_cone():
+    from newton_tpu.geometry.narrow_phase import contact_fn_for
+    from newton_tpu.geometry.types import GeoType
+    B, E = int(GeoType.BOX), int(GeoType.ELLIPSOID)
+    CY, CO = int(GeoType.CYLINDER), int(GeoType.CONE)
+    # ellipsoid radii (0.2, 0.3, 0.4) center z=0.85 above box top z=0.5
+    fn, swapped, k = contact_fn_for(E, B)
+    assert fn is not None
+    X_e, X_b = xf([0, 0, 0.85]), xf([0, 0, 0])
+    s_e, s_b = s3([0.2, 0.3, 0.4]), s3([0.5, 0.5, 0.5])
+    a = (X_b, X_e, s_b, s_e) if swapped else (X_e, X_b, s_e, s_b)
+    pos, nrm, dep = fn(*a)
+    d = np.asarray(dep[0])
+    assert d.max() == pytest.approx(0.05, abs=2e-3)
+    nz = np.asarray(nrm[0, 0, 2])
+    # normal along z, from the canonical-first shape toward the second
+    assert abs(nz) == pytest.approx(1.0, abs=1e-3)
+    # cylinder (r=.3 h=.2) under cone (r=.3 h=.2): base-on-cap overlap
+    fn2, swapped2, _ = contact_fn_for(CY, CO)
+    assert fn2 is not None
+    X_cy, X_co = xf([0, 0, 0.2]), xf([0, 0, 0.55])
+    s_c = s3([0.3, 0.2, 0.0])
+    a2 = (X_cy, X_co, s_c, s_c) if not swapped2 else (X_co, X_cy, s_c, s_c)
+    pos2, nrm2, dep2 = fn2(*a2)
+    assert np.asarray(dep2[0]).max() == pytest.approx(0.05, abs=2e-3)
+
+
+def test_no_skipped_primitive_pairs():
+    """Every primitive type pair resolves to a contact function — the
+    'collision pairs skipped' warning can only fire for GAUSSIAN/NONE
+    (VERDICT r3 item #4)."""
+    from newton_tpu.geometry.narrow_phase import contact_fn_for
+    from newton_tpu.geometry.types import GeoType
+    prims = [GeoType.PLANE, GeoType.SPHERE, GeoType.BOX, GeoType.CAPSULE,
+             GeoType.CYLINDER, GeoType.CONE, GeoType.ELLIPSOID]
+    for t0 in prims:
+        for t1 in prims:
+            if t0 == GeoType.PLANE and t1 == GeoType.PLANE:
+                continue
+            fn, _, _ = contact_fn_for(int(t0), int(t1))
+            assert fn is not None, (t0, t1)
+
+
+def test_cone_stack_rests():
+    """A cone resting base-down on a box settles (support-MPR end to end)."""
+    from newton_tpu.sim.collide import CollisionPipeline
+    from newton_tpu.solvers import SolverXPBD
+    b = nt.ModelBuilder()
+    base = b.add_body(xform=[0, 0, 0.25, 0, 0, 0, 1])
+    b.add_shape_box(base, hx=0.5, hy=0.5, hz=0.25)
+    b.add_joint_free(base)
+    cone = b.add_body(xform=[0, 0, 0.75, 0, 0, 0, 1])
+    b.add_shape_cone(cone, radius=0.3, half_height=0.25)
+    b.add_joint_free(cone)
+    b.add_ground_plane()
+    m = b.finalize()
+    pipe = CollisionPipeline(m)
+    solver = SolverXPBD(m, iterations=4)
+    s, ctrl, dt = m.state(), m.control(), 1.0 / 240.0
+
+    @jax.jit
+    def frame(s):
+        def sub(s, _):
+            return solver.step(s, None, ctrl, pipe.collide(s), dt), None
+        return jax.lax.scan(sub, s, None, length=4)[0]
+
+    for _ in range(90):
+        s = frame(s)
+    bq = np.asarray(s.body_q)
+    assert np.isfinite(bq).all()
+    assert bq[1, 2] == pytest.approx(0.75, abs=0.06), f"cone sank: {bq[1, 2]}"
+    # still upright
+    assert abs(bq[1, 3]) < 0.1 and abs(bq[1, 4]) < 0.1
