@@ -101,7 +101,7 @@ def bench_robot(args):
         solver.step_batched = jax.vmap(
             solver.step, in_axes=(0, None, 0, 0, None))
     else:
-        solver = SolverMuJoCo(model, iterations=8)
+        solver = SolverMuJoCo(model, iterations=8, integrator="euler")
     state1 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
     control = model.control()
     state = batch_state(state1, args.worlds)

@@ -28,7 +28,7 @@ class Example:
         robot.add_mjcf(_ASSET)
         self.model = robot.finalize()
         self.pipeline = CollisionPipeline(self.model)
-        self.solver = SolverMuJoCo(self.model, iterations=4)
+        self.solver = SolverMuJoCo(self.model, iterations=4, integrator="euler")
         s1 = eval_fk(self.model, self.model.joint_q0, self.model.joint_qd0,
                      self.model.state())
         self.state = batch_state(s1, self.worlds)

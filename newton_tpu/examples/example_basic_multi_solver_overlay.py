@@ -27,7 +27,7 @@ class Example:
         self.pipeline = CollisionPipeline(self.model)
         self.solvers = [
             ("xpbd", SolverXPBD(self.model, iterations=4)),
-            ("pgs", SolverMuJoCo(self.model, iterations=8)),
+            ("pgs", SolverMuJoCo(self.model, iterations=8, integrator="euler")),
             ("vbd", SolverVBD(self.model, iterations=6)),
         ]
         self.states = [self.model.state() for _ in self.solvers]

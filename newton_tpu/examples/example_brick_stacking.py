@@ -38,7 +38,7 @@ class Example:
         builder.add_ground_plane()
         self.model = builder.finalize()
         self.pipeline = CollisionPipeline(self.model)
-        self.solver = SolverMuJoCo(self.model, iterations=10)
+        self.solver = SolverMuJoCo(self.model, iterations=10, integrator="euler")
         self.state = self.model.state()
         self.sim_dt = 1.0 / 240.0
         self.substeps = 4

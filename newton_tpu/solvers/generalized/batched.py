@@ -881,6 +881,11 @@ def supports_batched_fast_path(solver) -> bool:
         return False    # Newton QP contact solve runs via the vmapped path
     if getattr(solver, "use_admm", False):
         return False    # Kamino's ADMM contact solve is per-env (vmapped)
+    if getattr(solver, "integrator", "euler") != "euler":
+        # implicitfast/implicit damping matrices and RK4 stages are
+        # implemented in SolverFeatherstone.step; they run correct-but-
+        # vmapped (the transposed fast path hardcodes the euler update)
+        return False
     # multi-articulation worlds iterate rows (unrolled): bound the unroll
     # so compile time stays sane; very crowded worlds take the vmapped path
     return sum(g.n for g in solver.gc.groups) <= 32
@@ -940,8 +945,8 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
         ctrl_t = control_b.custom["mjc:ctrl"].T              # (A, W)
         act_t = state_b.custom.get("mjc:act")
         act_t = act_t.T if act_t is not None else None
-        tau_a, act_new_t, _ = actuator_forces(au, model, q_t, qd_t,
-                                              ctrl_t, act_t, dt)
+        tau_a, act_new_t, _, act_dfdv = actuator_forces(au, model, q_t, qd_t,
+                                                        ctrl_t, act_t, dt)
         tau = tau + tau_a
         if act_new_t is not None:
             new_custom["mjc:act"] = act_new_t.T

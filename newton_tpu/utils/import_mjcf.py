@@ -327,6 +327,35 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
             half_h = 0.5 * length
 
         key = pre + name if name else None
+        # MuJoCo geom ``mass`` overrides density: convert to an equivalent
+        # density so the builder's inertia accumulation stays one code path
+        # (MuJoCo does the same internally: density = mass / volume)
+        mass_attr = a.get("mass")
+        if mass_attr is not None:
+            m_val = float(mass_attr)
+            hh = half_h if half_h is not None else float(size[1])
+            r = float(size[0])
+            if gtype == "sphere":
+                vol = 4.0 / 3.0 * math.pi * r ** 3
+            elif gtype == "capsule":
+                vol = math.pi * r * r * (2.0 * hh) \
+                    + 4.0 / 3.0 * math.pi * r ** 3
+            elif gtype == "cylinder":
+                vol = math.pi * r * r * (2.0 * hh)
+            elif gtype == "box":
+                vol = 8.0 * float(size[0]) * float(size[1]) * float(size[2])
+            elif gtype == "ellipsoid":
+                vol = (4.0 / 3.0 * math.pi * float(size[0])
+                       * float(size[1]) * float(size[2]))
+            elif gtype == "mesh" and meshes.get(a.get("mesh", "")) is not None:
+                from ..geometry.inertia import compute_mesh_inertia
+                msh = meshes[a.get("mesh", "")]
+                vol = float(compute_mesh_inertia(
+                    1.0, msh.vertices, msh.indices)[0])
+            else:
+                vol = 0.0
+            if vol > 1e-12 and m_val > 0.0:
+                cfg.density = m_val / vol
         if gtype == "plane":
             s = builder.add_shape_plane(body_idx, xform=xf, cfg=cfg, key=key)
         elif gtype == "sphere":

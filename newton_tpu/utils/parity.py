@@ -48,17 +48,25 @@ def mujoco_rollout(xml: str, n_steps: int,
                    qfrc: Optional[np.ndarray] = None,
                    ctrl: Optional[np.ndarray] = None,
                    qpos0: Optional[np.ndarray] = None,
-                   qvel0: Optional[np.ndarray] = None) -> MuJoCoRollout:
-    """Roll a scene through MuJoCo-C with the Euler integrator.
+                   qvel0: Optional[np.ndarray] = None,
+                   integrator: str = "euler") -> MuJoCoRollout:
+    """Roll a scene through MuJoCo-C.
 
     ``qfrc``: (T, nv) or (nv,) applied generalized force per step.
     ``ctrl``: (T, nu) or (nu,) actuator controls per step.
+    ``integrator``: euler | implicitfast | implicit | rk4 (the same family
+    the generalized solver honors).
     """
     import mujoco
 
     model = (mujoco.MjModel.from_xml_path(xml) if xml.endswith(".xml")
              else mujoco.MjModel.from_xml_string(xml))
-    model.opt.integrator = mujoco.mjtIntegrator.mjINT_EULER
+    model.opt.integrator = {
+        "euler": mujoco.mjtIntegrator.mjINT_EULER,
+        "implicitfast": mujoco.mjtIntegrator.mjINT_IMPLICITFAST,
+        "implicit": mujoco.mjtIntegrator.mjINT_IMPLICIT,
+        "rk4": mujoco.mjtIntegrator.mjINT_RK4,
+    }[integrator]
     data = mujoco.MjData(model)
     if qpos0 is not None:
         data.qpos[:] = qpos0
@@ -218,7 +226,11 @@ def newton_rollout(model, n_steps: int, dt: float,
 
     st = model.structure
     if solver is None:
-        solver = SolverMuJoCo(model, **(solver_kwargs or {}))
+        kw = dict(solver_kwargs or {})
+        # pin the integrator for apples-to-apples with mujoco_rollout's
+        # default (SolverMuJoCo's "auto" would honor the asset's choice)
+        kw.setdefault("integrator", "euler")
+        solver = SolverMuJoCo(model, **kw)
     state = model.state()
     control = model.control()
     qref = qpos_ref(model)

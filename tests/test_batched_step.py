@@ -229,11 +229,20 @@ def test_fast_path_coverage(ant):
         supports_batched_fast_path)
     from newton_tpu.solvers.generalized.solver import SolverFeatherstone
     model = ant.model
-    assert supports_batched_fast_path(SolverMuJoCo(model, iterations=2))
+    assert supports_batched_fast_path(
+        SolverMuJoCo(model, iterations=2, integrator="euler"))
     assert supports_batched_fast_path(
         SolverFeatherstone(model, sleep_threshold=1e-3))
     assert not supports_batched_fast_path(
         SolverFeatherstone(model, contact_solver="newton"))
+    # gym's ant.xml declares integrator="RK4": "auto" honors it (with a
+    # perf warning) and RK4 runs correct-but-vmapped
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        s_auto = SolverMuJoCo(model, iterations=2)
+    assert s_auto.integrator == "rk4"
+    assert not supports_batched_fast_path(s_auto)
 
 
 def test_sleep_parity_batched(ant):

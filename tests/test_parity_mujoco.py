@@ -270,3 +270,95 @@ def test_planar_robot_parity_with_contacts(xml, rms_tol):
     f_mj = np.mean(mj.contact_normal_force[-10:])
     f_nt = np.mean(nt.contact_normal_force[-10:])
     assert abs(f_mj - f_nt) < 0.1 * max(f_mj, 1.0), (f_mj, f_nt)
+
+
+# ----------------------------------------------------------------------
+# integrator family parity (reference solver_mujoco.py:613-614 honors
+# euler / rk4 / implicit / implicitfast; VERDICT r3 item #2)
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("integ,tol", [
+    ("euler", 5e-5), ("implicitfast", 5e-5), ("implicit", 5e-5),
+    ("rk4", 1e-5)])
+def test_double_pendulum_integrator_parity(integ, tol):
+    """Each integrator must match MuJoCo-C's SAME integrator — and the
+    implicit/rk4 trajectories genuinely differ from euler (Coriolis
+    derivative / 4th-order accuracy), so passing all four pins the family,
+    not just one code path."""
+    T, dt = 200, 0.002
+    q0 = np.array([1.2, 0.5])
+    mj = P.mujoco_rollout(DOUBLE, T, qpos0=q0, integrator=integ)
+    model, _ = P.build_newton_model(DOUBLE)
+    nt = P.newton_rollout(model, T, dt, qpos0_mj=q0, collide=False,
+                          solver_kwargs={"integrator": integ})
+    err = np.abs(mj.qpos - nt.qpos).max()
+    assert err < tol, f"double pendulum [{integ}] deviates by {err} rad"
+    if integ in ("implicit", "rk4"):
+        mj_e = P.mujoco_rollout(DOUBLE, T, qpos0=q0, integrator="euler")
+        assert np.abs(mj.qpos - mj_e.qpos).max() > 10 * tol, \
+            "test scene too tame: integrators indistinguishable"
+
+
+TENDON_DAMPED = """
+<mujoco model="tendon_damped">
+  <option gravity="0 0 -9.81" timestep="0.005"/>
+  <worldbody>
+    <body name="a" pos="0 0 1">
+      <joint name="s1" type="slide" axis="1 0 0"/>
+      <geom type="sphere" size="0.05" mass="0.3"/>
+      <body name="b" pos="0.4 0 0">
+        <joint name="s2" type="slide" axis="1 0 0"/>
+        <geom type="sphere" size="0.05" mass="0.2"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <fixed name="t" stiffness="40" damping="28">
+      <joint joint="s1" coef="1"/>
+      <joint joint="s2" coef="-1"/>
+    </fixed>
+  </tendon>
+</mujoco>
+"""
+
+
+def test_tendon_damping_implicitfast_parity():
+    """Tendon damping stiff enough that the explicit (euler) update is
+    UNSTABLE (kd*dt*c M^-1 c' > 1 — MuJoCo-C euler diverges and auto-resets
+    here too): implicitfast must stay stable and track MuJoCo-C
+    implicitfast, which integrates the tendon kd outer-product implicitly.
+    This is the capability the integrator buys."""
+    T, dt = 150, 0.005
+    q0 = np.array([0.2, -0.1])
+    model, _ = P.build_newton_model(TENDON_DAMPED)
+    mj_if = P.mujoco_rollout(TENDON_DAMPED, T, qpos0=q0,
+                             integrator="implicitfast")
+    nt_if = P.newton_rollout(model, T, dt, qpos0_mj=q0, collide=False,
+                             solver_kwargs={"integrator": "implicitfast"})
+    err = np.abs(mj_if.qpos - nt_if.qpos).max()
+    assert err < 2e-4, f"implicitfast tendon damping deviates by {err}"
+    # settled: the damped tendon dissipates the initial stretch
+    assert np.abs(nt_if.qvel[-1]).max() < 0.2
+    # euler cross-check at a damping level where the explicit update is
+    # stable (kd*dt*(1/m1+1/m2) < 1): both engines treat it explicitly
+    mild = TENDON_DAMPED.replace('damping="28"', 'damping="8"')
+    model_m, _ = P.build_newton_model(mild)
+    mj_e = P.mujoco_rollout(mild, T, qpos0=q0, integrator="euler")
+    nt_e = P.newton_rollout(model_m, T, dt, qpos0_mj=q0, collide=False,
+                            solver_kwargs={"integrator": "euler"})
+    err_e = np.abs(mj_e.qpos - nt_e.qpos).max()
+    assert err_e < 2e-4, f"euler tendon damping deviates by {err_e}"
+
+
+def test_mjcf_option_integrator_honored():
+    """<option integrator="implicitfast"> flows importer -> structure ->
+    SolverMuJoCo(integrator="auto")."""
+    from newton_tpu.solvers import SolverMuJoCo
+    xml = DOUBLE.replace('timestep="0.002"',
+                         'timestep="0.002" integrator="implicitfast"')
+    model, _ = P.build_newton_model(xml)
+    assert model.structure.mjc_options.get("integrator") == "implicitfast"
+    s = SolverMuJoCo(model)
+    assert s.integrator == "implicitfast"
+    s2 = SolverMuJoCo(model, integrator="rk4")
+    assert s2.integrator == "rk4"

@@ -14,7 +14,7 @@ asset = "/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/assets/ant
 robot = nt.ModelBuilder(); robot.add_mjcf(asset)
 model = robot.finalize()
 pipeline = CollisionPipeline(model)
-solver = SolverMuJoCo(model, iterations=8)
+solver = SolverMuJoCo(model, iterations=8, integrator="euler")
 state1 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
 control = model.control()
 dt = 1/240.

@@ -17,7 +17,7 @@ b.add_mjcf("/opt/venv/lib/python3.12/site-packages/gymnasium/envs/mujoco/"
            "assets/ant.xml")
 m = b.finalize()
 pipe = CollisionPipeline(m)
-solver = SolverMuJoCo(m, iterations=8)
+solver = SolverMuJoCo(m, iterations=8, integrator="euler")
 s1 = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
 sW = batch_state(s1, W)
 dt = 1.0 / 240.0

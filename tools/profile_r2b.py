@@ -47,7 +47,7 @@ def timeit(name, stage):
 
 
 for iters in (1, 4, 8):
-    solver = SolverMuJoCo(m, iterations=iters)
+    solver = SolverMuJoCo(m, iterations=iters, integrator="euler")
     timeit(f"substep iters={iters}",
            lambda s, sv=solver: sv.step(s, None, ctrl, pipe.collide(s),
                                         1 / 240.))

@@ -10,7 +10,7 @@ robot = nt.ModelBuilder(); robot.add_mjcf("/opt/venv/lib/python3.12/site-package
 scene = nt.ModelBuilder(); scene.replicate(robot, W)
 t0=time.time(); model = scene.finalize(); print("finalize s:", round(time.time()-t0,1), flush=True)
 pipe = CollisionPipeline(model)
-solver = SolverMuJoCo(model, iterations=8)
+solver = SolverMuJoCo(model, iterations=8, integrator="euler")
 state = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
 ctrl = model.control()
 gc = get_generalized_cache(model.structure)
