@@ -104,28 +104,51 @@ def bench_robot(args):
         solver = SolverMuJoCo(model, iterations=8, integrator="euler")
     state1 = eval_fk(model, model.joint_q0, model.joint_qd0, model.state())
     control = model.control()
-    state = batch_state(state1, args.worlds)
     dt = 1.0 / 240.0
 
+    dtype = state1.joint_q.dtype
     D = model.joint_dof_count
-    gear = model.custom.get("mjc:actuator_gear",
-                            jnp.zeros((D,), dtype=state1.joint_q.dtype))
-    # sample within the model's ctrlrange (reference KPI randomizes inside
-    # ctrlrange, bench_mujoco.py)
-    cr_lo = jnp.clip(model.custom.get(
-        "mjc:actuator_ctrlrange_lo", -jnp.ones((D,))), -1.0, 0.0)
-    cr_hi = jnp.clip(model.custom.get(
-        "mjc:actuator_ctrlrange_hi", jnp.ones((D,))), 0.0, 1.0)
+    au = getattr(model.structure, "mjc_actuation", None)
+    # structured actuation is the honest KPI: ctrl flows through the full
+    # gain/bias/dyntype (and muscle, for adroit) pipeline exactly like the
+    # reference drives mjw_data.ctrl (bench_mujoco.py). --actuation direct
+    # keeps the old joint_f = ctrl*gear shortcut for delta measurement.
+    use_mjc = (args.actuation == "mjc" and au is not None and au.n > 0
+               and args.solver == "generalized")
+    if use_mjc:
+        A = au.n
+        cr = np.asarray(au.ctrlrange)
+        lim = np.asarray(au.ctrllimited)
+        cr_lo = jnp.asarray(np.where(lim, cr[:, 0], -1.0), dtype)
+        cr_hi = jnp.asarray(np.where(lim, cr[:, 1], 1.0), dtype)
+        if au.has_act:
+            state1 = state1.replace(custom={
+                **state1.custom, "mjc:act": jnp.zeros((A,), dtype)})
+    else:
+        A = D
+        gear = model.custom.get("mjc:actuator_gear",
+                                jnp.zeros((D,), dtype=dtype))
+        cr_lo = jnp.clip(model.custom.get(
+            "mjc:actuator_ctrlrange_lo", -jnp.ones((D,))), -1.0, 0.0)
+        cr_hi = jnp.clip(model.custom.get(
+            "mjc:actuator_ctrlrange_hi", jnp.ones((D,))), 0.0, 1.0)
+    state = batch_state(state1, args.worlds)
+
+    def make_controls(ctrl_vec):
+        if use_mjc:
+            return jax.vmap(lambda cv: control.replace(custom={
+                **control.custom, "mjc:ctrl": cv}))(ctrl_vec)
+        return jax.vmap(lambda f: control.replace(joint_f=f))(
+            ctrl_vec * gear[None, :])
 
     def frame(carry, _):
         state, key = carry
         key, sub = jax.random.split(key)
-        u = jax.random.uniform(sub, (args.worlds, D))
+        u = jax.random.uniform(sub, (args.worlds, A), dtype=dtype)
         ctrl_vec = cr_lo[None] + u * (cr_hi - cr_lo)[None]
 
         def substep(s, _):
-            ctl = jax.vmap(lambda f: control.replace(joint_f=f))(
-                ctrl_vec * gear[None, :])
+            ctl = make_controls(ctrl_vec)
             c = jax.vmap(pipeline.collide)(s)
             # transposed-SoA batched step: env axis on the TPU lanes
             # (solvers/generalized/batched.py; 4.3x over vmapped per-env)
@@ -189,8 +212,10 @@ def bench_robot(args):
         "value": round(throughput, 1),
         "unit": "env-steps/s",
         # vs_baseline: no published reference numbers in-repo (BASELINE.md);
-        # ratio vs the BASELINE.json north-star placeholder 1e6
+        # ratio vs the BASELINE.json north-star PLACEHOLDER of 1e6
+        # env-steps/s — NOT a measured reference-engine number
         "vs_baseline": round(throughput / 1.0e6, 4),
+        "baseline_kind": "placeholder_1e6_env_steps_per_s",
         "worlds": args.worlds,
         "frames": frames,
         "substeps": args.substeps,
@@ -201,6 +226,7 @@ def bench_robot(args):
         "p95_frame_ms": round(p95_frame_ms, 3),
         "device_mem_mb": mem_mb,
         "solver_iterations": 8,
+        "actuation": "mjc" if use_mjc else "direct",
     }, True)
 
 
@@ -366,6 +392,11 @@ def main():
     ap.add_argument("--robot", default="ant")
     ap.add_argument("--solver", default="generalized",
                     choices=["generalized", "xpbd"])
+    ap.add_argument("--actuation", default="mjc",
+                    choices=["mjc", "direct"],
+                    help="mjc: full gain/bias/dyntype actuator pipeline "
+                         "(the reference KPI drives ctrl); direct: legacy "
+                         "joint_f = ctrl*gear shortcut")
     ap.add_argument("--mode", default="robot",
                     choices=["robot", "cloth", "mpm", "ik"])
     ap.add_argument("--cloth-dim", type=int, default=100)

@@ -25,8 +25,12 @@ __all__ = ["compute_shape_aabbs", "BroadPhaseAllPairs", "BroadPhaseSAP",
 
 def compute_shape_aabbs(model, state, margin: float = 0.0):
     """World-space AABBs for all shapes (reference: collide.py:1357 fused
-    AABB kernel). Conservative: centers +- (collision radius + margin);
-    exact extents for spheres/boxes."""
+    AABB kernel). Exact per-type extents for primitives (box: |R| @ half;
+    capsule/cylinder/cone: axis-projected; ellipsoid: row-norm of R*S);
+    conservative collision-radius bounds for mesh/convex/heightfield and
+    planes. Shape types are static, so the per-type extents are where-
+    selected branch-free."""
+    from ..math import quat_to_matrix
     st = model.structure
     dtype = state.body_q.dtype
     sb = st.shape_body
@@ -38,9 +42,34 @@ def compute_shape_aabbs(model, state, margin: float = 0.0):
         X_body = jnp.broadcast_to(identity, (st.shape_count, 7))
     X_ws = transform_multiply(X_body, model.shape_transform)
     center = X_ws[:, 0:3]
-    r = model.shape_collision_radius + margin
-    lo = center - r[:, None]
-    hi = center + r[:, None]
+    r_bound = model.shape_collision_radius                     # (S,)
+    t = np.asarray(st.shape_type)
+    s = model.shape_scale                                      # (S, 3)
+    R = quat_to_matrix(X_ws[:, 3:7])                           # (S, 3, 3)
+    absR = jnp.abs(R)
+    az = jnp.abs(R[:, :, 2])                                   # |world z-axis|
+    r0 = s[:, 0:1]
+    hh = s[:, 1:2]
+    ext_sphere = jnp.broadcast_to(r0, center.shape)
+    ext_box = jnp.einsum("sij,sj->si", absR, s)
+    ext_capsule = az * hh + r0
+    # cylinder/cone: hh along the axis, radius in the orthogonal plane
+    ext_cyl = az * hh + jnp.sqrt(jnp.maximum(1.0 - az * az, 0.0)) * r0
+    ext_ell = jnp.sqrt(jnp.einsum("sij,sj->si", R * R, s * s))
+    ext_rad = jnp.broadcast_to(r_bound[:, None], center.shape)
+
+    def m(gt):
+        return jnp.asarray(t == int(gt))[:, None]
+
+    ext = ext_rad
+    ext = jnp.where(m(GeoType.SPHERE), ext_sphere, ext)
+    ext = jnp.where(m(GeoType.BOX), ext_box, ext)
+    ext = jnp.where(m(GeoType.CAPSULE), ext_capsule, ext)
+    ext = jnp.where(m(GeoType.CYLINDER) | m(GeoType.CONE), ext_cyl, ext)
+    ext = jnp.where(m(GeoType.ELLIPSOID), ext_ell, ext)
+    ext = ext + margin
+    lo = center - ext
+    hi = center + ext
     return lo, hi, X_ws
 
 

@@ -328,25 +328,22 @@ class CollisionPipeline:
         model = self.model
         dtype = state.body_q.dtype
         st = model.structure
-        sb = st.shape_body
-        body_idx = np.maximum(sb, 0)
-        is_static = jnp.asarray(sb < 0)[:, None]
-        X_body = jnp.where(is_static,
-                           jnp.zeros((7,), dtype=dtype).at[6].set(1.0),
-                           state.body_q[body_idx])
-        X_ws = transform_multiply(X_body, model.shape_transform)
         margin = self.rigid_contact_margin
+        # exact per-type AABBs from the broad-phase module: tighter culling
+        # than center-distance for elongated shapes in clustered scenes
+        # (reference runs its AABB kernel before every broad phase,
+        # collide.py:1357)
+        from ..geometry.broad_phase import compute_shape_aabbs
+        lo_s, hi_s, X_ws = compute_shape_aabbs(model, state, margin)
 
         dropped = jnp.zeros((), dtype=jnp.int32)
         samples_dropped = jnp.zeros((), dtype=jnp.int32)
         for pc in self.classes:
             i0s, i1s = pc.shape0, pc.shape1              # static (n_c,)
-            c0 = X_ws[i0s][:, 0:3]
-            c1 = X_ws[i1s][:, 0:3]
             if pc.plane_side is not None:
                 # signed height of the finite shape's center above the
-                # plane (local +Z), not center-to-center distance — the
-                # plane's authored origin is arbitrary for an infinite plane
+                # plane (local +Z), not AABB overlap — the plane's authored
+                # origin is arbitrary for an infinite plane
                 pl, other = ((i0s, i1s) if pc.plane_side == 0
                              else (i1s, i0s))
                 from ..math import quat_rotate as _qr
@@ -355,15 +352,16 @@ class CollisionPipeline:
                 h = jnp.sum(n_w * (X_ws[other][:, 0:3] - X_ws[pl][:, 0:3]),
                             axis=-1)
                 rsum = model.shape_collision_radius[other] + margin
-                dist = h
+                near = h < rsum
+                score = jnp.where(near, rsum - h, -jnp.inf)
             else:
-                rsum = (model.shape_collision_radius[i0s]
-                        + model.shape_collision_radius[i1s] + margin)
-                dist = jnp.linalg.norm(c1 - c0, axis=-1)
-            near = dist < rsum
+                ov = (jnp.minimum(hi_s[i1s], hi_s[i0s])
+                      - jnp.maximum(lo_s[i1s], lo_s[i0s]))   # (n_c, 3)
+                sep = jnp.min(ov, axis=-1)   # > 0 when AABBs overlap
+                near = sep > 0.0
+                score = jnp.where(near, sep, -jnp.inf)
             n_near = jnp.sum(near.astype(jnp.int32))
             dropped = dropped + jnp.maximum(n_near - pc.cap, 0)
-            score = jnp.where(near, rsum - dist, -jnp.inf)
             _, sel = jax.lax.top_k(score, pc.cap)        # (cap,) traced
             i0 = jnp.asarray(i0s)[sel]
             i1 = jnp.asarray(i1s)[sel]

@@ -716,10 +716,11 @@ class SolverFeatherstone(SolverBase):
             out = out.replace(custom={**out.custom, "mjc:act": act_new})
 
         if self.sleep_threshold > 0.0:
-            if f"sleep:count:0" not in state_in.custom:
-                raise ValueError(
-                    "sleeping enabled: initialize the state with "
-                    "solver.init_state(state) to allocate sleep counters")
+            if "sleep:count:0" not in state_in.custom:
+                # lazy counter allocation: zeros have static shapes, so
+                # seeding them here is jit-safe; the output state carries
+                # them forward (init_state remains the explicit alternative)
+                state_in = self.init_state(state_in)
             out = self._apply_sleep(model, state_in, out, control)
         return out
 
