@@ -96,6 +96,7 @@ EXAMPLES = {
     "cable_y_junction":
         "newton_tpu.examples.example_cable_y_junction",
     "robot_hand": "newton_tpu.examples.example_robot_hand",
+    "tendon_finger": "newton_tpu.examples.example_tendon_finger",
     "robot_kitchen": "newton_tpu.examples.example_robot_kitchen",
     "nut_bolt_sdf": "newton_tpu.examples.example_nut_bolt_sdf",
     "gripper_soft": "newton_tpu.examples.example_gripper_soft",

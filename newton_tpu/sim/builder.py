@@ -324,6 +324,14 @@ class ModelBuilder:
         self.tendon_params: List[Tuple[float, float, float]] = []  # ke,kd,L0
         self.tendon_key: List[str] = []
 
+        # spatial tendons: site-routed paths with sphere/cylinder wrap geoms
+        # (reference: MJCF <spatial> tendons incl. wrap arrays,
+        # newton/_src/utils/import_mjcf.py:2865-2868; path solve in
+        # sim/tendon.py)
+        self.sten_paths: List["SpatialTendonPath"] = []
+        self.sten_params: List[Tuple[float, float, float]] = []  # ke,kd,L0
+        self.sten_key: List[str] = []
+
         # muscles (reference: builder.py:6303)
         self.muscle_start: List[int] = []
         self.muscle_params: List[Tuple[float, float, float, float, float]] = []
@@ -600,6 +608,35 @@ class ModelBuilder:
         self.edge_bending_properties += list(o.edge_bending_properties) * count
         self.tet_poses += rep_list(o.tet_poses)
         self.tet_materials += list(o.tet_materials) * count
+
+        # tendons & muscles (indices offset per replica)
+        for i in range(count):
+            joff = j0 + i * nj
+            boff = b0 + i * nb
+            for js, cs, prm, k in zip(o.tendon_joints, o.tendon_coefs,
+                                      o.tendon_params, o.tendon_key):
+                self.tendon_joints.append([j + joff for j in js])
+                self.tendon_coefs.append(list(cs))
+                self.tendon_params.append(prm)
+                self.tendon_key.append(k)
+            for path, prm, k in zip(o.sten_paths, o.sten_params, o.sten_key):
+                from .tendon import SpatialTendonPath
+                elems = [(e[0], (e[1] + boff if e[1] >= 0 else -1), *e[2:])
+                         for e in path.elems]
+                self.sten_paths.append(SpatialTendonPath(elems))
+                self.sten_params.append(prm)
+                self.sten_key.append(k)
+            for mi in range(len(o.muscle_params)):
+                s, e = o.muscle_start[mi], (
+                    o.muscle_start[mi + 1] if mi + 1 < len(o.muscle_start)
+                    else len(o.muscle_bodies))
+                self.muscle_start.append(len(self.muscle_bodies))
+                self.muscle_params.append(o.muscle_params[mi])
+                self.muscle_activations.append(o.muscle_activations[mi])
+                for w in range(s, e):
+                    mb = o.muscle_bodies[w]
+                    self.muscle_bodies.append(mb + boff if mb >= 0 else -1)
+                    self.muscle_points.append(o.muscle_points[w].copy())
 
         # equality constraints
         for i in range(count):
@@ -1586,6 +1623,33 @@ class ModelBuilder:
         self.tendon_key.append(key or f"tendon_{idx}")
         return idx
 
+    def add_tendon_spatial(self, elems: Sequence[tuple],
+                           stiffness: float = 0.0, damping: float = 0.0,
+                           rest_length: Optional[float] = None,
+                           key: Optional[str] = None) -> int:
+        """Spatial tendon routed through body-frame sites with optional
+        sphere/cylinder wrap geoms (MuJoCo <spatial> semantics; reference
+        carries tendon_wrap_* arrays, import_mjcf.py:2865-2868).
+
+        ``elems`` is a path-ordered sequence of tuples:
+            ("site", body, pos)
+            ("sphere", body, pos, radius, side_or_None)
+            ("cylinder", body, pos, axis, radius, side_or_None)
+        The path length, wrap routing and moment arms are evaluated inside
+        the jitted step (sim/tendon.py); passive force is
+        ``-ke (L - L0) - kd Ldot`` mapped through the moment arms, and
+        actuators can target the tendon via the MJCF importer.
+        ``rest_length=None`` computes L0 from the build pose at finalize.
+        """
+        from .tendon import SpatialTendonPath
+        idx = len(self.sten_params)
+        self.sten_paths.append(SpatialTendonPath(elems))
+        self.sten_params.append((float(stiffness), float(damping),
+                                 float("nan") if rest_length is None
+                                 else float(rest_length)))
+        self.sten_key.append(key or f"sten_{idx}")
+        return idx
+
     def add_equality_constraint(
         self, constraint_type: EqType,
         body1: int = -1, body2: int = -1,
@@ -2083,6 +2147,19 @@ class ModelBuilder:
             st.tendon_coord = np.zeros((0, 1), dtype=np.int32)
             st.tendon_dof = np.zeros((0, 1), dtype=np.int32)
             st.tendon_coef = np.zeros((0, 1))
+        # spatial tendons: static path descriptions; default rest lengths
+        # are the build-pose path lengths (MuJoCo springlength=-1 semantics)
+        st.sten_count = len(self.sten_params)
+        st.sten_paths = list(self.sten_paths)
+        st.sten_key = list(self.sten_key)
+        sten_params = np.asarray(self.sten_params,
+                                 dtype=np.float64).reshape(-1, 3)
+        if st.sten_count and np.isnan(sten_params[:, 2]).any():
+            from .tendon import spatial_tendon_rest_length
+            for t in range(st.sten_count):
+                if np.isnan(sten_params[t, 2]):
+                    sten_params[t, 2] = spatial_tendon_rest_length(
+                        st.sten_paths[t], self.body_q)
         # structured MuJoCo actuation tables (import_mjcf actuation="mjc");
         # consumed by the generalized solver's actuation stage
         st.mjc_actuation = getattr(self, "mjc_actuation", None)
@@ -2544,6 +2621,7 @@ class ModelBuilder:
             tet_poses=dev(np.stack(self.tet_poses) if self.tet_count else np.zeros((0, 3, 3))),
             tet_materials=dev(np.asarray(self.tet_materials).reshape(-1, 3)),
             tendon_params=dev(np.asarray(self.tendon_params).reshape(-1, 3)),
+            sten_params=dev(sten_params),
             muscle_params=dev(np.asarray(self.muscle_params).reshape(-1, 7)),
             muscle_bodies=dev_i(np.asarray(self.muscle_bodies, dtype=np.int32)),
             muscle_points=dev(np.asarray(self.muscle_points).reshape(-1, 3)),

@@ -273,6 +273,7 @@ class Model(struct.PyTreeNode):
 
     # --- muscles (reference: builder.py:6303 add_muscle) ---
     tendon_params: jnp.ndarray   # (T, 3) ke, kd, rest_length
+    sten_params: jnp.ndarray     # (Ts, 3) ke, kd, rest_length (spatial)
     muscle_params: jnp.ndarray  # (M, 7) f0 lm lt lmax pen passive_ke passive_kd    # (M, 5) f0, lm, lt, lmax, pen
     muscle_bodies: jnp.ndarray    # (Mw,) int32 waypoint body
     muscle_points: jnp.ndarray    # (Mw, 3) waypoint in body frame

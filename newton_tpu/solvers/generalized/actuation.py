@@ -53,7 +53,8 @@ class MJCActuation:
     tendon actuators have ``tendon >= 0`` and ``dof == -1``.
     """
 
-    __slots__ = ("n", "dof", "coord", "tendon", "gear", "dyntype", "dynprm",
+    __slots__ = ("n", "dof", "coord", "tendon", "sten", "gear",
+                 "dyntype", "dynprm",
                  "gaintype", "gainprm", "biastype", "biasprm",
                  "ctrlrange", "forcerange", "actrange",
                  "ctrllimited", "forcelimited", "actlimited",
@@ -65,6 +66,7 @@ class MJCActuation:
         self.dof = -np.ones(n, np.int32)
         self.coord = -np.ones(n, np.int32)
         self.tendon = -np.ones(n, np.int32)
+        self.sten = -np.ones(n, np.int32)       # spatial tendon transmission
         self.gear = np.ones(n, np.float64)
         self.dyntype = np.zeros(n, np.int32)
         self.dynprm = np.zeros((n, 3), np.float64)
@@ -179,7 +181,8 @@ def muscle_dynamics(ctrl, act, prm):
 # Forward actuation
 # ----------------------------------------------------------------------
 
-def actuator_forces(au: MJCActuation, model, q, qd, ctrl, act, dt):
+def actuator_forces(au: MJCActuation, model, q, qd, ctrl, act, dt,
+                    sten=None):
     """Compute generalized actuator torques and the next activation state.
 
     Layout-agnostic along the entity axis: ``q``/``qd`` may be flat
@@ -190,6 +193,9 @@ def actuator_forces(au: MJCActuation, model, q, qd, ctrl, act, dt):
     Args:
         ctrl: (A,) or (A, W) control (``control.custom["mjc:ctrl"]``).
         act: matching activation state or None.
+        sten: spatial-tendon transmission data (L, V, J) with L/V shaped
+            ``(Ts, ...)`` and J ``(Ts, D, ...)`` (from eval_spatial_tendons),
+            required when any ``au.sten >= 0``.
     Returns:
         (tau_delta like qd, act_new like act or None, force like ctrl,
         dfdv ∂force/∂velocity like ctrl — for the implicit integrators)
@@ -211,17 +217,24 @@ def actuator_forces(au: MJCActuation, model, q, qd, ctrl, act, dt):
     is_joint = itbl(au.dof >= 0)
 
     # transmission length/velocity
+    length = gear * q[coord]
+    velocity = gear * qd[dof]
     if (au.tendon >= 0).any():
         st = model.structure
         tc = tbl(np.asarray(st.tendon_coef))             # (T, K, 1?)
         t_len = jnp.sum(tc * q[st.tendon_coord], axis=1)
         t_vel = jnp.sum(tc * qd[st.tendon_dof], axis=1)
         tid = np.maximum(au.tendon, 0)
-        length = jnp.where(is_joint, gear * q[coord], t_len[tid])
-        velocity = jnp.where(is_joint, gear * qd[dof], t_vel[tid])
-    else:
-        length = gear * q[coord]
-        velocity = gear * qd[dof]
+        is_ten = itbl(au.tendon >= 0)
+        length = jnp.where(is_ten, t_len[tid], length)
+        velocity = jnp.where(is_ten, t_vel[tid], velocity)
+    if (au.sten >= 0).any() and sten is not None:
+        L_st, V_st, _ = sten
+        sid = np.maximum(au.sten, 0)
+        is_st = itbl(au.sten >= 0)
+        # MuJoCo tendon transmission: actuator length = gear * ten_length
+        length = jnp.where(is_st, gear * L_st[sid], length)
+        velocity = jnp.where(is_st, gear * V_st[sid], velocity)
 
     cr = np.asarray(au.ctrlrange)
     ctrl_c = jnp.where(itbl(au.ctrllimited),
@@ -296,6 +309,12 @@ def actuator_forces(au: MJCActuation, model, q, qd, ctrl, act, dt):
             coefs = tbl(np.asarray(st.tendon_coef[t]))
             dofs = np.asarray(st.tendon_dof[t])
             tau = tau.at[dofs].add(coefs * float(au.gear[a]) * force[a])
+    if (au.sten >= 0).any() and sten is not None:
+        # spatial tendon: scatter through the wrap-aware moment row
+        J_st = sten[2]                                   # (Ts, D, ...)
+        for a in np.nonzero(au.sten >= 0)[0]:
+            t = int(au.sten[a])
+            tau = tau + J_st[t] * (float(au.gear[a]) * force[a])[None]
 
     # activation dynamics (advance after force computation, MuJoCo order)
     act_new = None

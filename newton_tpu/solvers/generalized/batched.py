@@ -831,6 +831,37 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
 # public entry
 # ---------------------------------------------------------------------------
 
+def _solve_limits_t(solver, model, g, Minv, qd_g, q_t, dt, limit_plan):
+    """Transposed limits-only unilateral impulse solve — the counterpart of
+    SolverFeatherstone._solve_limits for steps where the contact system
+    doesn't run (contacts=None / zero slots). Lower/upper rows of one dof
+    merge into a single signed row (both can't be active at once)."""
+    dtype = qd_g.dtype
+    ld, lc = limit_plan
+    nl = len(ld)
+    di = g.dof_idx[0]
+    qv = q_t[g.coord_idx[0][lc]]                        # (nl, W)
+    lo = model.joint_limit_lower[di[ld]][:, None]
+    hi = model.joint_limit_upper[di[ld]][:, None]
+    act_lo = qv <= lo + 1e-4
+    act_hi = qv >= hi - 1e-4
+    active = act_lo | act_hi
+    s = jnp.where(act_lo, 1.0, -1.0).astype(dtype)      # (nl, W)
+    b = solver.baumgarte / dt * jnp.where(
+        act_lo, jnp.maximum(lo - qv, 0.0), jnp.maximum(qv - hi, 0.0))
+    Msub = Minv[ld[:, None], ld[None, :]]               # (nl, nl, W)
+    A = s[:, None, :] * Msub * s[None, :, :]
+    diag = A[np.arange(nl), np.arange(nl)] + solver.contact_reg
+    v_free = s * qd_g[ld]
+    lam = jnp.zeros_like(v_free)
+    omega = solver.contact_relaxation
+    for _ in range(solver.contact_iterations):
+        r = jnp.einsum("ijw,jw->iw", A, lam) + v_free - b
+        lam = jnp.maximum(lam - omega * r / diag, 0.0)
+        lam = jnp.where(active, lam, 0.0)
+    return qd_g + jnp.einsum("djw,jw->dw", Minv[:, ld], s * lam)
+
+
 class _GroupRow:
     """Single-articulation view of an ArticulationGroup row: the fast path
     iterates a multi-articulation group row by row (same (d, W) math per
@@ -935,6 +966,23 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
         )
     tau, kd_implicit = _applied_tau_t(solver, model, q_t, qd_t, control_t)
 
+    # spatial tendons: wrap-aware lengths/moment rows in the transposed
+    # layout (sim/tendon.py is layout-agnostic over trailing batch axes)
+    sten = None
+    if getattr(model.structure, "sten_count", 0):
+        from ...sim.tendon import eval_spatial_tendons
+        Ls, Js = eval_spatial_tendons(model.structure.sten_paths, bp, bq,
+                                      v_o, w_o, gc.anc)
+        L_st = jnp.stack(Ls)                             # (Ts, W)
+        J_st = jnp.stack(Js)                             # (Ts, D, W)
+        V_st = jnp.sum(J_st * qd_t[None], axis=1)        # (Ts, W)
+        ke_s = model.sten_params[:, 0:1]
+        kd_s = model.sten_params[:, 1:2]
+        L0_s = model.sten_params[:, 2:3]
+        f_s = -ke_s * (L_st - L0_s) - kd_s * V_st
+        tau = tau + jnp.sum(J_st * f_s[:, None, :], axis=0)
+        sten = (L_st, V_st, J_st)
+
     new_custom = dict(state_b.custom)
     # structured MuJoCo actuation (actuation.py): same tables as the per-env
     # path; the (A, W) layout rides the lanes like everything else here
@@ -946,7 +994,8 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
         act_t = state_b.custom.get("mjc:act")
         act_t = act_t.T if act_t is not None else None
         tau_a, act_new_t, _, act_dfdv = actuator_forces(au, model, q_t, qd_t,
-                                                        ctrl_t, act_t, dt)
+                                                        ctrl_t, act_t, dt,
+                                                        sten=sten)
         tau = tau + tau_a
         if act_new_t is not None:
             new_custom["mjc:act"] = act_new_t.T
@@ -985,8 +1034,10 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
             rhs = _mat_vec_t(M, qd_t[di]) + dt * tau_net[di]
             L = _chol_t(Mi)
             qd_g = _cho_solve_t(L, rhs)                  # (d, W)
+            has_lim = (solver.limit_mode == "constraint"
+                       and len(solver.limit_plans[gi][0]) > 0)
             Minv = None
-            if has_eq or has_ct:
+            if has_eq or has_ct or has_lim:
                 Minv = _cho_solve_t(
                     L, jnp.broadcast_to(eye, (g.d, g.d, W)))
             if has_ct:
@@ -1000,6 +1051,10 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
                     solver.limit_plans[gi]
                     if solver.limit_mode == "constraint" else None, warm_lam)
                 lam_rows.append(lam)
+            elif has_lim:
+                # no contact system this step — joint limits still apply
+                qd_g = _solve_limits_t(solver, model, g_row, Minv, qd_g,
+                                       q_t, dt, solver.limit_plans[gi])
             qd_rows.append(qd_g)
             minv_rows.append(Minv)
         if lam_rows and solver.warm_start:

@@ -446,6 +446,20 @@ class SolverFeatherstone(SolverBase):
         state = model.state()
         Ms = [np.asarray(M, np.float64) for M in eval_mass_matrix(model, state)]
         D = st.joint_dof_count
+        J_sten = None
+        if getattr(st, "sten_count", 0) and (au.sten >= 0).any():
+            from ...sim.tendon import eval_spatial_tendons
+            bqm = np.asarray(state.body_q, np.float64)
+            bp_c = tuple(jnp.asarray(bqm[:, k]) for k in range(3))
+            bq_c = tuple(jnp.asarray(bqm[:, 3 + k]) for k in range(4))
+            v0, w0 = dof_subspace(model, jnp.asarray(bqm),
+                                  jnp.asarray(np.asarray(state.joint_q,
+                                                         np.float64)))
+            _, Js = eval_spatial_tendons(
+                st.sten_paths, bp_c, bq_c,
+                tuple(v0[:, k] for k in range(3)),
+                tuple(w0[:, k] for k in range(3)), self.gc.anc)
+            J_sten = [np.asarray(j, np.float64) for j in Js]
         for a in range(au.n):
             moment = np.zeros(D)
             if au.dof[a] >= 0:
@@ -454,6 +468,8 @@ class SolverFeatherstone(SolverBase):
                 t = int(au.tendon[a])
                 moment[np.asarray(st.tendon_dof[t])] += \
                     np.asarray(st.tendon_coef[t]) * au.gear[a]
+            elif au.sten[a] >= 0 and J_sten is not None:
+                moment += J_sten[int(au.sten[a])] * au.gear[a]
             else:
                 continue
             for gi, g in enumerate(self.gc.groups):
@@ -548,6 +564,27 @@ class SolverFeatherstone(SolverBase):
                 f_t = f_t + control.tendon_f
             tau = tau.at[stt.tendon_dof.reshape(-1)].add(
                 (tc * f_t[:, None]).reshape(-1))
+        # spatial tendons: exact wrap-aware path length + moment rows inside
+        # the jitted step (sim/tendon.py; reference routes MJCF <spatial>
+        # wrap arrays import_mjcf.py:2865-2868 into MuJoCo-Warp)
+        sten = None
+        if getattr(st, "sten_count", 0):
+            from ...sim.tendon import eval_spatial_tendons
+            bp_c = tuple(body_q[:, k] for k in range(3))
+            bq_c = tuple(body_q[:, 3 + k] for k in range(4))
+            vo_c = tuple(v_o[:, k] for k in range(3))
+            wo_c = tuple(w_o[:, k] for k in range(3))
+            Ls, Js = eval_spatial_tendons(st.sten_paths, bp_c, bq_c,
+                                          vo_c, wo_c, gc.anc)
+            L_st = jnp.stack(Ls)                         # (Ts,)
+            J_st = jnp.stack(Js)                         # (Ts, D)
+            V_st = jnp.sum(J_st * qd[None, :], axis=1)   # (Ts,) = dL/dt
+            ke_s = model.sten_params[:, 0]
+            kd_s = model.sten_params[:, 1]
+            L0_s = model.sten_params[:, 2]
+            f_s = -ke_s * (L_st - L0_s) - kd_s * V_st
+            tau = tau + jnp.sum(J_st * f_s[:, None], axis=0)
+            sten = (L_st, V_st, J_st)
         # structured MuJoCo actuation (gain/bias/dyntype/muscle tables from
         # import_mjcf; reference solver_mujoco.py:500-529): force from
         # control.custom["mjc:ctrl"] + activation state in state custom
@@ -560,7 +597,7 @@ class SolverFeatherstone(SolverBase):
             ctrl_vec = control.custom["mjc:ctrl"]
             act_vec = state_in.custom.get("mjc:act")
             tau_a, act_new, _, dfdv = actuator_forces(
-                au, model, q, qd, ctrl_vec, act_vec, dt)
+                au, model, q, qd, ctrl_vec, act_vec, dt, sten=sten)
             tau = tau + tau_a
         # joint limits: one-sided penalty springs (constraint mode moves
         # limits into the unified impulse solve instead)
@@ -664,11 +701,10 @@ class SolverFeatherstone(SolverBase):
 
         # contact impulses per group (homogeneous fast path)
         self._last_contact_impulses = []
-        if contacts is not None and contacts.rigid_contact_max:
-            for gi, g in enumerate(gc.groups):
-                plan = self.contact_plans[gi]
-                if plan is None or plan.c == 0:
-                    continue
+        has_contacts = contacts is not None and contacts.rigid_contact_max
+        for gi, g in enumerate(gc.groups):
+            plan = self.contact_plans[gi]
+            if has_contacts and plan is not None and plan.c:
                 M, Minv, qd_g = group_data[gi]
                 solve = (self._solve_contacts_newton
                          if self.contact_solver == "newton"
@@ -684,6 +720,14 @@ class SolverFeatherstone(SolverBase):
                 if self.warm_start:
                     state_in = state_in.replace(custom={
                         **state_in.custom, f"contact:lam:{gi}": lam})
+            elif (self.limit_mode == "constraint"
+                  and len(self.limit_plans[gi][0])):
+                # no contact system this step — joint limits still apply
+                M, Minv, qd_g = group_data[gi]
+                qd_g2 = self._solve_limits(model, g, Minv, qd_g, q, dt,
+                                           self.limit_plans[gi])
+                qd_new = qd_new.at[g.dof_idx.reshape(-1)].set(
+                    qd_g2.reshape(-1))
 
         # bilateral equality constraints (CONNECT/WELD/JOINT): exact solve
         for gi, g in enumerate(gc.groups):
@@ -856,6 +900,39 @@ class SolverFeatherstone(SolverBase):
         from .linalg import solve_psd
         lam = solve_psd(A, rhs)
         return qd_g + jnp.einsum("ndr,nr->nd", MinvJt, lam)
+
+    def _solve_limits(self, model, g, Minv, qd_g, q_coords, dt, limit_plan):
+        """Limits-only unilateral impulse solve for groups whose contact
+        system doesn't run this step (contacts=None or zero contact slots).
+        Same rows the unified solve appends (``_build_contact_system``
+        limit rows) — without it, constraint-mode joint limits silently
+        vanish in contact-free scenes (caught by the spatial-tendon
+        trajectory parity gate). Lower/upper rows of one dof are merged
+        into one signed row (both can't be active at once)."""
+        ld, lc = limit_plan
+        nl = len(ld)
+        dtype = qd_g.dtype
+        qv = q_coords[g.coord_idx[:, lc]]                   # (n, nl)
+        lo = model.joint_limit_lower[g.dof_idx[:, ld]]
+        hi = model.joint_limit_upper[g.dof_idx[:, ld]]
+        act_lo = qv <= lo + 1e-4
+        act_hi = qv >= hi - 1e-4
+        active = act_lo | act_hi
+        s = jnp.where(act_lo, 1.0, -1.0).astype(dtype)      # (n, nl)
+        b = self.baumgarte / dt * jnp.where(
+            act_lo, jnp.maximum(lo - qv, 0.0), jnp.maximum(qv - hi, 0.0))
+        Msub = Minv[:, ld[:, None], ld[None, :]]            # (n, nl, nl)
+        A = s[:, :, None] * Msub * s[:, None, :]
+        diag = jnp.diagonal(A, axis1=1, axis2=2) + self.contact_reg
+        v_free = s * qd_g[:, ld]
+        lam = jnp.zeros_like(v_free)
+        omega = self.contact_relaxation
+        for _ in range(self.contact_iterations):
+            r = jnp.einsum("nij,nj->ni", A, lam) + v_free - b
+            lam = jnp.maximum(lam - omega * r / diag, 0.0)
+            lam = jnp.where(active, lam, 0.0)
+        dqd = jnp.einsum("ndj,nj->nd", Minv[:, :, ld], s * lam)
+        return qd_g + dqd
 
     def step_batched(self, state_in: State, state_out: Optional[State] = None,
                      control: Optional[Control] = None,

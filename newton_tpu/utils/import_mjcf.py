@@ -33,6 +33,7 @@ from ..core.host_math import (
     np_quat_identity,
     np_quat_mul,
     np_quat_rotate,
+    np_quat_rotate_inv,
     np_transform,
     np_transform_identity,
     np_transform_multiply,
@@ -580,6 +581,7 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
 
     # ---------------- tendons (fixed) ----------------
     name_to_tendon: Dict[str, int] = {}
+    name_to_sten: Dict[str, int] = {}
     tendon_root = root.find("tendon")
     if tendon_root is not None:
         for fx in tendon_root.findall("fixed"):
@@ -599,33 +601,83 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
                 key=fx.get("name"))
             if fx.get("name"):
                 name_to_tendon[fx.get("name")] = tid
-        # spatial tendons route through site waypoints -> muscle units
+        # spatial tendons: site-routed paths with sphere/cylinder wrap geoms
+        # and sidesites, evaluated exactly inside the jitted step
+        # (sim/tendon.py; reference wrap arrays import_mjcf.py:2865-2868)
+        def _site_world(sidx):
+            sb = int(builder.shape_body[sidx])
+            sp_ = np.asarray(builder.shape_transform[sidx][:3])
+            if sb < 0:
+                return sp_
+            bx = np.asarray(builder.body_q[sb])
+            return bx[:3] + np_quat_rotate(bx[3:7], sp_)
+
         for sp in tendon_root.findall("spatial"):
-            bodies, points = [], []
-            for sel in sp.findall("site"):
-                sname = sel.get("site", "")
-                if sname in name_to_site:
+            sa = resolve_attrs(sp, "tendon", None)
+            elems: List[tuple] = []
+            ok = True
+            for ch in sp:
+                if ch.tag == "site":
+                    sname = ch.get("site", "")
+                    if sname not in name_to_site:
+                        ok = False
+                        break
                     sidx = name_to_site[sname]
-                    bodies.append(int(builder.shape_body[sidx]))
-                    points.append(np.asarray(
-                        builder.shape_transform[sidx][:3]))
-            if len(bodies) >= 2:
-                sa = resolve_attrs(sp, "tendon", None)
-                # rest length = world path length at build pose
-                wpts = []
-                for bi, pt in zip(bodies, points):
-                    if bi >= 0:
-                        bx = np.asarray(builder.body_q[bi])
-                        wpts.append(bx[:3] + np_quat_rotate(bx[3:7], pt))
+                    elems.append(("site", int(builder.shape_body[sidx]),
+                                  tuple(np.asarray(
+                                      builder.shape_transform[sidx][:3]))))
+                elif ch.tag == "geom":
+                    gname = ch.get("geom", "")
+                    if gname not in name_to_shape:
+                        ok = False
+                        break
+                    gidx = name_to_shape[gname]
+                    gb = int(builder.shape_body[gidx])
+                    gx = np.asarray(builder.shape_transform[gidx])
+                    gt = int(builder.shape_type[gidx])
+                    side = None
+                    ssname = ch.get("sidesite")
+                    if ssname and ssname in name_to_site:
+                        ssidx = name_to_site[ssname]
+                        # sidesite expressed in the wrap body's frame (exact
+                        # when it sits on the wrap body — the common case;
+                        # otherwise a build-pose approximation)
+                        sw = _site_world(ssidx)
+                        if gb >= 0:
+                            bx = np.asarray(builder.body_q[gb])
+                            side = tuple(np_quat_rotate_inv(
+                                bx[3:7], sw - bx[:3]))
+                        else:
+                            side = tuple(sw)
+                    r = float(builder.shape_scale[gidx][0])
+                    if gt == int(GeoType.SPHERE):
+                        elems.append(("sphere", gb, tuple(gx[:3]), r, side))
+                    elif gt == int(GeoType.CYLINDER):
+                        ax = np_quat_rotate(gx[3:7], np.array([0.0, 0.0, 1.0]))
+                        elems.append(("cylinder", gb, tuple(gx[:3]),
+                                      tuple(ax), r, side))
                     else:
-                        wpts.append(np.asarray(pt))
-                rest = float(np.sum(np.linalg.norm(
-                    np.diff(np.asarray(wpts), axis=0), axis=-1)))
-                builder.add_muscle(
-                    bodies, points, f0=0.0, lm=rest, lt=0.0, lmax=2 * rest,
-                    pen=0.0,
-                    passive_ke=_parse_float(sa.get("stiffness"), 0.0),
-                    passive_kd=_parse_float(sa.get("damping"), 0.0))
+                        ok = False
+                        break
+                elif ch.tag == "pulley":
+                    import warnings
+                    warnings.warn(f"spatial tendon {sp.get('name')}: pulley "
+                                  "elements are not supported; skipping "
+                                  "tendon")
+                    ok = False
+                    break
+            n_sites = sum(1 for e in elems if e[0] == "site")
+            if not ok or n_sites < 2:
+                continue
+            slen = _parse_float(sa.get("springlength"), -1.0)
+            tid = builder.add_tendon_spatial(
+                elems,
+                stiffness=_parse_float(sa.get("stiffness"), 0.0),
+                damping=_parse_float(sa.get("damping"), 0.0),
+                rest_length=None if slen < 0 else slen,
+                key=sp.get("name"))
+            if sp.get("name"):
+                name_to_sten[sp.get("name")] = tid
 
     # ---------------- actuators ----------------
     # Full MuJoCo actuator semantics (reference solver_mujoco.py:500-529
@@ -662,6 +714,8 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
             jname = a.get("joint")
             if tname is not None and tname in name_to_tendon:
                 trn = ("tendon", name_to_tendon[tname])
+            elif tname is not None and tname in name_to_sten:
+                trn = ("sten", name_to_sten[tname])
             elif jname is not None and jname in joint_dof_start:
                 trn = ("joint", joint_dof_start[jname],
                        joint_coord_start[jname])
@@ -785,6 +839,8 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
                 if r["trn"][0] == "joint":
                     au.dof[i] = r["trn"][1]
                     au.coord[i] = r["trn"][2]
+                elif r["trn"][0] == "sten":
+                    au.sten[i] = r["trn"][1]
                 else:
                     au.tendon[i] = r["trn"][1]
                 au.gear[i] = r["gear"]
@@ -808,6 +864,19 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
                     hi = builder.joint_limit_upper[au.dof[i]]
                     lr = sorted([r["gear"] * lo, r["gear"] * hi])
                     au.lengthrange[i] = lr
+                elif au.sten[i] >= 0 and r["gaintype"] == GAIN_MUSCLE:
+                    # MuJoCo computes actuator_lengthrange by a limit
+                    # simulation; approximate by assuming the build pose
+                    # sits at the middle of the muscle operating `range`
+                    # [r0, r1] (units of optimal fiber length)
+                    from ..sim.tendon import spatial_tendon_rest_length
+                    Lb = spatial_tendon_rest_length(
+                        builder.sten_paths[au.sten[i]], builder.body_q)
+                    rg = r["gainprm"][:2]
+                    mid = max(0.5 * (rg[0] + rg[1]), 1e-9)
+                    lopt = Lb / mid
+                    au.lengthrange[i] = sorted([r["gear"] * rg[0] * lopt,
+                                                r["gear"] * rg[1] * lopt])
             au.finish()
             builder.mjc_actuation = au
             A = len(recs)

@@ -34,7 +34,7 @@ FRAMES = {
     "newton_cradle": 130, "cloth_rollers": 70,
     "diffsim_cloth": 8, "diffsim_drone": 50, "diffsim_soft_body": 8,
     "nut_bolt_sdf": 120, "gripper_soft": 100, "cable_pile": 140,
-    "robot_hand": 30, "robot_kitchen": 25,
+    "robot_hand": 30, "robot_kitchen": 25, "tendon_finger": 200,
 }
 
 

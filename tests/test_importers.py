@@ -159,8 +159,9 @@ def test_mjcf_fixed_tendon_coupling():
     assert abs(q[0] - q[1]) < 0.05, f"tendon coupling broken: {q}"
 
 
-def test_mjcf_spatial_tendon_maps_to_muscle():
-    """Spatial tendons route through site waypoints and become muscle units."""
+def test_mjcf_spatial_tendon_first_class():
+    """Spatial tendons import as first-class site-routed paths (evaluated
+    by sim/tendon.py inside the step) with build-pose rest length."""
     mjcf = """
     <mujoco>
       <worldbody>
@@ -174,15 +175,24 @@ def test_mjcf_spatial_tendon_maps_to_muscle():
         </body>
       </worldbody>
       <tendon>
-        <spatial name="sp"><site site="s1"/><site site="s2"/></spatial>
+        <spatial name="sp" stiffness="7"><site site="s1"/>
+          <site site="s2"/></spatial>
       </tendon>
     </mujoco>
     """
     b = nt.ModelBuilder()
     b.add_mjcf(mjcf)
     m = b.finalize()
-    assert m.structure.muscle_count == 1
-    assert list(np.asarray(m.muscle_bodies)) == [0, 1]
+    st = m.structure
+    assert st.sten_count == 1
+    assert st.sten_key == ["sp"]
+    path = st.sten_paths[0]
+    assert [e[0] for e in path.elems] == ["site", "site"]
+    assert [e[1] for e in path.elems] == [0, 1]
+    prm = np.asarray(m.sten_params)
+    assert prm[0, 0] == 7.0
+    # rest length = build-pose distance between the two world sites
+    assert abs(prm[0, 2] - 0.8) < 1e-5
 
 
 def test_usd_deformable_surface_to_cloth():
