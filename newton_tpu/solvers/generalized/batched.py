@@ -757,13 +757,7 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     else:
         J = jnp.concatenate([Jn, Jt1, Jt2], axis=0)     # (r, d, W)
     r = 3 * c + 2 * nl
-
-    # MinvJt[r, d] = sum_e J[r, e] Minv[e, d]
-    MinvJt = sum(J[:, e, None, :] * Minv[e][None, :, :] for e in range(d))
-    diag_raw = (J * MinvJt).sum(axis=1)                 # (r, W)
-    diag = (diag_raw * (1.0 + (1.0 - solver.impratio) / solver.impratio)
-            + solver.contact_reg)
-    v_free = (J * qd_g[None, :, :]).sum(axis=1)         # (r, W)
+    diag_scale = 1.0 + (1.0 - solver.impratio) / solver.impratio
 
     # mirrors _solve_contacts exactly (parity tests): full restitution
     # target on impacting rows even while still inside the margin gap;
@@ -794,7 +788,7 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
                          * oh_w, axis=0) for k in range(3)], axis=0)
         lam0 = lam0.at[:3 * c].set(act3[:3 * c] * warm_lam)
 
-    from .pgs_pallas import pgs_core, pgs_solve_pallas
+    from .pgs_pallas import pgs_core, pgs_solve_pallas_fused
     use_cone = solver.friction_cone == "cone"
     backend = getattr(solver, "pgs_backend", "auto")
     # VMEM fit: the kernel holds J/MJ blocks + (r, d, wt) matvec temporaries
@@ -809,10 +803,16 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     kw = dict(c=c, nl=nl, iters=solver.contact_iterations,
               omega=solver.contact_relaxation, use_cone=use_cone)
     if backend == "pallas":
-        lam, dqd = pgs_solve_pallas(
-            J, MinvJt, diag, v_free, b_rows, act3,
-            jnp.broadcast_to(mu, (c, W)), lam0, **kw)
+        lam, dqd = pgs_solve_pallas_fused(
+            J, Minv, qd_g, b_rows, act3,
+            jnp.broadcast_to(mu, (c, W)), lam0, **kw,
+            diag_scale=diag_scale, reg=solver.contact_reg)
     else:
+        # XLA fallback assembles the Delassus pieces out-of-kernel
+        MinvJt = sum(J[:, e, None, :] * Minv[e][None, :, :]
+                     for e in range(d))
+        diag = (J * MinvJt).sum(axis=1) * diag_scale + solver.contact_reg
+        v_free = (J * qd_g[None, :, :]).sum(axis=1)     # (r, W)
         lam, dqd = pgs_core(J, MinvJt, diag, v_free, b_rows, act3, mu,
                             lam0, **kw)
     lam3 = lam[:3 * c]
@@ -1032,14 +1032,24 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
             kd_g = kd_implicit[di]                       # (d, W)
             Mi = M + dt * eye * kd_g[:, None, :]
             rhs = _mat_vec_t(M, qd_t[di]) + dt * tau_net[di]
-            L = _chol_t(Mi)
-            qd_g = _cho_solve_t(L, rhs)                  # (d, W)
             has_lim = (solver.limit_mode == "constraint"
                        and len(solver.limit_plans[gi][0]) > 0)
+            need_minv = has_eq or has_ct or has_lim
             Minv = None
-            if has_eq or has_ct or has_lim:
-                Minv = _cho_solve_t(
-                    L, jnp.broadcast_to(eye, (g.d, g.d, W)))
+            if (need_minv and jax.default_backend() == "tpu"
+                    and W % 128 == 0
+                    and getattr(solver, "pgs_backend", "auto") != "xla"):
+                # factor + rhs solve + explicit inverse in one VMEM pass
+                # (linalg_pallas.py): bit-identical to the unrolled XLA
+                # path, ~2x faster (one HBM round trip instead of ~4d)
+                from .linalg_pallas import chol_inv_solve_pallas
+                Minv, qd_g = chol_inv_solve_pallas(Mi, rhs)
+            else:
+                L = _chol_t(Mi)
+                qd_g = _cho_solve_t(L, rhs)              # (d, W)
+                if need_minv:
+                    Minv = _cho_solve_t(
+                        L, jnp.broadcast_to(eye, (g.d, g.d, W)))
             if has_ct:
                 warm_lam = (prev[:, e].reshape(W, -1).T
                             if prev is not None else None)

@@ -85,6 +85,29 @@ def _kernel(J_ref, MJ_ref, diag_ref, vfree_ref, b_ref, act_ref, mu_ref,
     dqd_ref[:] = dqd
 
 
+def _kernel_fused(J_ref, Minv_ref, qd_ref, b_ref, act_ref, mu_ref,
+                  lam0_ref, lam_ref, dqd_ref, *, c, nl, iters, omega,
+                  use_cone, diag_scale, reg):
+    """Fused variant: M^-1 J^T, the Delassus diagonal and the free velocity
+    are computed in VMEM from (J, Minv, qd) — the (r, d, W) MJ panel never
+    round-trips HBM and the three XLA assembly passes over J disappear."""
+    J = J_ref[:]                                        # (r, d, wt)
+    Minv = Minv_ref[:]                                  # (d, d, wt)
+    qd = qd_ref[:]                                      # (d, wt)
+    d = J.shape[1]
+    # int-index and newaxis must be separate steps: fusing them
+    # (J[:, e, None, :]) takes jnp's advanced-indexing gather path, which
+    # Mosaic only lowers for 2D operands
+    MJ = sum(J[:, e][:, None, :] * Minv[e][None, :, :] for e in range(d))
+    diag = (J * MJ).sum(axis=1) * diag_scale + reg      # (r, wt)
+    v_free = (J * qd[None, :, :]).sum(axis=1)           # (r, wt)
+    lam, dqd = pgs_core(
+        J, MJ, diag, v_free, b_ref[:], act_ref[:], mu_ref[:], lam0_ref[:],
+        c=c, nl=nl, iters=iters, omega=omega, use_cone=use_cone)
+    lam_ref[:] = lam
+    dqd_ref[:] = dqd
+
+
 def pgs_solve_pallas(J, MJ, diag, v_free, b, act, mu, lam0, *, c, nl,
                      iters, omega, use_cone, interpret=False):
     """Tiled pallas_call wrapper around ``pgs_core``.
@@ -124,4 +147,47 @@ def pgs_solve_pallas(J, MJ, diag, v_free, b, act, mu, lam0, *, c, nl,
                    jax.ShapeDtypeStruct((d, W), J.dtype)),
         interpret=interpret,
     )(J, MJ, diag, v_free, b, act, mu, lam0)
+    return lam, dqd
+
+
+def pgs_solve_pallas_fused(J, Minv, qd_g, b, act, mu, lam0, *, c, nl,
+                           iters, omega, use_cone, diag_scale, reg,
+                           interpret=False):
+    """Fused pallas_call: builds M^-1 J^T / diag / v_free in VMEM.
+
+    J: (r, d, W); Minv: (d, d, W); qd_g: (d, W); b/act/lam0: (r, W);
+    mu: (c, W). ``diag_scale`` carries the impratio factor, ``reg`` the
+    Tikhonov floor. Returns (lam (r, W), dqd (d, W))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, d, W = J.shape
+    assert W % 128 == 0, f"env batch {W} must be lane-aligned"
+    wt = 512
+    while W % wt or (wt > 128 and r * d * wt * 4 * 6 > 12e6):
+        wt //= 2
+    n_tiles = W // wt
+
+    kern = functools.partial(_kernel_fused, c=c, nl=nl, iters=iters,
+                             omega=omega, use_cone=use_cone,
+                             diag_scale=diag_scale, reg=reg)
+
+    def spec3(rows, dd):
+        return pl.BlockSpec((rows, dd, wt), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def spec2(rows):
+        return pl.BlockSpec((rows, wt), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    lam, dqd = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[spec3(r, d), spec3(d, d), spec2(d), spec2(r),
+                  spec2(r), spec2(c), spec2(r)],
+        out_specs=(spec2(r), spec2(d)),
+        out_shape=(jax.ShapeDtypeStruct((r, W), J.dtype),
+                   jax.ShapeDtypeStruct((d, W), J.dtype)),
+        interpret=interpret,
+    )(J, Minv, qd_g, b, act, mu, lam0)
     return lam, dqd
