@@ -738,24 +738,22 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     Jt1 = j_rows(t1)
     Jt2 = j_rows(t2)
 
+    # limit rows are signed one-hots (+-e_dof): never materialized as dense
+    # J rows — pgs_core handles them via static-index gathers on ``ld_t``
     nl = 0
+    ld_t = ()
     if limit_plan is not None and len(limit_plan[0]):
         ld, lc = limit_plan
         nl = len(ld)
+        ld_t = tuple(int(x) for x in ld)
         qv = q_t[g.coord_idx[0][lc]]                    # (nl, W)
         lo_l = model.joint_limit_lower[di[ld]][:, None]
         hi_l = model.joint_limit_upper[di[ld]][:, None]
-        onehot = np.zeros((nl, d), dtype=np.float32)
-        onehot[np.arange(nl), ld] = 1.0
-        Jlo = jnp.broadcast_to(
-            jnp.asarray(onehot, dtype=dtype)[:, :, None], (nl, d, W))
         b_lo = solver.baumgarte / dt * jnp.maximum(lo_l - qv, 0.0)
         b_hi = solver.baumgarte / dt * jnp.maximum(qv - hi_l, 0.0)
         act_lo = qv <= lo_l + 1e-4
         act_hi = qv >= hi_l - 1e-4
-        J = jnp.concatenate([Jn, Jt1, Jt2, Jlo, -Jlo], axis=0)
-    else:
-        J = jnp.concatenate([Jn, Jt1, Jt2], axis=0)     # (r, d, W)
+    J = jnp.concatenate([Jn, Jt1, Jt2], axis=0)         # (3c, d, W)
     r = 3 * c + 2 * nl
     diag_scale = 1.0 + (1.0 - solver.impratio) / solver.impratio
 
@@ -791,16 +789,16 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     from .pgs_pallas import pgs_core, pgs_solve_pallas_fused
     use_cone = solver.friction_cone == "cone"
     backend = getattr(solver, "pgs_backend", "auto")
-    # VMEM fit: the kernel holds J/MJ blocks + (r, d, wt) matvec temporaries
-    # at the minimum tile wt=128; past that it OOMs scoped VMEM (humanoid
-    # uncompacted: r=610, d=23 -> 32 MB > 16 MB limit)
-    fits_vmem = r * d * 128 * 4 * 6 <= 12e6
+    # VMEM fit: the kernel holds J/MJ blocks + (3c, d, wt) matvec
+    # temporaries at the minimum tile wt=128; past that it OOMs scoped VMEM
+    # (humanoid uncompacted: 3c=576, d=23 -> 30 MB > 16 MB limit)
+    fits_vmem = 3 * c * d * 128 * 4 * 6 <= 12e6
     if backend == "auto":
         backend = ("pallas" if jax.default_backend() == "tpu"
                    and W % 128 == 0 and fits_vmem else "xla")
     elif backend == "pallas" and (W % 128 != 0 or not fits_vmem):
         backend = "xla"
-    kw = dict(c=c, nl=nl, iters=solver.contact_iterations,
+    kw = dict(c=c, nl=nl, ld=ld_t, iters=solver.contact_iterations,
               omega=solver.contact_relaxation, use_cone=use_cone)
     if backend == "pallas":
         lam, dqd = pgs_solve_pallas_fused(
@@ -812,9 +810,18 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
         MinvJt = sum(J[:, e, None, :] * Minv[e][None, :, :]
                      for e in range(d))
         diag = (J * MinvJt).sum(axis=1) * diag_scale + solver.contact_reg
-        v_free = (J * qd_g[None, :, :]).sum(axis=1)     # (r, W)
-        lam, dqd = pgs_core(J, MinvJt, diag, v_free, b_rows, act3, mu,
-                            lam0, **kw)
+        v_free = (J * qd_g[None, :, :]).sum(axis=1)     # (3c, W)
+        cols = None
+        if nl:
+            ld_np = np.asarray(ld_t)
+            cols = Minv[:, ld_np]                       # (d, nl, W)
+            dlim = (Minv[ld_np, ld_np] * diag_scale
+                    + solver.contact_reg)               # (nl, W)
+            diag = jnp.concatenate([diag, dlim, dlim], axis=0)
+            vlim = qd_g[ld_np]
+            v_free = jnp.concatenate([v_free, vlim, -vlim], axis=0)
+        lam, dqd = pgs_core(J, MinvJt, cols, diag, v_free, b_rows, act3,
+                            mu, lam0, **kw)
     lam3 = lam[:3 * c]
     if idx is not None and solver.warm_start:
         # scatter back to full slot space for warm-start storage (one-hot

@@ -1,18 +1,29 @@
 """VMEM-resident PGS contact solve (Pallas TPU kernel).
 
-The projected-Jacobi sweep reads the contact Jacobian J and M^-1 J^T
-(each (rows, dofs, W) — ~21 MB at 4096 ant envs) once per matvec; with the
-6 power-iteration passes plus `iterations` PGS passes the XLA path re-streams
-~630 MB of HBM per substep. This kernel tiles the env axis, keeps both
-operands in VMEM for all passes, and writes back only lam and the velocity
-update — one HBM read instead of fifteen.
+The projected-Jacobi sweep is VPU-bound (per-env Jacobians: the batch rides
+the lane axis, so the matvecs are elementwise multiply+reduce, not MXU
+matmuls) — the kernel's job is (1) one HBM read of the contact Jacobian
+instead of ~15 XLA re-streams and (2) the minimum FLOP count at the 0.77
+TFLOP/s f32 VPU ceiling. Three structural reductions vs the naive sweep:
+
+- **Limit rows are never materialized.** Joint-limit rows of J are signed
+  one-hots (+-e_dof); their contribution to every matvec is a static-index
+  row gather/scatter on the (d, wt) intermediate, so J carries only the
+  3c contact rows (a 26% row cut on humanoid and nl*d*W bytes of HBM
+  never written).
+- **The step-size spectral bound is 3 power iterations + a free Rayleigh
+  quotient** (the quotient reuses the last iterate's matvec) instead of
+  6 iterations + a dedicated matvec — 7 matvecs down to 3, with a 1.1
+  safety margin on the eigenvalue estimate.
+- **M^-1 J^T, the Delassus diagonal and the free velocity are built in
+  VMEM** from (J, Minv, qd): the (3c, d, W) MJ panel never round-trips HBM.
 
 Row layout is BLOCK order: [normal rows (c) | t1 rows (c) | t2 rows (c) |
 limit-low (nl) | limit-high (nl)] so the cone projection is three contiguous
 sublane slices (no in-kernel relayouts).
 
-The core math is plain jnp shared with the XLA fallback path
-(``_pgs_core``), so both backends are the same algorithm by construction.
+The core math is plain jnp shared with the XLA fallback path (``pgs_core``),
+so both backends are the same algorithm by construction.
 (reference behavior: solver_mujoco.py's PGS solver; kernel strategy per
 /opt/skills/guides/pallas_guide.md.)
 """
@@ -24,30 +35,61 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pgs_core", "pgs_solve_pallas"]
+__all__ = ["pgs_core", "pgs_solve_pallas_fused"]
 
 
-def pgs_core(J, MJ, diag, v_free, b, act, mu, lam0, *, c, nl, iters,
-             omega, use_cone):
+def _take_rows(x, ld):
+    """Static-index row gather: (d, wt) -> (nl, wt).
+
+    Unrolled scalar-int slices — Mosaic lowers these as static strided
+    slices (advanced-indexing gathers only lower for 2D operands, and the
+    unroll is exact for the fallback path too)."""
+    return jnp.concatenate([x[l][None] for l in ld], axis=0)
+
+
+def pgs_core(J, MJ, cols, diag, v_free, b, act, mu, lam0, *, c, nl, ld,
+             iters, omega, use_cone):
     """Power-iteration step cap + projected-Jacobi sweep.
 
-    All arrays have the env batch on the minor axis: J/MJ (r, d, Wt), the
-    rest (r or c, Wt). Returns (lam (r, Wt), dqd (d, Wt))."""
+    All arrays have the env batch on the minor axis. J/MJ hold ONLY the
+    3c contact rows (3c, d, Wt); the 2*nl joint-limit rows are signed
+    one-hots handled via static gathers: ``ld`` is the static tuple of
+    limited dof indices and ``cols`` = Minv[:, ld] (d, nl, Wt). diag /
+    v_free / b / act / lam0 cover all r = 3c + 2*nl rows; mu is (c, Wt).
+    Returns (lam (r, Wt), dqd (d, Wt))."""
+    r3 = 3 * c
 
     def Avec(x):
-        tmp = (MJ * x[:, None, :]).sum(axis=0)          # (d, Wt)
-        return (J * tmp[None, :, :]).sum(axis=1)        # (r, Wt)
+        # partial slice and newaxis must be separate steps (the combined
+        # x[:r3, None, :] takes jnp's gather path, which Mosaic rejects)
+        xc = x[:r3]
+        tmp = (MJ * xc[:, None, :]).sum(axis=0)         # (d, Wt)
+        if nl:
+            w = x[r3:r3 + nl] - x[r3 + nl:]             # (nl, Wt)
+            tmp = tmp + (cols * w[None, :, :]).sum(axis=1)
+        y = (J * tmp[None, :, :]).sum(axis=1)           # (3c, Wt)
+        if nl:
+            tl = _take_rows(tmp, ld)                    # (nl, Wt)
+            y = jnp.concatenate([y, tl, -tl], axis=0)
+        return y
 
+    # diagonally-scaled Jacobi diverges when many rows couple (humanoid
+    # pile-ups); cap the step by a matrix-free power-iteration estimate of
+    # lambda_max(D^-1/2 A D^-1/2) so the sweep stays a contraction. The
+    # Rayleigh quotient at the 3rd iterate converges ~twice as fast as the
+    # iterate itself; the 1.1 margin covers the remaining underestimate.
     inv_sqrt_d = jax.lax.rsqrt(diag)
     u = act
     u = u / jnp.maximum(
         jnp.sqrt(jnp.sum(u * u, axis=0, keepdims=True)), 1.0)
-    for _ in range(6):
+    lam_max = None
+    for it in range(3):
         u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act
+        if it == 2:
+            lam_max = jnp.sum(u * u2, axis=0)
         u = u2 / jnp.maximum(
             jnp.sqrt(jnp.sum(u2 * u2, axis=0, keepdims=True)), 1e-9)
-    lam_max = jnp.sum(u * (inv_sqrt_d * Avec(inv_sqrt_d * u)), axis=0)
-    step_scale = jnp.minimum(1.0, 1.8 / jnp.maximum(lam_max, 1e-9))
+    step_scale = jnp.minimum(1.0, 1.8 / jnp.maximum(1.1 * lam_max, 1e-9))
     step = (omega * step_scale)[None, :] / diag
 
     lam = lam0
@@ -68,30 +110,24 @@ def pgs_core(J, MJ, diag, v_free, b, act, mu, lam0, *, c, nl, iters,
             lt2 = jnp.clip(lt2, -cap, cap)
         parts = [ln, lt1, lt2]
         if nl:
-            parts.append(jnp.maximum(lam_full[3 * c:], 0.0))
+            parts.append(jnp.maximum(lam_full[r3:], 0.0))
         lam = jnp.concatenate(parts, axis=0) * act
         lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
-    dqd = (MJ * lam[:, None, :]).sum(axis=0)            # (d, Wt)
+    lamc = lam[:r3]
+    dqd = (MJ * lamc[:, None, :]).sum(axis=0)           # (d, Wt)
+    if nl:
+        wl = lam[r3:r3 + nl] - lam[r3 + nl:]
+        dqd = dqd + (cols * wl[None, :, :]).sum(axis=1)
     return lam, dqd
 
 
-def _kernel(J_ref, MJ_ref, diag_ref, vfree_ref, b_ref, act_ref, mu_ref,
-            lam0_ref, lam_ref, dqd_ref, *, c, nl, iters, omega, use_cone):
-    lam, dqd = pgs_core(
-        J_ref[:], MJ_ref[:], diag_ref[:], vfree_ref[:], b_ref[:],
-        act_ref[:], mu_ref[:], lam0_ref[:],
-        c=c, nl=nl, iters=iters, omega=omega, use_cone=use_cone)
-    lam_ref[:] = lam
-    dqd_ref[:] = dqd
-
-
 def _kernel_fused(J_ref, Minv_ref, qd_ref, b_ref, act_ref, mu_ref,
-                  lam0_ref, lam_ref, dqd_ref, *, c, nl, iters, omega,
+                  lam0_ref, lam_ref, dqd_ref, *, c, nl, ld, iters, omega,
                   use_cone, diag_scale, reg):
     """Fused variant: M^-1 J^T, the Delassus diagonal and the free velocity
-    are computed in VMEM from (J, Minv, qd) — the (r, d, W) MJ panel never
-    round-trips HBM and the three XLA assembly passes over J disappear."""
-    J = J_ref[:]                                        # (r, d, wt)
+    are computed in VMEM from (J, Minv, qd) — the (3c, d, W) MJ panel never
+    round-trips HBM and the XLA assembly passes over J disappear."""
+    J = J_ref[:]                                        # (3c, d, wt)
     Minv = Minv_ref[:]                                  # (d, d, wt)
     qd = qd_ref[:]                                      # (d, wt)
     d = J.shape[1]
@@ -99,77 +135,53 @@ def _kernel_fused(J_ref, Minv_ref, qd_ref, b_ref, act_ref, mu_ref,
     # (J[:, e, None, :]) takes jnp's advanced-indexing gather path, which
     # Mosaic only lowers for 2D operands
     MJ = sum(J[:, e][:, None, :] * Minv[e][None, :, :] for e in range(d))
-    diag = (J * MJ).sum(axis=1) * diag_scale + reg      # (r, wt)
-    v_free = (J * qd[None, :, :]).sum(axis=1)           # (r, wt)
+    diag = (J * MJ).sum(axis=1) * diag_scale + reg      # (3c, wt)
+    v_free = (J * qd[None, :, :]).sum(axis=1)           # (3c, wt)
+    cols = None
+    if nl:
+        # Minv columns/diagonal at the limited dofs: static slices
+        cols = jnp.concatenate([Minv[:, l][:, None] for l in ld], axis=1)
+        dlim = jnp.concatenate([Minv[l, l][None] for l in ld], axis=0)
+        dlim = dlim * diag_scale + reg                  # (nl, wt)
+        diag = jnp.concatenate([diag, dlim, dlim], axis=0)
+        vlim = _take_rows(qd, ld)                       # (nl, wt)
+        v_free = jnp.concatenate([v_free, vlim, -vlim], axis=0)
     lam, dqd = pgs_core(
-        J, MJ, diag, v_free, b_ref[:], act_ref[:], mu_ref[:], lam0_ref[:],
-        c=c, nl=nl, iters=iters, omega=omega, use_cone=use_cone)
+        J, MJ, cols, diag, v_free, b_ref[:], act_ref[:], mu_ref[:],
+        lam0_ref[:], c=c, nl=nl, ld=ld, iters=iters, omega=omega,
+        use_cone=use_cone)
     lam_ref[:] = lam
     dqd_ref[:] = dqd
 
 
-def pgs_solve_pallas(J, MJ, diag, v_free, b, act, mu, lam0, *, c, nl,
-                     iters, omega, use_cone, interpret=False):
-    """Tiled pallas_call wrapper around ``pgs_core``.
-
-    J/MJ: (r, d, W); diag/v_free/b/act/lam0: (r, W); mu: (c, W).
-    W must be a multiple of 128. Returns (lam (r, W), dqd (d, W))."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    r, d, W = J.shape
-    assert W % 128 == 0, f"env batch {W} must be lane-aligned"
-    # tile budget: J/MJ blocks are double-buffered and the matvec creates
-    # (r, d, wt) temporaries — keep ~6 copies under ~12 MB of VMEM
-    wt = 512
-    while W % wt or (wt > 128 and r * d * wt * 4 * 6 > 12e6):
-        wt //= 2
-    n_tiles = W // wt
-
-    kern = functools.partial(_kernel, c=c, nl=nl, iters=iters,
-                             omega=omega, use_cone=use_cone)
-
-    def spec3(rows):
-        return pl.BlockSpec((rows, d, wt), lambda i: (0, 0, i),
-                            memory_space=pltpu.VMEM)
-
-    def spec2(rows):
-        return pl.BlockSpec((rows, wt), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-
-    lam, dqd = pl.pallas_call(
-        kern,
-        grid=(n_tiles,),
-        in_specs=[spec3(r), spec3(r), spec2(r), spec2(r), spec2(r),
-                  spec2(r), spec2(c), spec2(r)],
-        out_specs=(spec2(r), spec2(d)),
-        out_shape=(jax.ShapeDtypeStruct((r, W), J.dtype),
-                   jax.ShapeDtypeStruct((d, W), J.dtype)),
-        interpret=interpret,
-    )(J, MJ, diag, v_free, b, act, mu, lam0)
-    return lam, dqd
-
-
-def pgs_solve_pallas_fused(J, Minv, qd_g, b, act, mu, lam0, *, c, nl,
+def pgs_solve_pallas_fused(J, Minv, qd_g, b, act, mu, lam0, *, c, nl, ld,
                            iters, omega, use_cone, diag_scale, reg,
                            interpret=False):
     """Fused pallas_call: builds M^-1 J^T / diag / v_free in VMEM.
 
-    J: (r, d, W); Minv: (d, d, W); qd_g: (d, W); b/act/lam0: (r, W);
-    mu: (c, W). ``diag_scale`` carries the impratio factor, ``reg`` the
-    Tikhonov floor. Returns (lam (r, W), dqd (d, W))."""
+    J: contact rows only (3c, d, W); Minv: (d, d, W); qd_g: (d, W);
+    b/act/lam0: full r = 3c + 2*nl rows (r, W); mu: (c, W); ``ld`` is the
+    static tuple of limited dof indices (len nl). ``diag_scale`` carries
+    the impratio factor, ``reg`` the Tikhonov floor.
+    Returns (lam (r, W), dqd (d, W))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    r, d, W = J.shape
+    r3, d, W = J.shape
+    assert r3 == 3 * c
+    r = r3 + 2 * nl
     assert W % 128 == 0, f"env batch {W} must be lane-aligned"
+    # tile budget: J/MJ blocks are double-buffered and the matvec creates
+    # (3c, d, wt) temporaries — keep ~6 copies under ~12 MB of VMEM
+    # (measured: wt=256 at a 14 MB budget is ~5% SLOWER than wt=128 here —
+    # the tighter tile double-buffers better against the grid pipeline)
     wt = 512
-    while W % wt or (wt > 128 and r * d * wt * 4 * 6 > 12e6):
+    while W % wt or (wt > 128 and r3 * d * wt * 4 * 6 > 12e6):
         wt //= 2
     n_tiles = W // wt
 
-    kern = functools.partial(_kernel_fused, c=c, nl=nl, iters=iters,
-                             omega=omega, use_cone=use_cone,
+    kern = functools.partial(_kernel_fused, c=c, nl=nl, ld=tuple(ld),
+                             iters=iters, omega=omega, use_cone=use_cone,
                              diag_scale=diag_scale, reg=reg)
 
     def spec3(rows, dd):
@@ -183,7 +195,7 @@ def pgs_solve_pallas_fused(J, Minv, qd_g, b, act, mu, lam0, *, c, nl,
     lam, dqd = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[spec3(r, d), spec3(d, d), spec2(d), spec2(r),
+        in_specs=[spec3(r3, d), spec3(d, d), spec2(d), spec2(r),
                   spec2(r), spec2(c), spec2(r)],
         out_specs=(spec2(r), spec2(d)),
         out_shape=(jax.ShapeDtypeStruct((r, W), J.dtype),

@@ -1146,15 +1146,22 @@ class SolverFeatherstone(SolverBase):
         # diagonally-scaled Jacobi diverges when many rows couple (humanoid
         # pile-ups); cap the step by a matrix-free power-iteration estimate
         # of lambda_max(D^-1/2 A D^-1/2) so the sweep stays a contraction
+        # 3 power iterations + a free Rayleigh quotient at the last iterate
+        # (converges ~twice as fast as the iterate; 1.1 margin covers the
+        # remaining underestimate) — must mirror pgs_pallas.pgs_core exactly
+        # for the batched-vs-vmapped parity tests
         inv_sqrt_d = jax.lax.rsqrt(diag)
         u = jnp.where(act3, 1.0, 0.0)
         u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1.0)
-        for _ in range(6):
+        lam_max = None
+        for it in range(3):
             u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act3
+            if it == 2:
+                lam_max = jnp.sum(u * u2, axis=-1)
             u = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True),
                                  1e-9)
-        lam_max = jnp.sum(u * (inv_sqrt_d * Avec(inv_sqrt_d * u)), axis=-1)
-        step_scale = jnp.minimum(1.0, 1.8 / jnp.maximum(lam_max, 1e-9))
+        step_scale = jnp.minimum(1.0,
+                                 1.8 / jnp.maximum(1.1 * lam_max, 1e-9))
         step = (omega * step_scale)[:, None] / diag
 
         use_cone = self.friction_cone == "cone"

@@ -139,26 +139,43 @@ def test_smooth_only_parity(ant):
 
 
 def test_pgs_pallas_interpret_matches_core():
-    """Pallas PGS kernel (interpret mode) == shared jnp core."""
+    """Fused Pallas PGS kernel (interpret mode) == shared jnp core.
+
+    The kernel assembles MJ / diag / v_free (incl. the one-hot limit rows)
+    in VMEM; the reference path assembles them out-of-kernel with the same
+    shared ``pgs_core``."""
     from newton_tpu.solvers.generalized import pgs_pallas as pk
     rng = np.random.RandomState(0)
     c, nl, d, W = 5, 3, 7, 256
+    ld = (1, 4, 6)
     r = 3 * c + 2 * nl
-    J = jnp.asarray(rng.randn(r, d, W), jnp.float32)
-    Minv = rng.randn(d, d)
-    Minv = Minv @ Minv.T + np.eye(d)
-    MJ = jnp.einsum("rdw,de->rew", J, jnp.asarray(Minv, jnp.float32))
-    diag = (J * MJ).sum(axis=1) + 1e-3
-    vfree = jnp.asarray(rng.randn(r, W), jnp.float32)
+    J = jnp.asarray(rng.randn(3 * c, d, W), jnp.float32)
+    Minv_np = rng.randn(d, d)
+    Minv_np = Minv_np @ Minv_np.T + np.eye(d)
+    Minv = jnp.broadcast_to(
+        jnp.asarray(Minv_np, jnp.float32)[:, :, None], (d, d, W))
+    qd = jnp.asarray(rng.randn(d, W), jnp.float32)
     b = jnp.abs(jnp.asarray(rng.randn(r, W), jnp.float32))
     act = jnp.asarray((rng.rand(r, W) > 0.3), jnp.float32)
     mu = jnp.abs(jnp.asarray(rng.rand(c, W), jnp.float32))
     lam0 = jnp.zeros((r, W), jnp.float32)
+    # reference assembly (mirrors the XLA fallback in batched.py)
+    MJ = jnp.einsum("rdw,de->rew", J, jnp.asarray(Minv_np, jnp.float32))
+    diag = (J * MJ).sum(axis=1) + 1e-3
+    ld_np = np.asarray(ld)
+    cols = Minv[:, ld_np]
+    dlim = Minv[ld_np, ld_np] + 1e-3
+    diag = jnp.concatenate([diag, dlim, dlim], axis=0)
+    vfree_c = (J * qd[None, :, :]).sum(axis=1)
+    vlim = qd[ld_np]
+    vfree = jnp.concatenate([vfree_c, vlim, -vlim], axis=0)
     for use_cone in (False, True):
-        kw = dict(c=c, nl=nl, iters=8, omega=0.8, use_cone=use_cone)
-        l1, d1 = pk.pgs_core(J, MJ, diag, vfree, b, act, mu, lam0, **kw)
-        l2, d2 = pk.pgs_solve_pallas(J, MJ, diag, vfree, b, act, mu, lam0,
-                                     interpret=True, **kw)
+        kw = dict(c=c, nl=nl, ld=ld, iters=8, omega=0.8, use_cone=use_cone)
+        l1, d1 = pk.pgs_core(J, MJ, cols, diag, vfree, b, act, mu, lam0,
+                             **kw)
+        l2, d2 = pk.pgs_solve_pallas_fused(
+            J, Minv, qd, b, act, mu, lam0, interpret=True,
+            diag_scale=1.0, reg=1e-3, **kw)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),

@@ -161,23 +161,22 @@ timeit("MinvJt (r x d x d)", minvjt, J, Minv0)
 MJ = jax.jit(minvjt)(J, Minv0)
 
 
-def pgs(J_, MJ_, qd_g):
-    from newton_tpu.solvers.generalized.pgs_pallas import pgs_core, \
-        pgs_solve_pallas
-    diag = (J_ * MJ_).sum(axis=1) + solver.contact_reg
-    v_free = (J_ * qd_g[None, :, :]).sum(axis=1)
-    rr = J_.shape[0]
+def pgs(J_, Minv_, qd_g):
+    from newton_tpu.solvers.generalized.pgs_pallas import \
+        pgs_solve_pallas_fused
+    rr = 3 * K
     b_rows = jnp.zeros((rr, W), dtype)
     act3 = jnp.ones((rr, W), dtype)
     mu = jnp.full((K, W), 0.5, dtype)
     lam0 = jnp.zeros((rr, W), dtype)
-    kw = dict(c=K, nl=nl, iters=solver.contact_iterations,
+    kw = dict(c=K, nl=0, ld=(), iters=solver.contact_iterations,
               omega=solver.contact_relaxation, use_cone=False)
-    return pgs_solve_pallas(J_, MJ_, diag, v_free, b_rows, act3, mu,
-                            lam0, **kw)
+    return pgs_solve_pallas_fused(
+        J_[:rr], Minv_, qd_g, b_rows, act3, mu, lam0,
+        diag_scale=1.0, reg=solver.contact_reg, **kw)
 
 
-timeit("PGS pallas (8 iters)", pgs, J, MJ, qd_g0)
+timeit("PGS pallas (8 iters)", pgs, J, Minv0, qd_g0)
 
 timeit("crba+chol+Minv fused", crba_chol_minv, v_o, w_o, x_b, Iw, m_b)
 
