@@ -752,6 +752,13 @@ class SolverFeatherstone(SolverBase):
         # on top as a delta so contact-free scenes are pure RK4
         if self.integrator == "rk4":
             v_int = v_avg + (qd_new - qd_smooth)
+            # v_avg/qd_smooth are raw stage sums: a blown stage (contact
+            # impulse -> explicit-damping instability) would bypass the
+            # qd_new ceiling above and poison positions with inf/NaN, which
+            # no later guard can recover. Apply the same ceiling + finite
+            # guard to the position-integration velocity.
+            v_int = jnp.clip(v_int, -self.max_velocity, self.max_velocity)
+            v_int = jnp.where(jnp.isfinite(v_int), v_int, 0.0)
         else:
             v_int = qd_new
         q_new = integrate_coords(model, q, v_int, body_q, dt)

@@ -62,7 +62,10 @@ class SolverImplicitMPM(SolverBase):
                  snow_theta_c: float = 2.5e-2, snow_theta_s: float = 7.5e-3,
                  snow_hardening: float = 10.0,
                  viscous_relax: float = 0.5,
-                 material_id=None):
+                 material_id=None,
+                 rheology: str = "explicit",
+                 rheology_iterations: int = 16,
+                 rheology_compliance: float = 0.0):
         if material not in ("sand", "snow", "viscous"):
             raise ValueError(f"unknown material {material!r}")
         self.material = material
@@ -91,6 +94,21 @@ class SolverImplicitMPM(SolverBase):
         # iteration is one P2G/G2P pair — batched, static-shape TPU work.
         # 0 = explicit MLS-MPM.
         self.implicit_iterations = int(implicit_iterations)
+        # rheology="implicit": rigid-(visco)plastic Drucker-Prager NCP on
+        # the grid (mpm_rheology.solve_rheology_implicit — the reference's
+        # solve_rheology.py equivalent). The granular stress becomes a
+        # cone-projected grid multiplier field, so the elastic wave CFL
+        # disappears entirely: dt is limited by particle advection only
+        # (~4x+ the explicit ceiling on sand piles).
+        if rheology not in ("explicit", "implicit"):
+            raise ValueError(f"unknown rheology {rheology!r}")
+        if rheology == "implicit" and material not in ("sand",):
+            raise ValueError("rheology='implicit' is the granular "
+                             "Drucker-Prager grid solve; it requires "
+                             "material='sand'")
+        self.rheology = rheology
+        self.rheology_iterations = int(rheology_iterations)
+        self.rheology_compliance = float(rheology_compliance)
         self.lower = np.asarray(grid_lower, dtype=np.float64)
         self.upper = np.asarray(grid_upper, dtype=np.float64)
         self.res = int(resolution)
@@ -115,6 +133,9 @@ class SolverImplicitMPM(SolverBase):
         custom["mpm:C"] = jnp.zeros((N, 3, 3), dtype=dtype)
         if self.material in ("snow", "mixed"):
             custom["mpm:Jp"] = jnp.ones((N,), dtype=dtype)
+        if self.rheology == "implicit":
+            rc = self.res - 1
+            custom["mpm:sigma"] = jnp.zeros((rc, rc, rc, 6), dtype=dtype)
         return state.replace(custom=custom)
 
     # ------------------------------------------------------------------
@@ -214,7 +235,13 @@ class SolverImplicitMPM(SolverBase):
 
         F, PFt, Jp_new = projected_stress(F)
         stress_coeff = (-dt * vol0 * 4.0 * inv_dx * inv_dx)
-        affine = stress_coeff * PFt + m[:, None, None] * C
+        if self.rheology == "implicit":
+            # granular stress lives on the grid (solve below); particles
+            # carry only mass/momentum/APIC. F stays DP-projected above
+            # purely as a volume tracker.
+            affine = m[:, None, None] * C
+        else:
+            affine = stress_coeff * PFt + m[:, None, None] * C
 
         # --- P2G ---
         xp = (x - lower) * inv_dx
@@ -337,7 +364,39 @@ class SolverImplicitMPM(SolverBase):
         gv = jnp.where(has_mass[:, None], gv, 0.0)
         gv = bc(gv)
 
-        if self.implicit_iterations > 0:
+        # LINEAR wall/mass projector shared by both implicit grid solves:
+        # zero normal components in the wall bands, zero on massless nodes
+        # (the sign-aware clamp in bc() is nonlinear and would destroy the
+        # SPD-ness the iterations depend on)
+        wall_x = (gxf < bound) | (gxf >= res - bound)
+        wall_y = (gyf < bound) | (gyf >= res - bound)
+        wall_z = (gzf < bound) | (gzf >= res - bound)
+
+        def lin_proj(u):
+            u = u * has_mass[:, None]
+            u = u.at[:, 0].set(jnp.where(wall_x, 0.0, u[:, 0]))
+            u = u.at[:, 1].set(jnp.where(wall_y, 0.0, u[:, 1]))
+            u = u.at[:, 2].set(jnp.where(wall_z, 0.0, u[:, 2]))
+            return u
+
+        sigma_new = None
+        if self.rheology == "implicit":
+            # rigid-(visco)plastic Drucker-Prager NCP on the grid
+            # (reference: implicit_mpm/solve_rheology.py); warm-started
+            # from the previous step's multiplier field
+            from .mpm_rheology import solve_rheology_implicit
+            fa = 0.5 if self.friction_angle is None else \
+                float(self.friction_angle)
+            gv, sigma_new = solve_rheology_implicit(
+                lin_proj(gv), grid_mass, has_mass, lin_proj, res,
+                inv_dx, dt, vol_cell=self.dx ** 3,
+                mu_f=float(np.tan(fa)), cohesion=self.cohesion,
+                sigma0=state_in.custom.get("mpm:sigma"),
+                iterations=self.rheology_iterations,
+                compliance=self.rheology_compliance)
+            gv = bc(gv)
+
+        if self.implicit_iterations > 0 and self.rheology != "implicit":
             # semi-implicit velocity solve (see __init__): CG on
             #   A(u) = P(m u - D(P u)) + (I - P) u
             #   D(u) = P2G(coeff * sigma_lin(grad u))
@@ -348,16 +407,7 @@ class SolverImplicitMPM(SolverBase):
             # SPD-ness CG depends on (found the hard way: CG diverged).
             eye3 = jnp.eye(3, dtype=dtype)
             m_safe = jnp.maximum(grid_mass, 1e-10)[:, None]
-            wall_x = (gxf < bound) | (gxf >= res - bound)
-            wall_y = (gyf < bound) | (gyf >= res - bound)
-            wall_z = (gzf < bound) | (gzf >= res - bound)
-
-            def proj(u):
-                u = u * has_mass[:, None]
-                u = u.at[:, 0].set(jnp.where(wall_x, 0.0, u[:, 0]))
-                u = u.at[:, 1].set(jnp.where(wall_y, 0.0, u[:, 1]))
-                u = u.at[:, 2].set(jnp.where(wall_z, 0.0, u[:, 2]))
-                return u
+            proj = lin_proj
 
             def D_op(u):
                 _, C_u = g2p(u)
@@ -411,6 +461,8 @@ class SolverImplicitMPM(SolverBase):
         custom["mpm:C"] = C_new
         if self.material in ("snow", "mixed"):
             custom["mpm:Jp"] = Jp_new
+        if sigma_new is not None:
+            custom["mpm:sigma"] = sigma_new
         return state_in.replace(particle_q=x_new, particle_qd=v_new,
                                 custom=custom)
 
