@@ -1043,13 +1043,13 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
                        and len(solver.limit_plans[gi][0]) > 0)
             need_minv = has_eq or has_ct or has_lim
             Minv = None
+            from .linalg_pallas import chol_fits_vmem, chol_inv_solve_pallas
             if (need_minv and jax.default_backend() == "tpu"
-                    and W % 128 == 0
+                    and chol_fits_vmem(g.d, W)
                     and getattr(solver, "pgs_backend", "auto") != "xla"):
                 # factor + rhs solve + explicit inverse in one VMEM pass
                 # (linalg_pallas.py): bit-identical to the unrolled XLA
                 # path, ~2x faster (one HBM round trip instead of ~4d)
-                from .linalg_pallas import chol_inv_solve_pallas
                 Minv, qd_g = chol_inv_solve_pallas(Mi, rhs)
             else:
                 L = _chol_t(Mi)

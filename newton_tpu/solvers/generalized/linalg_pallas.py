@@ -22,7 +22,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["chol_inv_solve_pallas"]
+__all__ = ["chol_inv_solve_pallas", "chol_fits_vmem"]
+
+
+def chol_fits_vmem(d, W):
+    """True when some lane-aligned tile keeps ~6 live (d,d,wt) panels under
+    the ~12 MB VMEM budget. The tile loop below cannot shrink past wt=128,
+    so large d must fall back to the XLA path (call-site gate)."""
+    return W % 128 == 0 and d * (d + 1) * 128 * 4 * 6 <= 12e6
 
 
 def _chol_core(A):

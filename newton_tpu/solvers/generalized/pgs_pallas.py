@@ -11,10 +11,12 @@ TFLOP/s f32 VPU ceiling. Three structural reductions vs the naive sweep:
   row gather/scatter on the (d, wt) intermediate, so J carries only the
   3c contact rows (a 26% row cut on humanoid and nl*d*W bytes of HBM
   never written).
-- **The step-size spectral bound is 3 power iterations + a free Rayleigh
-  quotient** (the quotient reuses the last iterate's matvec) instead of
-  6 iterations + a dedicated matvec — 7 matvecs down to 3, with a 1.1
-  safety margin on the eigenvalue estimate.
+- **The step-size spectral bound is 3 power iterations with the final
+  iterate's norm ||A u_3|| as the estimate** (tighter than the Rayleigh
+  quotient by Cauchy-Schwarz, same matvec count) instead of 6 iterations
+  + a dedicated matvec — 7 matvecs down to 3, with a 1.1 safety margin
+  on the eigenvalue estimate (margin gated by
+  tests/test_batched_step.py::test_spectral_step_bound_margin).
 - **M^-1 J^T, the Delassus diagonal and the free velocity are built in
   VMEM** from (J, Minv, qd): the (3c, d, W) MJ panel never round-trips HBM.
 
@@ -35,7 +37,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pgs_core", "pgs_solve_pallas_fused"]
+__all__ = ["pgs_core", "pgs_solve_pallas_fused", "spectral_lam_max"]
 
 
 def _take_rows(x, ld):
@@ -45,6 +47,30 @@ def _take_rows(x, ld):
     slices (advanced-indexing gathers only lower for 2D operands, and the
     unroll is exact for the fallback path too)."""
     return jnp.concatenate([x[l][None] for l in ld], axis=0)
+
+
+def spectral_lam_max(Avec, diag, act):
+    """Matrix-free lower estimate of lambda_max(D^-1/2 A D^-1/2).
+
+    3 power iterations from the active-row indicator; the estimate is
+    ||A u_3|| with u_3 the normalized 3rd iterate — strictly tighter than
+    the Rayleigh quotient <u, A u> (Cauchy-Schwarz) at the same matvec
+    count. Callers apply a 1.1 safety margin for the remaining
+    underestimate; the margin is gated by
+    tests/test_batched_step.py::test_spectral_step_bound_margin.
+    Rows on axis 0, env batch on the minor axis."""
+    inv_sqrt_d = jax.lax.rsqrt(diag)
+    u = act
+    u = u / jnp.maximum(
+        jnp.sqrt(jnp.sum(u * u, axis=0, keepdims=True)), 1.0)
+    lam_max = None
+    for it in range(3):
+        u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act
+        nrm = jnp.sqrt(jnp.sum(u2 * u2, axis=0, keepdims=True))
+        if it == 2:
+            lam_max = nrm[0]
+        u = u2 / jnp.maximum(nrm, 1e-9)
+    return lam_max
 
 
 def pgs_core(J, MJ, cols, diag, v_free, b, act, mu, lam0, *, c, nl, ld,
@@ -75,27 +101,23 @@ def pgs_core(J, MJ, cols, diag, v_free, b, act, mu, lam0, *, c, nl, ld,
 
     # diagonally-scaled Jacobi diverges when many rows couple (humanoid
     # pile-ups); cap the step by a matrix-free power-iteration estimate of
-    # lambda_max(D^-1/2 A D^-1/2) so the sweep stays a contraction. The
-    # Rayleigh quotient at the 3rd iterate converges ~twice as fast as the
-    # iterate itself; the 1.1 margin covers the remaining underestimate.
-    inv_sqrt_d = jax.lax.rsqrt(diag)
-    u = act
-    u = u / jnp.maximum(
-        jnp.sqrt(jnp.sum(u * u, axis=0, keepdims=True)), 1.0)
-    lam_max = None
-    for it in range(3):
-        u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act
-        if it == 2:
-            lam_max = jnp.sum(u * u2, axis=0)
-        u = u2 / jnp.maximum(
-            jnp.sqrt(jnp.sum(u2 * u2, axis=0, keepdims=True)), 1e-9)
+    # lambda_max(D^-1/2 A D^-1/2) so the sweep stays a contraction
+    # (spectral_lam_max above). The estimate is a lower bound that can
+    # undershoot by >1.1x on rank-deficient Delassus spectra (ADVICE r4),
+    # so the sweep also carries a per-env divergence guard: where
+    # ||dlam|| grows between iterations (the signature of a
+    # non-contractive projected-Jacobi map — projection is non-expansive,
+    # so a contraction never grows it), the step halves. Gated by
+    # tests/test_batched_step.py::test_pgs_divergence_guard.
+    lam_max = spectral_lam_max(Avec, diag, act)
     step_scale = jnp.minimum(1.0, 1.8 / jnp.maximum(1.1 * lam_max, 1e-9))
-    step = (omega * step_scale)[None, :] / diag
+    scale_cur = omega * step_scale                      # (Wt,)
 
     lam = lam0
+    prev_dn = None
     for _ in range(iters):
         res = Avec(lam) + v_free - b
-        lam_full = lam - step * res
+        lam_full = lam - (scale_cur[None, :] / diag) * res
         ln = jnp.maximum(lam_full[0:c], 0.0)
         cap = mu * ln
         lt1 = lam_full[c:2 * c]
@@ -111,8 +133,18 @@ def pgs_core(J, MJ, cols, diag, v_free, b, act, mu, lam0, *, c, nl, ld,
         parts = [ln, lt1, lt2]
         if nl:
             parts.append(jnp.maximum(lam_full[r3:], 0.0))
-        lam = jnp.concatenate(parts, axis=0) * act
-        lam = jnp.where(jnp.isfinite(lam), lam, 0.0)
+        lam_new = jnp.concatenate(parts, axis=0) * act
+        lam_new = jnp.where(jnp.isfinite(lam_new), lam_new, 0.0)
+        dlt = lam_new - lam
+        dn = jnp.sum(dlt * dlt, axis=0)                 # (Wt,)
+        if prev_dn is not None:
+            # 2% tolerance: float32 jitter around the fixed point and
+            # active-set toggles must not bleed the step; true divergence
+            # grows ||dlam|| geometrically and is caught within a sweep
+            scale_cur = jnp.where(dn > prev_dn * 1.02, scale_cur * 0.5,
+                                  scale_cur)
+        prev_dn = dn
+        lam = lam_new
     lamc = lam[:r3]
     dqd = (MJ * lamc[:, None, :]).sum(axis=0)           # (d, Wt)
     if nl:

@@ -1153,29 +1153,31 @@ class SolverFeatherstone(SolverBase):
         # diagonally-scaled Jacobi diverges when many rows couple (humanoid
         # pile-ups); cap the step by a matrix-free power-iteration estimate
         # of lambda_max(D^-1/2 A D^-1/2) so the sweep stays a contraction
-        # 3 power iterations + a free Rayleigh quotient at the last iterate
-        # (converges ~twice as fast as the iterate; 1.1 margin covers the
-        # remaining underestimate) — must mirror pgs_pallas.pgs_core exactly
-        # for the batched-vs-vmapped parity tests
+        # 3 power iterations; the estimate is ||A u_3|| with u_3 the
+        # normalized last iterate (tighter than the Rayleigh quotient by
+        # Cauchy-Schwarz; 1.1 margin covers the remaining underestimate) —
+        # must mirror pgs_pallas.pgs_core exactly for the
+        # batched-vs-vmapped parity tests
         inv_sqrt_d = jax.lax.rsqrt(diag)
         u = jnp.where(act3, 1.0, 0.0)
         u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1.0)
         lam_max = None
         for it in range(3):
             u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act3
+            nrm = jnp.linalg.norm(u2, axis=-1, keepdims=True)
             if it == 2:
-                lam_max = jnp.sum(u * u2, axis=-1)
-            u = u2 / jnp.maximum(jnp.linalg.norm(u2, axis=-1, keepdims=True),
-                                 1e-9)
+                lam_max = nrm[..., 0]
+            u = u2 / jnp.maximum(nrm, 1e-9)
         step_scale = jnp.minimum(1.0,
                                  1.8 / jnp.maximum(1.1 * lam_max, 1e-9))
-        step = (omega * step_scale)[:, None] / diag
 
         use_cone = self.friction_cone == "cone"
 
-        def pgs_iter(lam, _):
+        def pgs_iter(lam, scale_cur, prev_dn):
+            # mirrors pgs_pallas.pgs_core exactly (batched-vs-vmapped
+            # parity) incl. the ||dlam||-growth divergence guard
             r = Avec(lam) + v_free - b
-            lam_full = lam - step * r
+            lam_full = lam - (scale_cur[:, None] / diag) * r
             if nl:
                 lam_lim = jnp.maximum(lam_full[:, 3 * K:], 0.0)
                 lam_lim = jnp.where(act3[:, 3 * K:], lam_lim, 0.0)
@@ -1200,7 +1202,12 @@ class SolverFeatherstone(SolverBase):
             # divergence guard: a non-finite row resets instead of poisoning
             # the whole environment
             lam_new = jnp.where(jnp.isfinite(lam_new), lam_new, 0.0)
-            return lam_new, None
+            dlt = lam_new - lam
+            dn = jnp.sum(dlt * dlt, axis=1)             # (n_env,)
+            if prev_dn is not None:
+                scale_cur = jnp.where(dn > prev_dn * 1.02, scale_cur * 0.5,
+                                      scale_cur)
+            return lam_new, scale_cur, dn
 
         lam = jnp.zeros((n_env, 3 * K + 2 * nl), dtype=dtype)
         if self.warm_start and group_index is not None:
@@ -1213,8 +1220,10 @@ class SolverFeatherstone(SolverBase):
                     act3[:, :3 * K], prev3.reshape(n_env, 3 * K), 0.0))
         # trace-time unrolled (small static count): avoids the while-loop
         # carry copies that showed up in the op trace
+        scale_cur = omega * step_scale
+        prev_dn = None
         for _ in range(self.contact_iterations):
-            lam, _ = pgs_iter(lam, None)
+            lam, scale_cur, prev_dn = pgs_iter(lam, scale_cur, prev_dn)
         dqd = jnp.einsum("ndr,nr->nd", MinvJt, lam, precision=hp)
         # scatter lam / dirs back to the full slot space so warm-start
         # storage and force reporting keep their per-slot contracts

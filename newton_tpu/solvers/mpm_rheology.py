@@ -230,9 +230,10 @@ def solve_rheology_implicit(gv_free, grid_mass, has_mass, proj, res,
     lam_max = None
     for it in range(3):
         u2 = inv_sqrt_d * Dop(inv_sqrt_d * u)
+        nrm = jnp.sqrt(jnp.sum(u2 * u2))
         if it == 2:
-            lam_max = jnp.sum(u * u2)
-        u = u2 / jnp.maximum(jnp.sqrt(jnp.sum(u2 * u2)), 1e-30)
+            lam_max = nrm            # ||A u||: tighter than <u, A u> (C-S)
+        u = u2 / jnp.maximum(nrm, 1e-30)
     scale = jnp.minimum(1.0, 1.8 / jnp.maximum(1.1 * lam_max, 1e-9))
     step = (relaxation * scale) / diag                  # (rc, rc, rc, 1)
 

@@ -669,7 +669,10 @@ def parse_mjcf(builder, source: str, xform=None, floating: Optional[bool] = None
             n_sites = sum(1 for e in elems if e[0] == "site")
             if not ok or n_sites < 2:
                 continue
-            slen = _parse_float(sa.get("springlength"), -1.0)
+            # springlength accepts one OR two values (deadband form); we
+            # take the lower bound as the rest length (MuJoCo XML ref)
+            slen_v = _parse_vec(sa.get("springlength"), [-1.0])
+            slen = float(slen_v[0])
             tid = builder.add_tendon_spatial(
                 elems,
                 stiffness=_parse_float(sa.get("stiffness"), 0.0),

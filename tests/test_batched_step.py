@@ -182,6 +182,109 @@ def test_pgs_pallas_interpret_matches_core():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_pgs_divergence_guard():
+    """The PGS sweep must CONVERGE even where the 3-matvec spectral lower
+    bound undershoots lambda_max by more than its 1.1 margin (ADVICE r4:
+    on rank-deficient / near-degenerate Delassus spectra the power
+    iterate can undershoot 1.5-4x, making the raw projected-Jacobi map
+    non-contractive with oscillating non-NaN divergence). The per-env
+    ||dlam||-growth guard in pgs_core halves the step where the map
+    expands, restoring contraction.
+
+    Stress families: random rank-deficient J J^T Delassus (humanoid-pile
+    shape), clustered top eigenvalues, and an isolated top eigenvalue
+    nearly orthogonal to the active-row start vector."""
+    from newton_tpu.solvers.generalized import pgs_pallas as pk
+    rng = np.random.RandomState(7)
+
+    def assert_converged(J_np, act_np):
+        W, r, d = J_np.shape
+        c = r // 3
+        J = jnp.asarray(np.transpose(J_np, (1, 2, 0)), jnp.float32)
+        MJ = J                                           # Minv = I
+        act = jnp.asarray(act_np.T, jnp.float32)
+        Am = np.einsum("wrd,wsd->wrs", J_np, J_np)
+        diag = jnp.asarray(np.einsum("wii->wi", Am).T + 1e-3, jnp.float32)
+        qd = rng.randn(W, d)
+        v_free = jnp.asarray(np.einsum("wrd,wd->wr", J_np, qd).T,
+                             jnp.float32)
+        b = jnp.abs(jnp.asarray(rng.randn(r, W), jnp.float32))
+        mu = jnp.asarray(0.5 + 0.5 * rng.rand(c, W), jnp.float32)
+        lam0 = jnp.zeros((r, W), jnp.float32)
+
+        def run(iters):
+            lam, _ = pk.pgs_core(J, MJ, None, diag, v_free, b, act, mu,
+                                 lam0, c=c, nl=0, ld=(), iters=iters,
+                                 omega=1.0, use_cone=False)
+            return np.asarray(lam)
+
+        lam_a = run(120)
+        lam_b = run(121)
+        assert np.isfinite(lam_a).all()
+        # the iteration has settled: one more sweep moves lam by < 1e-2
+        # relative — a diverging/oscillating sweep moves O(|lam|)
+        dn = np.linalg.norm(lam_b - lam_a, axis=0)
+        ln = np.linalg.norm(lam_a, axis=0)
+        assert (dn <= 1e-2 * (1.0 + ln)).all(), (dn, ln)
+
+    r, W = 24, 16
+    # (a) rank-deficient Delassus (the production pile shape)
+    J = rng.randn(W, r, 9)
+    act = (rng.rand(W, r) > 0.3).astype(np.float64)
+    act[:, 0] = 1.0
+    assert_converged(J, act)
+    # (b) clustered top eigenvalues (near-degenerate spectrum)
+    lams = np.concatenate([np.full(6, 10.0) - rng.rand(6) * 1e-3,
+                           rng.rand(r - 6) + 0.05])
+    Q = np.linalg.qr(rng.randn(W, r, r))[0]
+    assert_converged(Q * np.sqrt(lams)[None, None, :], np.ones((W, r)))
+    # (c) isolated top eigenvalue nearly orthogonal to the ones vector
+    ones = np.ones(r) / np.sqrt(r)
+    Jc = np.zeros((W, r, r))
+    for w in range(W):
+        v = rng.randn(r)
+        v -= (v @ ones) * ones
+        v /= np.linalg.norm(v)
+        v1 = v + 1e-3 * ones
+        v1 /= np.linalg.norm(v1)
+        B = np.eye(r) * 2.0 + 8.0 * np.outer(v1, v1)
+        Jc[w] = np.linalg.cholesky(B)
+    assert_converged(Jc, np.ones((W, r)))
+
+
+def test_chol_pallas_interpret_matches_core():
+    """VMEM Cholesky factor/solve/inverse kernel (interpret mode) == the
+    unrolled XLA path (_chol_t/_cho_solve_t) it replaces on TPU.
+
+    This kernel sits on the TPU hot path for every contact/limit/equality
+    solve (batched.py ~:1053); a silent numeric divergence would corrupt
+    Minv/qd on TPU only, so parity is gated here in interpret mode."""
+    from newton_tpu.solvers.generalized.batched import _chol_t, _cho_solve_t
+    from newton_tpu.solvers.generalized.linalg_pallas import (
+        chol_fits_vmem, chol_inv_solve_pallas)
+    rng = np.random.RandomState(1)
+    for d, W in ((4, 128), (7, 256), (23, 128)):
+        A = rng.randn(W, d, d).astype(np.float32)
+        spd = A @ np.transpose(A, (0, 2, 1)) + 2.0 * np.eye(d,
+                                                            dtype=np.float32)
+        Mi = jnp.asarray(np.transpose(spd, (1, 2, 0)))     # (d, d, W)
+        rhs = jnp.asarray(rng.randn(d, W).astype(np.float32))
+        assert chol_fits_vmem(d, W)
+        minv_p, x_p = chol_inv_solve_pallas(Mi, rhs, interpret=True)
+        L = _chol_t(Mi)
+        x_r = _cho_solve_t(L, rhs)
+        eye = jnp.eye(d, dtype=jnp.float32)[:, :, None]
+        minv_r = _cho_solve_t(L, jnp.broadcast_to(eye, (d, d, W)))
+        np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_r),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(minv_p), np.asarray(minv_r),
+                                   atol=1e-5, rtol=1e-5)
+    # the gate that protects the kernel's wt>=128 floor: huge d must not
+    # route to Pallas (ADVICE r4: d >~ 62 exceeds scoped VMEM at runtime)
+    assert not chol_fits_vmem(70, 128)
+    assert not chol_fits_vmem(23, 100)      # non-lane-aligned W
+
+
 @pytest.mark.slow
 def test_humanoid_batched_matches_vmap():
     """Contact compaction (192 slots -> top-32) through both paths: the

@@ -194,6 +194,15 @@ def test_mjcf_spatial_tendon_first_class():
     # rest length = build-pose distance between the two world sites
     assert abs(prm[0, 2] - 0.8) < 1e-5
 
+    # two-value springlength (MuJoCo deadband form) must not abort the
+    # import; the lower bound is taken as rest length (ADVICE r4)
+    mjcf2 = mjcf.replace('stiffness="7"',
+                         'stiffness="7" springlength="0.3 0.5"')
+    b2 = nt.ModelBuilder()
+    b2.add_mjcf(mjcf2)
+    m2 = b2.finalize()
+    assert abs(np.asarray(m2.sten_params)[0, 2] - 0.3) < 1e-6
+
 
 def test_usd_deformable_surface_to_cloth():
     """USD deformable surface prims become cloth particles/triangles and
