@@ -73,6 +73,55 @@ def emit(payload, valid, error=None):
     print(json.dumps(payload))
 
 
+# peak (bf16 TFLOP/s, HBM GB/s) per device kind — published chip specs,
+# substring-matched against jax.devices()[0].device_kind. Used only to
+# annotate the roofline fields; absent kinds just skip the utilization
+# ratios. This workload is elementwise/VPU-heavy f32, so the meaningful
+# utilization is HBM bandwidth, not MXU MFU.
+DEVICE_PEAKS = {
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),
+}
+
+
+def roofline_fields(compiled, env_steps_per_dispatch, elapsed_per_dispatch):
+    """FLOPs / HBM bytes per env-step from XLA's own cost model
+    (compiled.cost_analysis()), plus achieved rates and peak ratios.
+    This is the roofline evidence for the KPI: arithmetic intensity
+    tells you whether the step is MXU- or HBM-bound."""
+    import jax
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return {}
+    if flops <= 0 and nbytes <= 0:
+        return {}
+    out = {
+        "flops_per_env_step": round(flops / env_steps_per_dispatch, 1),
+        "hbm_bytes_per_env_step": round(nbytes / env_steps_per_dispatch, 1),
+    }
+    if elapsed_per_dispatch > 0:
+        tflops = flops / elapsed_per_dispatch / 1e12
+        gbs = nbytes / elapsed_per_dispatch / 1e9
+        out["achieved_tflops"] = round(tflops, 3)
+        out["achieved_hbm_gbs"] = round(gbs, 1)
+        kind = jax.devices()[0].device_kind.lower()
+        for k, (pf, pb) in DEVICE_PEAKS.items():
+            if k in kind:
+                out["device_kind"] = jax.devices()[0].device_kind
+                out["mfu_vs_bf16_peak"] = round(tflops * 1e12 / pf, 4)
+                out["hbm_bw_utilization"] = round(gbs * 1e9 / pb, 4)
+                break
+    return out
+
+
 def bench_robot(args):
     import jax
     import jax.numpy as jnp
@@ -166,8 +215,12 @@ def bench_robot(args):
                                        length=chunk)
         return state, key
 
-    rollout_j = jax.jit(rollout, donate_argnums=0)
+    # AOT compile: same cache as jit, but keeps the Compiled handle so the
+    # XLA cost model (flops / bytes accessed) is queryable for the
+    # roofline fields without a second compile
     key = jax.random.PRNGKey(0)
+    rollout_j = jax.jit(rollout, donate_argnums=0).lower(
+        state, key).compile()
 
     state, key = rollout_j(state, key)
     jax.block_until_ready(state.joint_q)
@@ -196,18 +249,19 @@ def bench_robot(args):
     bq = np.asarray(state.body_q).reshape(-1, 7)
     name = f"{args.robot}_env_steps_per_s"
     if np.isnan(jq).any() or np.isnan(bq).any():
-        emit({"metric": name, "unit": "env-steps/s"}, False, "NaN state")
+        return {"metric": name, "unit": "env-steps/s"}, False, "NaN state"
     quat_norms = np.linalg.norm(bq[:, 3:7], axis=-1)
     if np.abs(quat_norms - 1.0).max() > 1e-2:
-        emit({"metric": name, "unit": "env-steps/s"}, False,
-             "non-normalized quaternions")
+        return ({"metric": name, "unit": "env-steps/s"}, False,
+                "non-normalized quaternions")
 
     env_steps = frames * args.substeps * args.worlds
     throughput = env_steps / elapsed
     dt_total = frames * args.substeps * dt
     if args.solver != "generalized":
         name = f"{args.robot}_{args.solver}_env_steps_per_s"
-    emit({
+    steps_per_dispatch = chunk * args.substeps * args.worlds
+    payload = {
         "metric": name,
         "value": round(throughput, 1),
         "unit": "env-steps/s",
@@ -227,7 +281,10 @@ def bench_robot(args):
         "device_mem_mb": mem_mb,
         "solver_iterations": 8,
         "actuation": "mjc" if use_mjc else "direct",
-    }, True)
+    }
+    payload.update(roofline_fields(rollout_j, steps_per_dispatch,
+                                   elapsed / n_chunks))
+    return payload, True, None
 
 
 def bench_cloth(args):
@@ -383,6 +440,65 @@ def bench_ik(args):
     }, bool(np.isfinite(qn).all()), "NaN IK solution")
 
 
+README_BEGIN = "<!-- BENCH:BEGIN (regenerated by bench.py --update-readme) -->"
+README_END = "<!-- BENCH:END -->"
+
+
+def update_readme(detail_path="BENCH_DETAIL.json", readme_path="README.md"):
+    """Regenerate README's Measured table from the last BENCH_DETAIL.json
+    so published numbers can never go stale (VERDICT r4: the table was two
+    rounds old)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, detail_path)) as f:
+        detail = json.load(f)
+    rows = []
+    for w in detail.get("workloads", []):
+        if "error" in w or not w.get("value"):
+            continue
+        m = w["metric"]
+        if m.endswith("_env_steps_per_s"):
+            robot = m[:-len("_env_steps_per_s")]
+            desc = (f"{robot.replace('_', ' ').title()}, {w['worlds']} envs, "
+                    f"random actuation, {w.get('solver_iterations', 8)} PGS "
+                    f"iters")
+            val = f"**{w['value'] / 1e6:.2f}M env-steps/s**"
+            extra = []
+            if "rtf" in w:
+                extra.append(f"RTF {w['rtf']:,.0f}x")
+            if "achieved_hbm_gbs" in w:
+                extra.append(f"{w['achieved_hbm_gbs']} GB/s HBM")
+            if "hbm_bw_utilization" in w:
+                extra.append(
+                    f"{100 * w['hbm_bw_utilization']:.0f}% of peak BW")
+            rows.append((desc, val + (" (" + ", ".join(extra) + ")"
+                                      if extra else "")))
+        elif m == "cloth_vertex_steps_per_s":
+            rows.append((f"Cloth (Style3D PD+PCG, "
+                         f"{w.get('vertices', 0)} vertices)",
+                         f"{w['value'] / 1e6:.2f}M vertex-steps/s"))
+        elif m == "mpm_particle_steps_per_s":
+            rows.append((f"MPM sand, {w.get('particles', 0)} particles, "
+                         f"64^3 grid",
+                         f"{w['value'] / 1e6:.2f}M particle-steps/s"))
+        elif m == "ik_solves_per_s":
+            rows.append(("IK (3-link, 4 seeds x 16 LM iters)",
+                         f"{w['value'] / 1e3:.1f}k solves/s"))
+    kind = detail.get("device_kind", "TPU")
+    lines = [README_BEGIN,
+             f"## Measured ({detail.get('stamp', '')}, single {kind} chip, "
+             f"`python bench.py`)", "",
+             "| Workload | Result |", "|---|---|"]
+    lines += [f"| {d} | {v} |" for d, v in rows]
+    lines.append(README_END)
+    rp = os.path.join(here, readme_path)
+    with open(rp) as f:
+        txt = f.read()
+    i, j = txt.index(README_BEGIN), txt.index(README_END) + len(README_END)
+    with open(rp, "w") as f:
+        f.write(txt[:i] + "\n".join(lines) + txt[j:])
+    print(f"updated {readme_path} from {detail_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worlds", type=int,
@@ -401,15 +517,58 @@ def main():
                     choices=["robot", "cloth", "mpm", "ik"])
     ap.add_argument("--cloth-dim", type=int, default=100)
     ap.add_argument("--mpm-particles", type=int, default=32768)
+    ap.add_argument("--no-detail", action="store_true",
+                    help="skip the humanoid side run + BENCH_DETAIL.json")
+    ap.add_argument("--update-readme", action="store_true",
+                    help="regenerate README's Measured table from "
+                         "BENCH_DETAIL.json and exit")
     args = ap.parse_args()
+    if args.update_readme:
+        update_readme()
+        return
     if args.mode == "cloth":
         bench_cloth(args)
-    elif args.mode == "mpm":
+        return
+    if args.mode == "mpm":
         bench_mpm(args)
-    elif args.mode == "ik":
+        return
+    if args.mode == "ik":
         bench_ik(args)
-    else:
-        bench_robot(args)
+        return
+
+    payload, valid, err = bench_robot(args)
+    if not valid:
+        emit(payload, False, err)
+
+    # the KPI north star is Ant AND Humanoid (BASELINE.json): the default
+    # driver run also measures humanoid and surfaces its number in the
+    # same (single) driver-parsed JSON line; full payloads for every
+    # workload land in BENCH_DETAIL.json for the README regeneration
+    detail = {"workloads": [payload]}
+    if args.robot == "ant" and not args.no_detail:
+        import argparse as _ap
+        h = _ap.Namespace(**vars(args))
+        h.robot, h.worlds = "humanoid", min(args.worlds, 2048)
+        try:
+            hp, hv, herr = bench_robot(h)
+        except Exception as e:                       # noqa: BLE001
+            hp, hv, herr = {"metric": "humanoid_env_steps_per_s"}, False, str(e)
+        if hv:
+            payload["humanoid_env_steps_per_s"] = hp["value"]
+            payload["humanoid_worlds"] = hp["worlds"]
+            detail["workloads"].append(hp)
+        else:
+            detail["workloads"].append(dict(hp, error=herr or "failed"))
+    import jax
+    detail["device_kind"] = jax.devices()[0].device_kind
+    detail["stamp"] = time.strftime("%Y-%m-%d")
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    emit(payload, True)
 
 
 if __name__ == "__main__":
