@@ -18,6 +18,7 @@ from typing import Optional
 __all__ = ["create_parser", "init", "run", "main", "EXAMPLES"]
 
 EXAMPLES = {
+    "compliant_pad": "newton_tpu.examples.example_compliant_pad",
     "newton_cradle": "newton_tpu.examples.example_newton_cradle",
     "diffsim_cloth": "newton_tpu.examples.example_diffsim_cloth",
     "diffsim_drone": "newton_tpu.examples.example_diffsim_drone",

@@ -122,7 +122,12 @@ def _box_sdf_local(p, half, eps=1e-9):
     """SDF + gradient of an axis-aligned box at local points p (..., 3)."""
     q = jnp.abs(p) - half
     outside = jnp.maximum(q, 0.0)
-    d_out = jnp.linalg.norm(outside + eps, axis=-1) - eps
+    # safe norm: sqrt has an infinite derivative at 0 and norm's VJP is
+    # 0/0 = NaN there; clamp the squared distance BEFORE the sqrt so
+    # interior points (outside == 0) keep a finite, zero backward pass
+    o2 = jnp.sum(outside * outside, axis=-1)
+    d_out = jnp.where(o2 > 0.0,
+                      jnp.sqrt(jnp.maximum(o2, eps * eps)), 0.0)
     d_in = jnp.minimum(jnp.max(q, axis=-1), 0.0)
     d = d_out + d_in
     # gradient: outside — direction from surface; inside — axis of max q

@@ -93,6 +93,11 @@ class ShapeConfig:
     kd: float = 1000.0
     kf: float = 1000.0
     ka: float = 0.0
+    # hydroelastic modulus (Pa/m): pressure = kh * penetration on the
+    # equal-pressure surface (reference builder.py ShapeConfig.kh,
+    # sdf_hydroelastic.py:147 linear_pressure). Only consumed when the
+    # collision pipeline runs with hydroelastic=True.
+    kh: float = 1.0e6
     mu: float = 0.5
     restitution: float = 0.0
     thickness: float = 1.0e-5
@@ -241,6 +246,7 @@ class ModelBuilder:
         self.shape_material_ke: List[float] = []
         self.shape_material_kd: List[float] = []
         self.shape_material_kf: List[float] = []
+        self.shape_material_kh: List[float] = []
         self.shape_collision_group: List[int] = []
         # MuJoCo-style bitmasks: pair collides iff (contype_a & conaffinity_b)
         # or (contype_b & conaffinity_a) (reference mjcf importer semantics)
@@ -526,6 +532,7 @@ class ModelBuilder:
         self.shape_material_ke += list(o.shape_material_ke) * count
         self.shape_material_kd += list(o.shape_material_kd) * count
         self.shape_material_kf += list(o.shape_material_kf) * count
+        self.shape_material_kh += list(o.shape_material_kh) * count
         self.shape_collision_group += list(o.shape_collision_group) * count
         self.shape_contype += list(o.shape_contype) * count
         self.shape_conaffinity += list(o.shape_conaffinity) * count
@@ -1028,6 +1035,7 @@ class ModelBuilder:
         self.shape_material_ke.append(float(cfg.ke))
         self.shape_material_kd.append(float(cfg.kd))
         self.shape_material_kf.append(float(cfg.kf))
+        self.shape_material_kh.append(float(cfg.kh))
         self.shape_collision_group.append(int(cfg.collision_group))
         self.shape_contype.append(int(getattr(cfg, "contype", 1)))
         self.shape_conaffinity.append(int(getattr(cfg, "conaffinity", 1)))
@@ -1774,6 +1782,7 @@ class ModelBuilder:
             self.shape_material_ke.append(other.shape_material_ke[i])
             self.shape_material_kd.append(other.shape_material_kd[i])
             self.shape_material_kf.append(other.shape_material_kf[i])
+            self.shape_material_kh.append(other.shape_material_kh[i])
             self.shape_collision_group.append(other.shape_collision_group[i])
             self.shape_contype.append(other.shape_contype[i])
             self.shape_conaffinity.append(other.shape_conaffinity[i])
@@ -2408,6 +2417,50 @@ class ModelBuilder:
                 sdf_uppers.append(src.upper)
         st.shape_sdf_id = shape_sdf_id
         st.shape_sdf_tex_id = shape_sdf_tex_id
+
+        # hydroelastic pressure integration: Voronoi-partition each shape's
+        # surface area over its contact samples so sum(p_i * area_i)
+        # approximates the patch-force integral the reference computes over
+        # marching-cubes faces (sdf_hydroelastic.py:1521, 16:4)
+        sample_areas = np.zeros((self.shape_count, sample_K, 3))
+        for sidx in range(self.shape_count):
+            t = self.shape_type[sidx]
+            sc = np.asarray(self.shape_scale[sidx], dtype=np.float64)
+            src = self.shape_source[sidx]
+            dense = None
+            if t in mesh_types and isinstance(src, Mesh):
+                dense = _mesh_surface_cloud(src.vertices * sc, src.indices)
+            elif t == int(GeoType.HFIELD) and isinstance(src, Heightfield):
+                hfv = np.asarray(src.heights, dtype=np.float64)
+                nx, ny = hfv.shape
+                dx = src.size_x / max(nx - 1, 1)
+                dy = src.size_y / max(ny - 1, 1)
+                gx, gy = np.meshgrid(
+                    np.linspace(-src.size_x / 2, src.size_x / 2, nx),
+                    np.linspace(-src.size_y / 2, src.size_y / 2, ny),
+                    indexing="ij")
+                pts = np.stack([gx, gy, hfv], axis=-1).reshape(-1, 3)
+                # vector cell area dA*n = (-dh/dx, -dh/dy, 1) * dx*dy
+                ddx = np.gradient(hfv, dx, axis=0)
+                ddy = np.gradient(hfv, dy, axis=1)
+                n = np.stack([-ddx, -ddy, np.ones_like(hfv)],
+                             axis=-1).reshape(-1, 3)
+                slope = np.linalg.norm(n, axis=1)
+                dense = (pts, dx * dy * slope, n / slope[:, None])
+            else:
+                dense = _primitive_surface_cloud(GeoType(t), sc)
+            if dense is not None and len(dense[0]):
+                sample_areas[sidx] = _sample_area_weights(
+                    sample_points[sidx], dense[0], dense[1], dense[2])
+        # mean Voronoi cell area per shape (host metadata): hydroelastic
+        # pairs integrate the pressure field over the FINER-sampled side
+        # only (one iso-surface, like the reference's marching-cubes patch;
+        # double integration would double-count and a coarse side's huge
+        # cells would blow up small patches)
+        st.shape_sample_cell_area = (
+            np.linalg.norm(sample_areas, axis=-1).mean(axis=-1)
+            if self.shape_count else np.zeros(0))
+
         # pool sparse SDF textures: block_index values become GLOBAL slots
         # into one shared blocks pool; textures with a smaller block grid
         # are padded by EXTENDING their domain upper bound (cell size kept
@@ -2570,6 +2623,7 @@ class ModelBuilder:
             shape_material_ke=dev(self.shape_material_ke if S else np.zeros(0)),
             shape_material_kd=dev(self.shape_material_kd if S else np.zeros(0)),
             shape_material_kf=dev(self.shape_material_kf if S else np.zeros(0)),
+            shape_material_kh=dev(self.shape_material_kh if S else np.zeros(0)),
             shape_world=dev_i(st.shape_world),
             shape_source=dev_i(shape_source_idx),
             joint_type_arr=dev_i(st.joint_type),
@@ -2628,6 +2682,7 @@ class ModelBuilder:
             mesh_points=dev(mesh_points),
             mesh_indices=dev_i(mesh_indices),
             shape_sample_points=dev(sample_points),
+            shape_sample_areas=dev(sample_areas),
             sdf_grids=dev(sdf_pool),
             sdf_lower=dev(sdf_lower_arr),
             sdf_upper=dev(sdf_upper_arr),
@@ -3094,6 +3149,158 @@ def _primitive_sample_points(t: GeoType, sc, k: int) -> np.ndarray:
         out[:n] = np.stack(pts[:n])
         out[n:] = out[0]
     return out
+
+
+def _sample_area_weights(samples: np.ndarray, dense_pts: np.ndarray,
+                         dense_areas: np.ndarray,
+                         dense_normals: np.ndarray) -> np.ndarray:
+    """Voronoi partition of a dense surface cloud over the contact samples:
+    each dense element's VECTOR area (dA * outward normal) accrues to its
+    nearest sample, giving per-sample vector areas v_i = sum(dA_j n_j).
+    Projecting v_i onto a contact direction yields exactly the projected
+    patch area (divergence theorem), so flat-on-flat hydroelastic force
+    integrals are exact and side-face slices assigned to edge/corner
+    samples contribute nothing in the normal direction. Total vector area
+    is conserved; padded duplicate samples receive the shared cell once
+    (argmin picks the first)."""
+    d = np.linalg.norm(dense_pts[:, None, :] - samples[None, :, :], axis=-1)
+    nearest = np.argmin(d, axis=1)
+    w = np.zeros((len(samples), 3))
+    np.add.at(w, nearest, dense_normals * dense_areas[:, None])
+    return w
+
+
+def _mesh_surface_cloud(verts: np.ndarray, indices: np.ndarray) -> Tuple[
+        np.ndarray, np.ndarray, np.ndarray]:
+    """Dense (points, areas, outward normals) covering a mesh surface: each
+    triangle is split into 4 (edge-midpoint subdivision) and contributes
+    its sub-centroids with a quarter of its area — finer than per-triangle
+    centroids so the Voronoi partition doesn't lump big faces onto one
+    sample."""
+    verts = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(indices, dtype=np.int64).reshape(-1, 3)
+    if len(faces) == 0:
+        return np.zeros((0, 3)), np.zeros((0,)), np.zeros((0, 3))
+    tri = verts[faces]                                     # (T, 3, 3)
+    nvec = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = 0.5 * np.linalg.norm(nvec, axis=1)
+    nrm = nvec / np.maximum(np.linalg.norm(nvec, axis=1, keepdims=True),
+                            1e-30)
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    ab, bc, ca = 0.5 * (a + b), 0.5 * (b + c), 0.5 * (c + a)
+    subs = [(a, ab, ca), (ab, b, bc), (ca, bc, c), (ab, bc, ca)]
+    pts = np.concatenate([(p + q + r) / 3.0 for p, q, r in subs])
+    areas = np.tile(area / 4.0, 4)
+    return pts, areas, np.tile(nrm, (4, 1))
+
+
+def _fibonacci_sphere(n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5 ** 0.5) * i
+    return np.stack([np.cos(theta) * np.sin(phi),
+                     np.sin(theta) * np.sin(phi), np.cos(phi)], axis=-1)
+
+
+def _primitive_surface_cloud(t: GeoType, sc) -> Optional[
+        Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Dense (points, areas, outward normals) on a primitive's surface for
+    the hydroelastic area partition. Exact total area for
+    sphere/box/capsule/cylinder; first-fundamental-form scaling for the
+    ellipsoid."""
+    sc = np.asarray(sc, dtype=np.float64)
+    if t == GeoType.SPHERE:
+        r = sc[0]
+        u = _fibonacci_sphere(256)
+        return u * r, np.full(256, 4.0 * np.pi * r * r / 256), u
+    if t == GeoType.ELLIPSOID:
+        u = _fibonacci_sphere(256)
+        # linear map A = diag(sc): dA -> det(A) * |A^-T n| dA_unit
+        scale = np.prod(sc) * np.sqrt(((u / sc[None, :]) ** 2).sum(-1))
+        n = u / sc[None, :]
+        n = n / np.linalg.norm(n, axis=1, keepdims=True)
+        return u * sc[None, :], (4.0 * np.pi / 256) * scale, n
+    if t == GeoType.BOX:
+        pts, areas, nrms = [], [], []
+        g = (np.arange(4) + 0.5) / 4.0 * 2.0 - 1.0         # 4 cells per axis
+        for ax in range(3):
+            o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+            face_area = 4.0 * sc[o1] * sc[o2] / 16.0
+            for s in (-1.0, 1.0):
+                n = np.zeros(3)
+                n[ax] = s
+                for u_ in g:
+                    for v_ in g:
+                        p = np.zeros(3)
+                        p[ax] = s * sc[ax]
+                        p[o1] = u_ * sc[o1]
+                        p[o2] = v_ * sc[o2]
+                        pts.append(p)
+                        areas.append(face_area)
+                        nrms.append(n)
+        return np.stack(pts), np.asarray(areas), np.stack(nrms)
+    if t in (GeoType.CAPSULE, GeoType.CYLINDER, GeoType.CONE):
+        r, h = sc[0], sc[1]
+        pts, areas, nrms = [], [], []
+        nth, nz = 12, 6
+        ths = np.linspace(0, 2 * np.pi, nth, endpoint=False)
+        side_h = 2.0 * h
+        if t == GeoType.CONE:
+            # lateral surface of the cone z in [-h, h], apex at +h
+            slant = np.sqrt(side_h ** 2 + r ** 2)
+            lat = np.pi * r * slant
+            for th in ths:
+                ct, st_ = np.cos(th), np.sin(th)
+                n = np.array([ct * side_h, st_ * side_h, r]) / slant
+                for zf in (np.arange(nz) + 0.5) / nz:
+                    z = -h + zf * side_h
+                    rr = r * (1.0 - zf)
+                    pts.append([rr * ct, rr * st_, z])
+                    # annulus weighting ~ local radius
+                    areas.append(lat * (1.0 - zf))
+                    nrms.append(n)
+            areas = list(np.asarray(areas) / np.sum(areas) * lat)
+            # base disk
+            for th in ths:
+                for rf in ((np.arange(3) + 0.5) / 3.0):
+                    pts.append([r * rf * np.cos(th), r * rf * np.sin(th), -h])
+                    areas.append(np.pi * r * r * rf)
+                    nrms.append([0.0, 0.0, -1.0])
+            a = np.asarray(areas)
+            disk = np.pi * r * r
+            a[-nth * 3:] = a[-nth * 3:] / a[-nth * 3:].sum() * disk
+            return np.asarray(pts), a, np.asarray(nrms)
+        # cylinder side (also the capsule's)
+        for th in ths:
+            ct, st_ = np.cos(th), np.sin(th)
+            for zf in (np.arange(nz) + 0.5) / nz:
+                z = -h + zf * side_h
+                pts.append([r * ct, r * st_, z])
+                areas.append(2 * np.pi * r * side_h / (nth * nz))
+                nrms.append([ct, st_, 0.0])
+        if t == GeoType.CAPSULE:
+            u = _fibonacci_sphere(128)
+            cap_a = 4.0 * np.pi * r * r / 128
+            for ui in u:
+                z_off = h if ui[2] >= 0 else -h
+                pts.append([ui[0] * r, ui[1] * r, ui[2] * r + z_off])
+                areas.append(cap_a)
+                nrms.append(ui)
+        else:                                               # cylinder caps
+            for th in ths:
+                for rf in ((np.arange(3) + 0.5) / 3.0):
+                    for s in (-1.0, 1.0):
+                        pts.append([r * rf * np.cos(th),
+                                    r * rf * np.sin(th), s * h])
+                        areas.append(2 * np.pi * r * r / (nth * 3 * 2) * rf
+                                     * 2)
+                        nrms.append([0.0, 0.0, s])
+            a = np.asarray(areas)
+            n_cap = nth * 3 * 2
+            a[-n_cap:] = a[-n_cap:] / a[-n_cap:].sum() * 2 * np.pi * r * r
+            return np.asarray(pts), a, np.asarray(nrms)
+        return np.asarray(pts), np.asarray(areas), np.asarray(nrms)
+    return None
 
 
 def _collapse_fixed_joints(builder: "ModelBuilder") -> Dict[int, int]:

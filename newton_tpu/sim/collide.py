@@ -664,6 +664,14 @@ class CollisionPipeline:
         )
 
 
+def _safe_norm(x, eps=1e-9):
+    """L2 norm along the last axis with a finite gradient at 0 (the VJP of
+    jnp.linalg.norm at exactly 0 is 0/0 = NaN, which contaminates branch-
+    free where-selects even when the branch is untaken)."""
+    n2 = jnp.sum(x * x, axis=-1)
+    return jnp.sqrt(jnp.maximum(n2, eps * eps))
+
+
 def _shape_sdf(shape_types: np.ndarray, p_local: jnp.ndarray,
                scale: jnp.ndarray, dtype):
     """Signed distance + gradient for primitive shapes at local points.
@@ -678,20 +686,25 @@ def _shape_sdf(shape_types: np.ndarray, p_local: jnp.ndarray,
     d_plane = p_local[:, 2]
     g_plane = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=dtype),
                                p_local.shape)
+    # NOTE on safe norms: every branch below is evaluated for EVERY point
+    # (where-select), and jnp.linalg.norm has a 0/0 = NaN VJP at exactly 0
+    # — a point on the capsule axis or at the sphere center NaNs the
+    # gradient of the SELECTED branch through jnp.where (zero cotangent
+    # times NaN is NaN). _safe_norm clips the squared norm before the
+    # sqrt so the backward pass stays finite everywhere.
     # sphere
-    r = jnp.linalg.norm(p_local, axis=-1)
-    safe_r = jnp.maximum(r, 1e-9)
+    r = _safe_norm(p_local)
     d_sphere = r - scale[:, 0]
-    g_sphere = p_local / safe_r[:, None]
+    g_sphere = p_local / r[:, None]
     # box
     d_box, g_box = _box_sdf_local(p_local, scale)
     # capsule (axis Z, radius s0, half-height s1)
     z = jnp.clip(p_local[:, 2], -scale[:, 1], scale[:, 1])
     closest = jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1)
     dc = p_local - closest
-    dist_c = jnp.linalg.norm(dc, axis=-1)
+    dist_c = _safe_norm(dc)
     d_cap = dist_c - scale[:, 0]
-    g_cap = dc / jnp.maximum(dist_c, 1e-9)[:, None]
+    g_cap = dc / dist_c[:, None]
 
     is_plane = jnp.asarray(t == int(GeoType.PLANE))
     is_sphere = jnp.asarray(t == int(GeoType.SPHERE))
@@ -854,46 +867,83 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
         dB, gB = _sdf_of_shape(model, mi, sid_m, p_in_m)
         outB = quat_rotate(X_m[:, None, 3:7], gB)            # outward of mi
         nB = outB                                            # mi -> oi (0 -> 1)
+        half = pc.slots // 2
+        thick_ab = (model.shape_thickness[mi]
+                    + model.shape_thickness[oi])[:, None]
+        f_slots = None
         if pipeline.hydroelastic:
             # move each sample to the equal-pressure surface between the two
-            # elastic bodies: t = pen * E_other / (E_self + E_other) along the
-            # other shape's outward normal (reference sdf_hydroelastic.py:240)
-            Em = model.shape_material_ke[mi][:, None]
-            Eo = model.shape_material_ke[oi][:, None]
+            # elastic bodies: t = pen * kh_other / (kh_self + kh_other) along
+            # the other shape's outward normal (reference
+            # sdf_hydroelastic.py:240; pressure balance kh_m*tA == kh_o*tB)
+            Em = model.shape_material_kh[mi][:, None]
+            Eo = model.shape_material_kh[oi][:, None]
             fA = (Eo / jnp.maximum(Em + Eo, 1e-12))[..., None]
             fB = (Em / jnp.maximum(Em + Eo, 1e-12))[..., None]
             penA = jnp.maximum(-dA, 0.0)[..., None]
             penB = jnp.maximum(-dB, 0.0)[..., None]
             pts_w = pts_w + outA * penA * fA
             pts_w_o = pts_w_o + outB * penB * fB
-        half = pc.slots // 2
-        thick_ab = (model.shape_thickness[mi]
-                    + model.shape_thickness[oi])[:, None]
-        posA, nrmA, depA, dropA = _reduce_k(pipeline, pts_w, nA, -dA, half,
-                                            thick_ab)
-        posB, nrmB, depB, dropB = _reduce_k(pipeline, pts_w_o, nB, -dB,
-                                            pc.slots - half, thick_ab)
-        samples_dropped = dropA + dropB
-        pos = jnp.concatenate([posA, posB], axis=1)
-        nrm = jnp.concatenate([nrmA, nrmB], axis=1)
-        depth = jnp.concatenate([depA, depB], axis=1)
+            # per-sample patch force = keff * penetration * projected cell
+            # area (linear pressure law, reference sdf_hydroelastic.py:147;
+            # vector areas give the divergence-theorem-exact projection of
+            # each Voronoi cell onto the contact plane). The pressure field
+            # is integrated over the FINER-sampled side only — the
+            # reference integrates ONE iso-pressure surface; summing both
+            # directions would double-count the patch, and a coarse side's
+            # huge Voronoi cells would overshoot small patches.
+            keff = Em * Eo / jnp.maximum(Em + Eo, 1e-12)
+            vaA = quat_rotate(X_m[:, None, 3:7],
+                              model.shape_sample_areas[mi])
+            aeffA = jnp.maximum(-jnp.sum(vaA * outA, axis=-1), 0.0)
+            vaB = quat_rotate(X_o[:, None, 3:7],
+                              model.shape_sample_areas[oi])
+            aeffB = jnp.maximum(-jnp.sum(vaB * outB, axis=-1), 0.0)
+            fmagA = keff * jnp.maximum(-dA + thick_ab, 0.0) * aeffA
+            fmagB = keff * jnp.maximum(-dB + thick_ab, 0.0) * aeffB
+            cell = st.shape_sample_cell_area
+            finerA = jnp.asarray(cell[mi] <= cell[oi])[:, None]   # static
+            pos_c = jnp.where(finerA[..., None], pts_w, pts_w_o)
+            nrm_c = jnp.where(finerA[..., None], nA, nB)
+            pen_c = jnp.where(finerA, -dA, -dB)
+            fmag_c = jnp.where(finerA, fmagA, fmagB)
+            pos, nrm, depth, f_slots, samples_dropped = _reduce_k_hydro(
+                pipeline, pos_c, nrm_c, pen_c, fmag_c, pc.slots, thick_ab)
+        else:
+            posA, nrmA, depA, dropA = _reduce_k(pipeline, pts_w, nA, -dA,
+                                                half, thick_ab)
+            posB, nrmB, depB, dropB = _reduce_k(pipeline, pts_w_o, nB, -dB,
+                                                pc.slots - half, thick_ab)
+            samples_dropped = dropA + dropB
+            pos = jnp.concatenate([posA, posB], axis=1)
+            nrm = jnp.concatenate([nrmA, nrmB], axis=1)
+            depth = jnp.concatenate([depA, depB], axis=1)
         swap = ~jnp.asarray(pc.mesh_first)[:, None, None]
         nrm = jnp.where(swap, -nrm, nrm)
     else:
         d, g_loc = _sdf_of_shape(model, oi, st.shape_sdf_id[oi], p_in_o,
                                  analytic_only=True)
         n_w = quat_rotate(X_o[:, None, 3:7], g_loc)          # outward from other
-        if pipeline.hydroelastic:
-            Em = model.shape_material_ke[mi][:, None]
-            Eo = model.shape_material_ke[oi][:, None]
-            frac = (Eo / jnp.maximum(Em + Eo, 1e-12))[..., None]
-            pts_w = pts_w + n_w * jnp.maximum(-d, 0.0)[..., None] * frac
         # normal 0 -> 1: mesh_first means shape0 = mesh, so normal points
         # from mesh toward other = -outward
         thick_ab = (model.shape_thickness[mi]
                     + model.shape_thickness[oi])[:, None]
-        pos, nrm_out, depth, samples_dropped = _reduce_k(
-            pipeline, pts_w, n_w, -d, pc.slots, thick_ab)
+        f_slots = None
+        if pipeline.hydroelastic:
+            Em = model.shape_material_kh[mi][:, None]
+            Eo = model.shape_material_kh[oi][:, None]
+            frac = (Eo / jnp.maximum(Em + Eo, 1e-12))[..., None]
+            pts_w = pts_w + n_w * jnp.maximum(-d, 0.0)[..., None] * frac
+            keff = Em * Eo / jnp.maximum(Em + Eo, 1e-12)
+            va = quat_rotate(X_m[:, None, 3:7],
+                             model.shape_sample_areas[mi])
+            aeff = jnp.maximum(-jnp.sum(va * n_w, axis=-1), 0.0)
+            fmag = keff * jnp.maximum(-d + thick_ab, 0.0) * aeff
+            pos, nrm_out, depth, f_slots, samples_dropped = _reduce_k_hydro(
+                pipeline, pts_w, n_w, -d, fmag, pc.slots, thick_ab)
+        else:
+            pos, nrm_out, depth, samples_dropped = _reduce_k(
+                pipeline, pts_w, n_w, -d, pc.slots, thick_ab)
         mf = jnp.asarray(pc.mesh_first)[:, None, None]
         nrm = jnp.where(mf, -nrm_out, nrm_out)
 
@@ -905,6 +955,19 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
     idx = pc.out_offsets
     s0 = np.where(pc.mesh_first, pc.mesh_idx, pc.other_idx)
     s1 = np.where(pc.mesh_first, pc.other_idx, pc.mesh_idx)
+    stiff_all = out.rigid_contact_stiffness
+    if f_slots is not None:
+        # export the patch integral as a linear contact stiffness: solving
+        # F = c * depth at the generating penetration reproduces
+        # integral(p dA) exactly (reference sdf_hydroelastic.py:1528-1539);
+        # non-penetrating margin slots keep a small stabilizing stiffness
+        # (reference margin_contact_area * k_eff)
+        khm = model.shape_material_kh[mi][:, None]
+        kho = model.shape_material_kh[oi][:, None]
+        keff_pair = khm * kho / jnp.maximum(khm + kho, 1e-12)
+        stiff = jnp.maximum(f_slots / jnp.maximum(depth, 1e-6),
+                            keff_pair * 1e-4)
+        stiff_all = stiff_all.at[idx].set(jnp.where(active, stiff, 0.0))
     return out.replace(
         rigid_contact_mask=out.rigid_contact_mask.at[idx].set(active),
         rigid_contact_position=out.rigid_contact_position.at[idx].set(pos),
@@ -915,6 +978,7 @@ def _mesh_contacts(pipeline: "CollisionPipeline", pc: _MeshPairClass,
             jnp.broadcast_to(jnp.asarray(s0, dtype=jnp.int32)[:, None], idx.shape)),
         rigid_contact_shape1=out.rigid_contact_shape1.at[idx].set(
             jnp.broadcast_to(jnp.asarray(s1, dtype=jnp.int32)[:, None], idx.shape)),
+        rigid_contact_stiffness=stiff_all,
         mesh_samples_dropped=out.mesh_samples_dropped + samples_dropped,
     )
 
@@ -963,6 +1027,28 @@ def _top_k(pos, nrm, depth, k):
     return take(pos), take(nrm), vals
 
 
+def _reduce_k_hydro(pipeline, pos, nrm, pen, fmag, k, thick):
+    """Hydroelastic twin of :func:`_reduce_k`: wrench-conserving reduction
+    (geometry/contact_reduction.py reduce_contact_set_hydro; reference
+    contact_reduction_hydroelastic.py:1459). ``fmag`` is the per-sample
+    integrated force area_i * pressure_i; the returned ``f`` per slot is
+    the cluster aggregate, so sum(f) == the patch force integral.
+    Returns (pos, nrm, depth, f, n_dropped)."""
+    active = (pen + thick) > -pipeline.rigid_contact_margin
+    act_per_pair = jnp.sum(active.astype(jnp.int32), axis=-1)
+    dropped = jnp.sum(jnp.maximum(act_per_pair - k, 0))
+    if pen.shape[-1] <= k:
+        import jax
+        vals, idx = jax.lax.top_k(pen, k)
+        take = lambda a: jnp.take_along_axis(a, idx[..., None], axis=1)
+        f = jnp.take_along_axis(jnp.where(active, fmag, 0.0), idx, axis=-1)
+        return (take(pos), take(nrm), vals, f, jnp.zeros((), jnp.int32))
+    from ..geometry.contact_reduction import reduce_contact_set_hydro
+    p, n, d, f = reduce_contact_set_hydro(pos, nrm, pen, fmag, k,
+                                          active=active)
+    return p, n, d, f, dropped
+
+
 def _reduce_k(pipeline, pos, nrm, pen, k, thick):
     """Diverse representative selection for oversampled mesh contacts
     (geometry/contact_reduction.py; reference GlobalContactReducer,
@@ -1009,8 +1095,7 @@ def _sdf_of_mesh_traced(model, idx, p_local):
         lo, up = model.sdf_lower[s], model.sdf_upper[s]
         d_gr = jax.vmap(sample_sdf_grid)(grids, lo, up, p_local)
         g_gr = jax.vmap(sample_sdf_grad)(grids, lo, up, p_local)
-        g_gr = g_gr / jnp.maximum(
-            jnp.linalg.norm(g_gr, axis=-1, keepdims=True), 1e-9)
+        g_gr = g_gr / _safe_norm(g_gr)[..., None]
         use = (sid >= 0)[:, None]
         d = jnp.where(use, d_gr, d)
         g = jnp.where(use[..., None], g_gr, g)
@@ -1034,8 +1119,7 @@ def _sdf_of_mesh_traced(model, idx, p_local):
             bi, co, lo, up,
             p[None, None, :, :] + offs[:, :, None, :]))(*args, p_local)
         g_tx = jnp.moveaxis((d6[:, 0] - d6[:, 1]) / (2 * eps), 1, -1)
-        g_tx = g_tx / jnp.maximum(
-            jnp.linalg.norm(g_tx, axis=-1, keepdims=True), 1e-9)
+        g_tx = g_tx / _safe_norm(g_tx)[..., None]
         use = (tid >= 0)[:, None]
         d = jnp.where(use, d_tx, d)
         g = jnp.where(use[..., None], g_tx, g)
@@ -1089,8 +1173,7 @@ def _sdf_of_shape(model, shape_idx, sdf_id, p_local, analytic_only=False):
             grids, model.sdf_lower[sid], model.sdf_upper[sid], p_local)
         g_gr = jax.vmap(lambda g_, lo, up, p: sample_sdf_grad(g_, lo, up, p))(
             grids, model.sdf_lower[sid], model.sdf_upper[sid], p_local)
-        g_gr = g_gr / jnp.maximum(
-            jnp.linalg.norm(g_gr, axis=-1, keepdims=True), 1e-9)
+        g_gr = g_gr / _safe_norm(g_gr)[..., None]
         use_grid = jnp.asarray(sdf_id >= 0)[:, None]
         d = jnp.where(use_grid, d_gr, d)
         g = jnp.where(use_grid[..., None], g_gr, g)
@@ -1118,8 +1201,7 @@ def _sdf_of_shape(model, shape_idx, sdf_id, p_local, analytic_only=False):
             p[None, None, :, :] + offs[:, :, None, :]))(*args, p_local)
         g_tx = (d6[:, 0] - d6[:, 1]) / (2 * eps)        # (n, 3, K)
         g_tx = jnp.moveaxis(g_tx, 1, -1)                 # (n, K, 3)
-        g_tx = g_tx / jnp.maximum(
-            jnp.linalg.norm(g_tx, axis=-1, keepdims=True), 1e-9)
+        g_tx = g_tx / _safe_norm(g_tx)[..., None]
         use_tex = jnp.asarray(tex_id >= 0)[:, None]
         d = jnp.where(use_tex, d_tx, d)
         g = jnp.where(use_tex[..., None], g_tx, g)

@@ -57,6 +57,15 @@ class Contacts(struct.PyTreeNode):
     soft_contact_normal: jnp.ndarray
     soft_contact_depth: jnp.ndarray
 
+    # hydroelastic pressure-field contacts (reference:
+    # geometry/sdf_hydroelastic.py:1521-1539): per-slot normal stiffness
+    # c such that F_n = c * depth reproduces the aggregated patch force
+    # integral(p dA) at the generating frame's penetration. 0 = rigid
+    # contact (complementarity / hard projection). Compliant solvers
+    # (XPBD) consume it as compliance 1/c; rigid solvers may ignore it.
+    rigid_contact_stiffness: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0,), dtype=jnp.float32))
+
     # dynamic broad phase: overlapping candidate pairs dropped because the
     # per-class pair budget overflowed this frame (reference: narrow-phase
     # overflow counters, collide.py:883-889). 0 in static-pair mode.
@@ -106,4 +115,5 @@ class Contacts(struct.PyTreeNode):
             soft_contact_position=jnp.zeros((P, 3), dtype=dtype),
             soft_contact_normal=jnp.zeros((P, 3), dtype=dtype),
             soft_contact_depth=jnp.zeros((P,), dtype=dtype),
+            rigid_contact_stiffness=jnp.zeros((C,), dtype=dtype),
         )

@@ -206,6 +206,7 @@ class Model(struct.PyTreeNode):
     shape_material_ke: jnp.ndarray  # (S,)
     shape_material_kd: jnp.ndarray  # (S,)
     shape_material_kf: jnp.ndarray  # (S,)
+    shape_material_kh: jnp.ndarray  # (S,) hydroelastic modulus (Pa/m)
     shape_world: jnp.ndarray      # (S,) int32
     shape_source: jnp.ndarray     # (S,) int32 index into pooled geometry, -1
 
@@ -284,6 +285,13 @@ class Model(struct.PyTreeNode):
     # fixed-budget contact sample points per shape (mesh/convex collision;
     # zeros elsewhere) and pooled dense SDF grids
     shape_sample_points: jnp.ndarray  # (S, K, 3) shape-frame, pre-scaled
+    # hydroelastic pressure integration: VECTOR area sum(dA * n_outward)
+    # of each sample's Voronoi cell of the shape surface, in the shape
+    # frame. Projected onto the contact normal it yields the patch element
+    # area (divergence theorem), so force = sum(p_i * max(-v_i . n, 0))
+    # reproduces the reference's per-face integral
+    # (sdf_hydroelastic.py:1521) without the marching-cubes surface.
+    shape_sample_areas: jnp.ndarray   # (S, K, 3)
     sdf_grids: jnp.ndarray        # (n_sdf, R, R, R)
     sdf_lower: jnp.ndarray        # (n_sdf, 3)
     sdf_upper: jnp.ndarray        # (n_sdf, 3)

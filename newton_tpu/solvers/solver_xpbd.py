@@ -202,8 +202,16 @@ class SolverXPBD(SolverBase):
                 (sc_body >= 0)[:, None], v_surf, 0.0) * dt
 
         # 3. iterate positional constraints (lax.scan -> differentiable)
+        # denom_prev carries the previous iteration's per-body Jacobi
+        # averaging denominator into the contact solve: compliant
+        # (hydroelastic) rows need the REALIZED fraction of dlam that the
+        # averaged-Jacobi update applies, or the XPBD lambda<->impulse
+        # correspondence breaks and the patch stiffness is off by the
+        # constraint count (one-iteration lag; exact at the fixed point)
+        denom_prev = jnp.ones((B,), dtype=dtype)
+
         def one_iteration(carry, _):
-            x, q, px, lam_n = carry
+            x, q, px, lam_n, denom_prev = carry
             if B:
                 dx, dth, nconst = plan.solve_joints(
                     model, x, q, dt,
@@ -213,7 +221,9 @@ class SolverXPBD(SolverBase):
                 if contacts is not None and C:
                     dxc, dthc, ncc, lam_n2 = plan.solve_rigid_contacts(
                         model, x, q, contacts, anchors, lam_n, dt,
-                        self.max_depenetration_velocity)
+                        self.max_depenetration_velocity,
+                        gamma_relax=self.rigid_contact_relaxation,
+                        denom_prev=denom_prev)
                     dx = dx + dxc * self.rigid_contact_relaxation / self.relaxation
                     dth = dth + dthc * self.rigid_contact_relaxation / self.relaxation
                     nconst = nconst + ncc
@@ -221,6 +231,7 @@ class SolverXPBD(SolverBase):
                 # averaged Jacobi: divide by per-body constraint count to
                 # avoid overshoot (reference uses atomic relaxation weights)
                 denom = jnp.maximum(nconst, 1.0)[:, None]
+                denom_prev = denom[:, 0]
                 x = x + self.relaxation * dx / denom
                 dq = quat_mul(jnp.concatenate(
                     [dth / denom, jnp.zeros_like(dth[:, :1])], axis=-1), q)
@@ -233,10 +244,11 @@ class SolverXPBD(SolverBase):
                 px = px + self.relaxation * (
                     dpx / jnp.asarray(plan.particle_degree)[:, None]
                     + dpxc / jnp.maximum(pnc, 1.0)[:, None])
-            return (x, q, px, lam_n), None
+            return (x, q, px, lam_n, denom_prev), None
 
-        (x, q, px, lam_n), _ = jax.lax.scan(
-            one_iteration, (x, q, px, lam_n), None, length=self.iterations)
+        (x, q, px, lam_n, _), _ = jax.lax.scan(
+            one_iteration, (x, q, px, lam_n, denom_prev), None,
+            length=self.iterations)
 
         # 4. velocity reconstruction from positions (reference :560+)
         if B:
@@ -265,6 +277,16 @@ class SolverXPBD(SolverBase):
             v, w, dahl_new = plan.velocity_pass(
                 model, x, q, v, w, state_in, contacts, lam_n, dt,
                 self.enable_restitution, dahl_f, self.dahl_sigma)
+            if dahl_f is None:
+                # the velocity pass is an averaged-Jacobi projection: one
+                # pass under-damps coupled slip (a resting offset box
+                # slowly spins up and rolls off); a few fixed iterations
+                # converge it (Dahl mode keeps one pass — its bristle
+                # state must integrate exactly once per substep)
+                for _ in range(3):
+                    v, w, _ = plan.velocity_pass(
+                        model, x, q, v, w, state_in, contacts, lam_n, dt,
+                        self.enable_restitution)
         if B and plan.has_cables:
             v, w = plan.cable_velocity_pass(model, x, q, v, w, dt)
 
@@ -301,8 +323,15 @@ class SolverXPBD(SolverBase):
             return out, contacts
         # positional lambda -> force: f = relax * lambda / dt^2 (XPBD;
         # only the relaxed fraction of each accumulated impulse is applied)
-        force = contacts.rigid_contact_normal * (
-            self.rigid_contact_relaxation * self._last_lam_n / (dt * dt))[:, None]
+        fmag = self.rigid_contact_relaxation * self._last_lam_n / (dt * dt)
+        # hydroelastic slots report the patch pressure integral directly:
+        # F = c * depth is exact at the converged state (the lambda-based
+        # report would carry the Jacobi-averaging factor)
+        stiff = contacts.rigid_contact_stiffness
+        if stiff.shape[0] == fmag.shape[0]:
+            fmag = jnp.where(stiff > 0.0,
+                             stiff * contacts.rigid_contact_depth, fmag)
+        force = contacts.rigid_contact_normal * fmag[:, None]
         return out, contacts.replace(rigid_contact_force=force)
 
     def update_contacts(self, contacts, state_in, state_out, dt):
@@ -747,7 +776,8 @@ class _XPBDPlan:
         return l0, l1
 
     def solve_rigid_contacts(self, model: Model, x, q, contacts: Contacts,
-                             anchors, lam_n, dt, max_depen_vel=3.0):
+                             anchors, lam_n, dt, max_depen_vel=3.0,
+                             gamma_relax=1.0, denom_prev=None):
         """Non-penetration positional corrections for all contact slots.
 
         Penetration is re-evaluated at current poses from the collide-time
@@ -781,7 +811,41 @@ class _XPBDPlan:
         r1n = jnp.cross(r1, n)
         w0 = im0 + jnp.einsum("cd,cde,ce->c", r0n, I0, r0n)
         w1 = im1 + jnp.einsum("cd,cde,ce->c", r1n, I1, r1n)
-        dlam = jnp.where(active, depth / jnp.maximum(w0 + w1, 1e-9), 0.0)
+        # hydroelastic pressure-field contacts carry a finite normal
+        # stiffness c (N/m, from the integrated patch pressure): solve them
+        # as standard XPBD compliant constraints with alpha = 1/c, so the
+        # converged state satisfies F = c * penetration — the patch force
+        # integral(p dA) (geometry/contact_reduction.py
+        # reduce_contact_set_hydro; reference sdf_hydroelastic.py:1521).
+        # stiffness 0 = rigid contact, the plain PBD projection below.
+        stiff = contacts.rigid_contact_stiffness
+        if stiff.shape[0] != depth.shape[0]:
+            stiff = jnp.zeros_like(depth)
+        # the averaged-Jacobi update applies only gamma_c of each dlam to
+        # the positions (relaxation / per-body constraint count), so the
+        # realized constraint-space correction per unit lambda is
+        # gamma_c * (w0 + w1), not (w0 + w1). Scale the compliance term by
+        # gamma_c so the REALIZED force converges to c * depth exactly:
+        # fixed point depth = alpha' * lam with alpha' = gamma_c * alpha
+        # gives realized force gamma_c * lam / dt^2 = c * depth.
+        if denom_prev is not None and denom_prev.shape[0]:
+            d0 = jnp.maximum(denom_prev[b0], 1.0)
+            d1 = jnp.maximum(denom_prev[b1], 1.0)
+        else:
+            d0 = d1 = jnp.ones_like(im0)
+        gamma_c = gamma_relax * jnp.where(
+            w0 + w1 > 0.0,
+            (w0 / d0 + w1 / d1) / jnp.maximum(w0 + w1, 1e-12), 1.0)
+        stiff_safe = jnp.where(stiff > 0.0, stiff, 1.0)
+        alpha_t = jnp.where(stiff > 0.0,
+                            gamma_c / (stiff_safe * dt * dt), 0.0)
+        dlam = jnp.where(active,
+                         (depth - alpha_t * lam_n)
+                         / jnp.maximum(w0 + w1 + alpha_t, 1e-9), 0.0)
+        # compliant contacts may not pull (the pad pushes only): clamp the
+        # accumulated impulse at zero instead of letting a negative residual
+        # turn the patch adhesive
+        dlam = jnp.maximum(dlam, -lam_n)
         lam_n = lam_n + dlam
         # n points from shape0 toward shape1: separate by moving body1 +n,
         # body0 -n
@@ -898,30 +962,80 @@ class _XPBDPlan:
                                        dv_t_mag
                                        / jnp.maximum(w_t, 1e-9), 0.0)[:, None]
 
-        # restitution against pre-step normal velocity
+        # velocity stop + restitution against the pre-step normal velocity
+        # (reference xpbd/kernels.py:2578 apply_rigid_restitution, Eq. 29-34):
+        # for every contact that was APPROACHING before the step (including
+        # resting contacts, which approach by g*dt), cancel the post-solve
+        # normal velocity and replace it with -e * vn_old. This is what
+        # prevents the depenetration launch — velocity gained from the
+        # positional pushout of deep overlaps is removed every substep, so
+        # bodies creep apart at the position rate instead of being fired.
         imp_total = imp_t
         if enable_restitution:
+            import numpy as _np
             x_in = state_in.body_q[:, 0:3] + quat_rotate(
                 state_in.body_q[:, 3:7], model.body_com)
             r0_in = p - x_in[b0]
             r1_in = p - x_in[b1]
+            w_idx = _np.maximum(st.body_world, 0) if B else _np.zeros(0, int)
+            g_dt = model.gravity[w_idx] * dt                  # (B, 3)
             v0_in = jnp.where(dyn0[:, None],
-                              state_in.body_qd[:, 0:3][b0]
+                              state_in.body_qd[:, 0:3][b0] + g_dt[b0]
                               + jnp.cross(state_in.body_qd[:, 3:6][b0], r0_in), 0.0)
             v1_in = jnp.where(dyn1[:, None],
-                              state_in.body_qd[:, 0:3][b1]
+                              state_in.body_qd[:, 0:3][b1] + g_dt[b1]
                               + jnp.cross(state_in.body_qd[:, 3:6][b1], r1_in), 0.0)
             vn_old = jnp.sum((v1_in - v0_in) * n, axis=-1)
             e = 0.5 * (model.shape_material_restitution[s0]
                        + model.shape_material_restitution[s1])
             vn_target = jnp.maximum(-e * vn_old, 0.0)
-            # threshold avoids jitter from resting contacts
-            rest_active = active & (vn_old < -2.0 * 9.81 * dt)
-            dvn = jnp.where(rest_active, vn_target - vn, -jnp.minimum(vn, 0.0) * 0.0)
+            # compliant (hydroelastic) slots participate in the velocity
+            # stop too: compliant in POSITION, inelastic in VELOCITY
+            # (unless restitution > 0). The equilibrium penetration is set
+            # by the positional compliant solve, so statics stay exact —
+            # zeroing the approach velocity each substep just removes the
+            # undamped spring ringing (the pad otherwise oscillates
+            # forever: XPBD compliance carries no dissipation).
+            stiff_va = contacts.rigid_contact_stiffness
+            if stiff_va.shape[0] != vn_old.shape[0]:
+                stiff_va = jnp.zeros_like(vn_old)
+            rest_active = active & (vn_old < 0.0)
+            # depenetration-bias removal: separating velocity gained from
+            # resolving penetration that ALREADY existed at substep start
+            # (collide-time depth d0) is positional bias, not physics —
+            # remove it up to d0/dt. New overlaps (d0 ~ 0) keep their
+            # reconstructed velocity (the implicit contact impulse).
+            # Between two dynamic bodies vn_old cancels the g*dt kick, so
+            # the approaching-contact stop above never fires there; this
+            # term is what prevents a deep-overlap init from firing bodies
+            # apart at metres per second.
+            d0 = jnp.maximum(contacts.rigid_contact_depth, 0.0)
+            excess = jnp.clip(vn - jnp.maximum(vn_old, 0.0), 0.0, d0 / dt)
+            bias_active = active & (excess > 0.0) & (stiff_va <= 0.0)
+            dvn = jnp.where(rest_active, vn_target - vn,
+                            jnp.where(bias_active, -excess, 0.0))
+            rest_active = rest_active | bias_active
             imp_n = n * (dvn / jnp.maximum(w_n, 1e-9))[:, None]
-            imp_total = imp_total + jnp.where(rest_active[:, None], imp_n, 0.0)
+            imp_n = jnp.where(rest_active[:, None], imp_n, 0.0)
 
         seg = jnp.concatenate([b1, b0])
+        # Jacobi averaging: each slot's impulse was sized to cancel the
+        # full relative velocity at that slot; summing N same-manifold
+        # slots un-averaged over-applies N-fold (a flat 9-slot landing
+        # LAUNCHED the body upward at ~3x impact speed). Divide by each
+        # body's active-slot count like the positional solve does.
+        act_f = active.astype(dtype)
+        cnt = _segment_add(jnp.concatenate([act_f * dyn1, act_f * dyn0]),
+                           seg, B)
+        div = jnp.maximum(jnp.maximum(cnt[b1] * dyn1, cnt[b0] * dyn0), 1.0)
+        imp_total = imp_total / div[:, None]
+        if enable_restitution:
+            rest_f = rest_active.astype(dtype)
+            cnt_r = _segment_add(
+                jnp.concatenate([rest_f * dyn1, rest_f * dyn0]), seg, B)
+            div_r = jnp.maximum(jnp.maximum(cnt_r[b1] * dyn1,
+                                            cnt_r[b0] * dyn0), 1.0)
+            imp_total = imp_total + imp_n / div_r[:, None]
         dv = _segment_add(
             jnp.concatenate([imp_total * im1[:, None] * dyn1[:, None],
                              -imp_total * im0[:, None] * dyn0[:, None]], axis=0),

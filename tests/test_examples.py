@@ -36,7 +36,7 @@ FRAMES = {
     "nut_bolt_sdf": 120, "gripper_soft": 100, "cable_pile": 140,
     "robot_hand": 30, "robot_kitchen": 25, "tendon_finger": 200,
     "hetero_worlds": 45, "robot_policy": 40, "cloth_hanging": 45,
-    "cable_bend_stiffness": 70,
+    "cable_bend_stiffness": 70, "compliant_pad": 120,
 }
 
 
