@@ -67,6 +67,11 @@ EXAMPLES = {
     "cable_twist_transfer":
         "newton_tpu.examples.example_cable_twist_transfer",
     "basic_conveyor": "newton_tpu.examples.example_basic_conveyor",
+    "basic_conveyor_forces":
+        "newton_tpu.examples.example_basic_conveyor_forces",
+    "pile_sap": "newton_tpu.examples.example_pile_sap",
+    "replay_viewer": "newton_tpu.examples.example_replay_viewer",
+    "selection_multiple": "newton_tpu.examples.example_selection_multiple",
     "basic_heightfield": "newton_tpu.examples.example_basic_heightfield",
     "basic_urdf": "newton_tpu.examples.example_basic_urdf",
     "domino_spiral": "newton_tpu.examples.example_domino_spiral",
@@ -189,10 +194,49 @@ def run(example, args, viewer=None):
         viewer.close()
 
 
+def browse(argv=None):
+    """Interactive example browser (reference: examples/__init__.py:521
+    browse loop): groups examples by prefix, prompts for a number or name,
+    runs the pick, then returns to the list. 'q' exits."""
+    names = sorted(EXAMPLES)
+    groups = {}
+    for n in names:
+        groups.setdefault(n.split("_", 1)[0], []).append(n)
+    while True:
+        print("\nnewton_tpu examples\n" + "=" * 19)
+        num = {}
+        i = 1
+        for gname in sorted(groups):
+            print(f"\n[{gname}]")
+            for n in groups[gname]:
+                num[str(i)] = n
+                print(f"  {i:3d}. {n}")
+                i += 1
+        try:
+            pick = input("\nrun which example? (number/name, q to quit) "
+                         ).strip()
+        except EOFError:
+            return 0
+        if pick in ("q", "quit", "exit", ""):
+            return 0
+        name = num.get(pick, pick)
+        if name not in EXAMPLES:
+            print(f"unknown example {pick!r}")
+            continue
+        try:
+            main([name] + list(argv or []))
+        except KeyboardInterrupt:
+            print("\n(interrupted)")
+        except Exception as e:                          # noqa: BLE001
+            print(f"example {name} failed: {e}")
+
+
 def main(argv=None):
     parser = create_parser()
     args, _ = parser.parse_known_args(argv)
     if not args.example:
+        if sys.stdin is not None and sys.stdin.isatty():
+            return browse(argv)
         parser.print_help()
         return 1
     module = importlib.import_module(EXAMPLES[args.example])

@@ -9,8 +9,8 @@ import newton_tpu as nt
 from newton_tpu.sim.collide import CollisionPipeline
 from newton_tpu.solvers import SolverMuJoCo
 
-ROWS = 4
-COLS = 3
+ROWS = 12   # 3x the r4 height — holds without per-scene tuning since the
+COLS = 3    # clipped box-box manifolds + uncapped two-sided contact solve
 BX, BY, BZ = 0.12, 0.06, 0.045  # brick half-extents
 
 
@@ -38,7 +38,8 @@ class Example:
         builder.add_ground_plane()
         self.model = builder.finalize()
         self.pipeline = CollisionPipeline(self.model)
-        self.solver = SolverMuJoCo(self.model, iterations=10, integrator="euler")
+        self.solver = SolverMuJoCo(self.model, iterations=30,
+                                   integrator="euler", contact_cap=0)
         self.state = self.model.state()
         self.sim_dt = 1.0 / 240.0
         self.substeps = 4

@@ -349,22 +349,42 @@ def box_box(X0, X1, s0, s1):
     face1 = jnp.einsum("nx,nx->n", X1[:, 0:3], n) - \
         jnp.take_along_axis(r1, a_best[:, None], axis=1)[:, 0]
     depth0 = jnp.einsum("nkx,nx->nk", c0, n) - face1[:, None]
-    # corners must also lie INSIDE the other box laterally — a corner past
-    # the slab face along n but outside the overlap footprint would apply a
-    # spurious off-center impulse (torques the stack apart)
-    tol = 1e-3 + 1e-3 * (jnp.maximum(jnp.max(s0, -1), jnp.max(s1, -1)))
+    # penetrating corners are CLAMPED into the other box's face rectangle
+    # (branch-free stand-in for reference-face polygon clipping): a corner
+    # past the slab face but laterally outside the footprint moves to the
+    # footprint boundary — the union of both boxes' clamped corner sets
+    # approximates the face-intersection polygon. The earlier hard lateral
+    # rejection dropped most manifold points for stacks with small relative
+    # yaw (corners of a twisted box lie just outside the supporting face),
+    # collapsing the support polygon and the stack with it. Axes aligned
+    # with the contact normal must not clamp: their effective extent is
+    # inflated by |n| along that local axis so only lateral axes bind.
+    big = 10.0 * (jnp.max(s0, -1) + jnp.max(s1, -1))[:, None]   # (n, 1)
+    n_in0 = jnp.abs(jnp.einsum("nx,nxj->nj", n, R0))            # (n, 3)
+    n_in1 = jnp.abs(jnp.einsum("nx,nxj->nj", n, R1))
     l1_in0 = jnp.einsum("nkx,nxj->nkj", c1 - X0[:, None, 0:3], R0)
-    lat1 = jnp.max(jnp.abs(l1_in0) - s0[:, None, :], axis=-1)  # (n, 8)
     l0_in1 = jnp.einsum("nkx,nxj->nkj", c0 - X1[:, None, 0:3], R1)
-    lat0 = jnp.max(jnp.abs(l0_in1) - s1[:, None, :], axis=-1)
+    ext0 = (s0 + big * n_in0)[:, None, :]                       # (n, 1, 3)
+    ext1 = (s1 + big * n_in1)[:, None, :]
+    c1 = X0[:, None, 0:3] + jnp.einsum(
+        "nkj,nxj->nkx", jnp.clip(l1_in0, -ext0, ext0), R0)
+    c0 = X1[:, None, 0:3] + jnp.einsum(
+        "nkj,nxj->nkx", jnp.clip(l0_in1, -ext1, ext1), R1)
     # cap by the SAT overlap and mask separated pairs
     cap = jnp.maximum(min_overlap, 0.0)[:, None]
-    depth1 = jnp.where(separated[:, None] | (lat1 > tol[:, None]), -1.0,
-                       jnp.minimum(depth1, cap))
-    depth0 = jnp.where(separated[:, None] | (lat0 > tol[:, None]), -1.0,
-                       jnp.minimum(depth0, cap))
+    depth1 = jnp.where(separated[:, None], -1.0, jnp.minimum(depth1, cap))
+    depth0 = jnp.where(separated[:, None], -1.0, jnp.minimum(depth0, cap))
     pos1 = c1 + n[:, None, :] * (0.5 * depth1)[..., None]
     pos0 = c0 - n[:, None, :] * (0.5 * depth0)[..., None]
+    # dedup: a set-0 point lying on top of a set-1 point is a REDUNDANT
+    # constraint row (for near-aligned stacks all 8 coincide pairwise);
+    # redundant rows raise the Delassus spectral radius and slow the
+    # Jacobi sweep for zero manifold benefit — drop the set-0 twin
+    d2 = jnp.sum((pos0[:, :, None, :] - pos1[:, None, :, :]) ** 2, axis=-1)
+    eps2 = (1e-2 * jnp.minimum(jnp.min(s0, -1), jnp.min(s1, -1)) ** 2)
+    twin = jnp.any((d2 < eps2[:, None, None])
+                   & (depth1[:, None, :] > 0.0), axis=2)    # (n, 8)
+    depth0 = jnp.where(twin, -1.0, depth0)
     pos = jnp.concatenate([pos1, pos0], axis=1)
     nrm = jnp.broadcast_to(n[:, None, :], pos.shape)
     depth = jnp.concatenate([depth1, depth0], axis=1)

@@ -32,6 +32,7 @@ from ..geometry.narrow_phase import contact_fn_for
 from ..geometry.types import GeoType
 from ..math import (
     quat_rotate,
+    quat_rotate_inv,
     transform_multiply,
     transform_point,
     transform_point_inv,
@@ -54,9 +55,10 @@ class _PairClass:
 
     __slots__ = ("fn", "swapped", "slots", "pair_idx", "shape0", "shape1",
                  "out_offsets", "cap", "plane_side", "kind", "types01",
-                 "bidir")
+                 "bidir", "sap")
 
     def __init__(self, fn, swapped, slots, kind="prim", types01=None):
+        self.sap = None
         self.fn = fn
         self.swapped = swapped
         self.slots = slots
@@ -82,7 +84,11 @@ class CollisionPipeline:
                  soft_contact_margin: float = 0.01,
                  hydroelastic: bool = False,
                  mode: str = "auto",
-                 dynamic_pair_budget: Optional[int] = None):
+                 dynamic_pair_budget: Optional[int] = None,
+                 persistent_manifolds: bool = False,
+                 manifold_slide_tol: float = 0.05,
+                 broad_phase: str = "topk",
+                 sap_axis: int = 0, sap_window: int = 16):
         self.model = model
         self.rigid_contact_margin = float(rigid_contact_margin)
         self.soft_contact_margin = float(soft_contact_margin)
@@ -93,6 +99,18 @@ class CollisionPipeline:
         # combination E0*E1/(E0+E1) softens the effective depth and the
         # contact point sits where the two pressure fields balance.
         self.hydroelastic = bool(hydroelastic)
+        # persistent incremental manifolds (reference:
+        # geometry/multicontact.py:118 BodyProjector + :134
+        # IncrementalPlaneTracker): contact points/normals are anchored in
+        # the two shapes' local frames and carried frame to frame; a slot
+        # whose projected anchors still overlap (small tangential slide,
+        # aligned normal) KEEPS its cached geometry instead of the freshly
+        # sampled one, so solver Jacobians and warm-started impulses stay
+        # consistent across frames — the property that makes tall stacks
+        # stable. TPU-first: no hashtable matcher, the static slot layout is
+        # the correspondence; persistence is three gathers + where-selects.
+        self.persistent_manifolds = bool(persistent_manifolds)
+        self.manifold_slide_tol = float(manifold_slide_tol)
         st = model.structure
         self.rigid_contact_max = st.rigid_contact_max
         self.soft_contact_max = st.soft_contact_max
@@ -111,6 +129,19 @@ class CollisionPipeline:
         if dynamic_pair_budget is None:
             dynamic_pair_budget = max(64, 8 * st.shape_count)
         self.dynamic_pair_budget = int(dynamic_pair_budget)
+        # SAP broad phase (reference: geometry/broad_phase_sap.py:410,
+        # launch :523): per-class segmented sweep-and-prune replaces the
+        # O(n_pairs) overlap scoring of "topk" with an O(shapes * window)
+        # sorted sweep — the win for piles of hundreds of moving shapes
+        # where the precomputed pair list is quadratic. Worlds are kept
+        # contiguous in the sort with per-world key offsets (the reference's
+        # per-world segmenting).
+        if broad_phase not in ("topk", "sap"):
+            raise ValueError(f"broad_phase must be 'topk' or 'sap', "
+                             f"got {broad_phase!r}")
+        self.broad_phase = broad_phase
+        self.sap_axis = int(sap_axis)
+        self.sap_window = int(sap_window)
         if mode == "auto":
             mode = "dynamic" if n_pairs > self.dynamic_pair_budget \
                 else "static"
@@ -134,7 +165,8 @@ class CollisionPipeline:
             key = (min(t0, t1), max(t0, t1), swapped)
             pc = classes.get(key)
             if pc is None:
-                pc = classes[key] = _PairClass(fn, swapped, k)
+                pc = classes[key] = _PairClass(fn, swapped, k,
+                                               types01=(t0, t1))
             pc.pair_idx.append(i)
             pc.shape0.append(int(a))
             pc.shape1.append(int(b))
@@ -271,7 +303,8 @@ class CollisionPipeline:
             key = (min(t0, t1), max(t0, t1), swapped)
             pc = classes.get(key)
             if pc is None:
-                pc = classes[key] = _PairClass(fn, swapped, k)
+                pc = classes[key] = _PairClass(fn, swapped, k,
+                                               types01=(t0, t1))
             pc.pair_idx.append(i)
             pc.shape0.append(int(a))
             pc.shape1.append(int(b))
@@ -317,9 +350,93 @@ class CollisionPipeline:
                               ).reshape(cap, pc.slots)
             offset += cap * pc.slots
         self.rigid_contact_max = offset
+        if self.broad_phase == "sap":
+            self._build_sap(model)
         sp = getattr(st, "soft_pairs", np.zeros((0, 2), dtype=np.int32))
         self.soft_particle = sp[:, 0]
         self.soft_shape = sp[:, 1]
+
+    def _build_sap(self, model: Model):
+        """Per-class SAP metadata: unique member shapes, per-world sort-key
+        offsets, and the class's candidate-pair membership matrix
+        (reference: broad_phase_sap.py:410 — the per-world segmented sweep;
+        here segmenting is a sort-key offset so one lax.sort covers all
+        worlds)."""
+        st = model.structure
+        S = st.shape_count
+        world = np.asarray(st.shape_world)
+        for pc in self.classes:
+            if pc.plane_side is not None:
+                continue   # planes keep their full-pair analytic cull
+            u = np.unique(np.concatenate([pc.shape0, pc.shape1]))
+            member = np.zeros((S, S), dtype=bool)
+            member[pc.shape0, pc.shape1] = True
+            member |= member.T
+            # per-world segment offsets keep the sweep window from leaking
+            # across worlds; a shape in world -1 (shared across worlds)
+            # forces a global sort (correctness over segmenting)
+            if (world[u] < 0).any():
+                off = np.zeros(len(u), dtype=np.float32)
+            else:
+                off = world[u].astype(np.float32) * 1e6
+            pc.sap = (u.astype(np.int32), off, jnp.asarray(member))
+
+    def _sap_candidates(self, pc, lo_s, hi_s):
+        """Windowed sweep-and-prune candidates for one type class.
+
+        Returns traced (i0, i1, near, n_near) with exactly ``pc.cap``
+        entries, type-oriented to the class's static (t0, t1)."""
+        import jax
+        ax = self.sap_axis
+        u, off, member = pc.sap
+        m = len(u)
+        w = max(1, min(self.sap_window, m - 1))
+        offj = jnp.asarray(off, dtype=lo_s.dtype)
+        x = lo_s[u, ax] + offj
+        hkey = hi_s[u, ax] + offj
+        order = jnp.argsort(x)
+        us = jnp.asarray(u)[order]
+        xs = x[order]
+        hs = hkey[order]
+        idx = jnp.arange(m)[:, None] + jnp.arange(1, w + 1)[None, :]  # (m,w)
+        inb = idx < m
+        idxc = jnp.minimum(idx, m - 1)
+        a = jnp.broadcast_to(us[:, None], (m, w))
+        b = us[idxc]
+        sweep = xs[idxc] <= hs[:, None]          # neighbor min <= my max
+        ov = (jnp.minimum(hi_s[b], hi_s[a])
+              - jnp.maximum(lo_s[b], lo_s[a]))   # (m, w, 3)
+        sep = jnp.min(ov, axis=-1)
+        mem = member[a, b]
+        valid = inb & sweep & mem & (sep > 0.0)
+        score = jnp.where(valid, sep, -jnp.inf).reshape(-1)
+        n_near = jnp.sum(valid.astype(jnp.int32))
+        k = min(pc.cap, m * w)
+        _, sel = jax.lax.top_k(score, k)
+        af = a.reshape(-1)[sel]
+        bf = b.reshape(-1)[sel]
+        near = valid.reshape(-1)[sel]
+        if k < pc.cap:
+            pad = pc.cap - k
+            af = jnp.concatenate([af, jnp.zeros(pad, dtype=af.dtype)])
+            bf = jnp.concatenate([bf, jnp.zeros(pad, dtype=bf.dtype)])
+            near = jnp.concatenate([near, jnp.zeros(pad, dtype=bool)])
+        t01 = pc.types01
+        if t01 is not None and t01[0] != t01[1]:
+            types = np.asarray(self.model.structure.shape_type)
+            mt = (int(GeoType.MESH), int(GeoType.HFIELD))
+            if (t01[0] in mt) != (t01[1] in mt):
+                # mesh/prim classes can mix MESH and HFIELD on the mesh
+                # side — orient by mesh-ness, not exact type
+                a_is_mesh = jnp.asarray(np.isin(types, mt))[af]
+                swap = a_is_mesh != (t01[0] in mt)
+            else:
+                swap = jnp.asarray(types)[af] != t01[0]
+            i0 = jnp.where(swap, bf, af)
+            i1 = jnp.where(swap, af, bf)
+        else:
+            i0, i1 = af, bf
+        return i0, i1, near, n_near
 
     def _collide_dynamic(self, state: State, out: Contacts) -> Contacts:
         """Dynamic-pair collide: per class, top-k nearest overlapping
@@ -340,7 +457,11 @@ class CollisionPipeline:
         samples_dropped = jnp.zeros((), dtype=jnp.int32)
         for pc in self.classes:
             i0s, i1s = pc.shape0, pc.shape1              # static (n_c,)
-            if pc.plane_side is not None:
+            if pc.sap is not None:
+                i0, i1, near_sel, n_near = self._sap_candidates(pc, lo_s,
+                                                                hi_s)
+                dropped = dropped + jnp.maximum(n_near - pc.cap, 0)
+            elif pc.plane_side is not None:
                 # signed height of the finite shape's center above the
                 # plane (local +Z), not AABB overlap — the plane's authored
                 # origin is arbitrary for an infinite plane
@@ -360,12 +481,13 @@ class CollisionPipeline:
                 sep = jnp.min(ov, axis=-1)   # > 0 when AABBs overlap
                 near = sep > 0.0
                 score = jnp.where(near, sep, -jnp.inf)
-            n_near = jnp.sum(near.astype(jnp.int32))
-            dropped = dropped + jnp.maximum(n_near - pc.cap, 0)
-            _, sel = jax.lax.top_k(score, pc.cap)        # (cap,) traced
-            i0 = jnp.asarray(i0s)[sel]
-            i1 = jnp.asarray(i1s)[sel]
-            near_sel = near[sel]
+            if pc.sap is None:
+                n_near = jnp.sum(near.astype(jnp.int32))
+                dropped = dropped + jnp.maximum(n_near - pc.cap, 0)
+                _, sel = jax.lax.top_k(score, pc.cap)    # (cap,) traced
+                i0 = jnp.asarray(i0s)[sel]
+                i1 = jnp.asarray(i1s)[sel]
+                near_sel = near[sel]
             if pc.kind == "plane_convex":
                 # hull vertices vs plane SDF: deepest-K vertex contacts
                 from ..geometry.narrow_phase import _plane_sdf
@@ -538,17 +660,29 @@ class CollisionPipeline:
     # ------------------------------------------------------------------
     def contacts(self) -> Contacts:
         """Allocate a zeroed Contacts buffer sized for this pipeline."""
-        return Contacts.zeros(self.rigid_contact_max, self.soft_contact_max,
-                              dtype=self.model.body_q.dtype)
+        out = Contacts.zeros(self.rigid_contact_max, self.soft_contact_max,
+                             dtype=self.model.body_q.dtype)
+        if self.persistent_manifolds:
+            # anchor buffers present from the start so a lax.scan carrying
+            # Contacts has a stable pytree structure from step 0
+            C = self.rigid_contact_max
+            dtype = self.model.body_q.dtype
+            z3 = jnp.zeros((C, 3), dtype=dtype)
+            out = out.replace(custom={**out.custom, "manifold:a0": z3,
+                                      "manifold:a1": z3, "manifold:n0": z3})
+        return out
 
     # ------------------------------------------------------------------
     def collide(self, state: State,
-                contacts: Optional[Contacts] = None) -> Contacts:
+                contacts: Optional[Contacts] = None,
+                prev: Optional[Contacts] = None) -> Contacts:
         """Generate contacts for the current state (reference: collide.py:1296).
 
         Pure function of (model, state); the optional ``contacts`` argument is
         accepted for API parity with the reference's in-place signature and
-        only supplies the capacity.
+        only supplies the capacity. With ``persistent_manifolds`` enabled,
+        pass the previous frame's Contacts as ``prev`` to carry anchored
+        contact points forward (reference: geometry/multicontact.py:118).
         """
         model = self.model
         dtype = state.body_q.dtype
@@ -559,7 +693,10 @@ class CollisionPipeline:
                            dtype=dtype)
 
         if self.mode == "dynamic":
-            return self._collide_dynamic(state, out)
+            out = self._collide_dynamic(state, out)
+            if self.persistent_manifolds:
+                out = self._apply_persistence(state, out, prev)
+            return out
 
         if C > 0 and (self.classes or self.mesh_classes):
             # world transform of every shape frame: body pose * local offset
@@ -623,7 +760,98 @@ class CollisionPipeline:
 
         if P > 0 and len(self.soft_particle):
             out = self._collide_soft(state, out)
+        if self.persistent_manifolds:
+            out = self._apply_persistence(state, out, prev)
         return out
+
+    # ------------------------------------------------------------------
+    def _shape_world_transforms(self, state: State) -> jnp.ndarray:
+        """World transform of every shape frame (static shapes: identity
+        body transform composed with the authored local offset)."""
+        model = self.model
+        dtype = state.body_q.dtype
+        sb = model.structure.shape_body
+        identity = jnp.zeros((7,), dtype=dtype).at[6].set(1.0)
+        if model.body_count == 0:
+            X_body = jnp.broadcast_to(identity, (len(sb), 7))
+        else:
+            body_idx = np.maximum(sb, 0)
+            is_static = jnp.asarray(sb < 0)[:, None]
+            X_body = jnp.where(is_static, identity, state.body_q[body_idx])
+        return transform_multiply(X_body, model.shape_transform)
+
+    # ------------------------------------------------------------------
+    def _apply_persistence(self, state: State, out: Contacts,
+                           prev: Optional[Contacts]) -> Contacts:
+        """Persistent incremental manifolds (reference:
+        geometry/multicontact.py:118 BodyProjector, :134
+        IncrementalPlaneTracker — redesigned for static slots).
+
+        Surface anchor points (one on each shape, in that shape's local
+        frame) and the contact normal (in shape0's frame) are stored per
+        slot. On the next frame the anchors are projected through the
+        current shape transforms; a slot keeps its cached geometry when
+
+        - it was valid last frame AND the fresh narrow phase re-activated it,
+        - the projected anchor pair has slid apart tangentially less than
+          ``manifold_slide_tol`` x the smaller shape's collision radius,
+        - the cached normal still agrees with the fresh one (cos > 0.9),
+        - the recomputed gap along the cached normal is within the margin.
+
+        Depth is then recomputed from the projected anchors, so kept
+        contacts track the bodies' actual relative motion while their
+        points/normals stay fixed in body frames — frame-coherent Jacobians
+        are what make warm-started stacks stable.
+        """
+        dtype = state.body_q.dtype
+        X_ws = self._shape_world_transforms(state)
+        s0 = jnp.maximum(out.rigid_contact_shape0, 0)
+        s1 = jnp.maximum(out.rigid_contact_shape1, 0)
+        X0, X1 = X_ws[s0], X_ws[s1]
+        pos = out.rigid_contact_position
+        nrm = out.rigid_contact_normal
+        dep = out.rigid_contact_depth
+        # fresh surface anchors: split the overlap segment at the midpoint
+        # contact position (depth > 0 penetrating, normal shape0 -> shape1)
+        p0s = pos + nrm * (dep * 0.5)[:, None]
+        p1s = pos - nrm * (dep * 0.5)[:, None]
+        a0 = transform_point_inv(X0, p0s)
+        a1 = transform_point_inv(X1, p1s)
+        n0 = quat_rotate_inv(X0[:, 3:7], nrm)
+        if prev is not None and "manifold:a0" in prev.custom:
+            pa0 = transform_point(X0, prev.custom["manifold:a0"])
+            pa1 = transform_point(X1, prev.custom["manifold:a1"])
+            pn = quat_rotate(X0[:, 3:7], prev.custom["manifold:n0"])
+            # gap measured along the FRESH normal: cached points stabilize
+            # lever arms, but the contact plane follows the live narrow
+            # phase (a stale plane redirects the penetration bias into the
+            # tangent space and pumps energy into sliding)
+            g = pa1 - pa0
+            gn = jnp.sum(g * nrm, axis=-1)         # signed gap (<0 overlap)
+            slide = g - nrm * gn[:, None]
+            slide2 = jnp.sum(slide * slide, axis=-1)
+            r0 = self.model.shape_collision_radius[s0]
+            r1 = self.model.shape_collision_radius[s1]
+            tol = self.manifold_slide_tol * jnp.minimum(r0, r1)
+            align = jnp.sum(pn * nrm, axis=-1)
+            new_dep = -gn
+            keep = (prev.rigid_contact_mask & out.rigid_contact_mask
+                    & (slide2 < tol * tol) & (align > 0.98)
+                    & (jnp.abs(new_dep - dep)
+                       < 2.0 * self.rigid_contact_margin + 0.1 * tol)
+                    & (new_dep > -self.rigid_contact_margin))
+            k3 = keep[:, None]
+            pos = jnp.where(k3, (pa0 + pa1) * 0.5, pos)
+            dep = jnp.where(keep, new_dep, dep)
+            a0 = jnp.where(k3, prev.custom["manifold:a0"], a0)
+            a1 = jnp.where(k3, prev.custom["manifold:a1"], a1)
+            n0 = jnp.where(k3, prev.custom["manifold:n0"], n0)
+        custom = dict(out.custom)
+        custom.update({"manifold:a0": a0, "manifold:a1": a1,
+                       "manifold:n0": n0})
+        return out.replace(rigid_contact_position=pos,
+                           rigid_contact_normal=nrm,
+                           rigid_contact_depth=dep, custom=custom)
 
     # ------------------------------------------------------------------
     def _collide_soft(self, state: State, out: Contacts) -> Contacts:

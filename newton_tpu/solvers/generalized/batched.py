@@ -761,8 +761,10 @@ def _solve_contacts_t(solver, model, g, plan, Minv, qd_g, v_o, w_o,
     # target on impacting rows even while still inside the margin gap;
     # gap/dt closing allowance otherwise (or bodies float one margin high)
     rest = jnp.where(vn_pre < -2.0 * 9.81 * dt, -e_rest * vn_pre, 0.0)
-    pen_term = (solver.baumgarte / dt
-                * jnp.maximum(depth - solver.contact_slop, 0.0))
+    pen_term = jnp.minimum(
+        solver.baumgarte / dt
+        * jnp.maximum(depth - solver.contact_slop, 0.0),
+        solver.depenetration_velocity)
     gap_allow = jnp.minimum(depth, 0.0) / dt
     b_n = jnp.where(depth > 0, rest + pen_term,
                     jnp.where(rest > 0, rest, gap_allow))
@@ -924,6 +926,15 @@ def supports_batched_fast_path(solver) -> bool:
         # implemented in SolverFeatherstone.step; they run correct-but-
         # vmapped (the transposed fast path hardcodes the euler update)
         return False
+    for plan in solver.contact_plans:
+        if plan is not None and (np.asarray(plan.ob) >= 0).any():
+            # cross-env/-group contact pairs (duplicated two-sided slots,
+            # combined effective mass, moving-support targets) are
+            # implemented in the per-env system builder; route through the
+            # vmapped path so both halves of the impulse pair stay
+            # consistent (RL fleets — one articulation vs static world —
+            # never hit this)
+            return False
     # multi-articulation worlds iterate rows (unrolled): bound the unroll
     # so compile time stays sane; very crowded worlds take the vmapped path
     return sum(g.n for g in solver.gc.groups) <= 32

@@ -49,13 +49,25 @@ def _take_rows(x, ld):
     return jnp.concatenate([x[l][None] for l in ld], axis=0)
 
 
-def spectral_lam_max(Avec, diag, act):
+def spectral_iters(rows: int) -> int:
+    """Power-iteration count for the step bound, keyed on the STATIC row
+    count: 3 suffices for robot-scale systems (< 64 rows); large coupled
+    pile-ups (deep stacks, one env owning 100+ contacts) have clustered
+    spectra where 3 iterations undershoot lambda_max by more than the 1.1
+    margin and the Jacobi sweep turns non-contractive (ADVICE r4 low #4 —
+    observed as slow oscillation growth then blow-up on 8+ box towers).
+    Both the batched and the vmapped path key on the same static quantity,
+    preserving their bit-parity."""
+    return 3 if rows < 64 else 8
+
+
+def spectral_lam_max(Avec, diag, act, iters: int = 3):
     """Matrix-free lower estimate of lambda_max(D^-1/2 A D^-1/2).
 
-    3 power iterations from the active-row indicator; the estimate is
-    ||A u_3|| with u_3 the normalized 3rd iterate — strictly tighter than
-    the Rayleigh quotient <u, A u> (Cauchy-Schwarz) at the same matvec
-    count. Callers apply a 1.1 safety margin for the remaining
+    ``iters`` power iterations from the active-row indicator; the estimate
+    is ||A u_k|| with u_k the normalized last iterate — strictly tighter
+    than the Rayleigh quotient <u, A u> (Cauchy-Schwarz) at the same
+    matvec count. Callers apply a 1.1 safety margin for the remaining
     underestimate; the margin is gated by
     tests/test_batched_step.py::test_spectral_step_bound_margin.
     Rows on axis 0, env batch on the minor axis."""
@@ -64,10 +76,10 @@ def spectral_lam_max(Avec, diag, act):
     u = u / jnp.maximum(
         jnp.sqrt(jnp.sum(u * u, axis=0, keepdims=True)), 1.0)
     lam_max = None
-    for it in range(3):
+    for it in range(iters):
         u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act
         nrm = jnp.sqrt(jnp.sum(u2 * u2, axis=0, keepdims=True))
-        if it == 2:
+        if it == iters - 1:
             lam_max = nrm[0]
         u = u2 / jnp.maximum(nrm, 1e-9)
     return lam_max
@@ -109,7 +121,8 @@ def pgs_core(J, MJ, cols, diag, v_free, b, act, mu, lam0, *, c, nl, ld,
     # non-contractive projected-Jacobi map — projection is non-expansive,
     # so a contraction never grows it), the step halves. Gated by
     # tests/test_batched_step.py::test_pgs_divergence_guard.
-    lam_max = spectral_lam_max(Avec, diag, act)
+    lam_max = spectral_lam_max(Avec, diag, act,
+                               iters=spectral_iters(act.shape[0]))
     step_scale = jnp.minimum(1.0, 1.8 / jnp.maximum(1.1 * lam_max, 1e-9))
     scale_cur = omega * step_scale                      # (Wt,)
 

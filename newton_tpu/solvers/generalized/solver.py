@@ -51,16 +51,27 @@ class _GroupContacts:
     (n, c) mask marking padded entries in heterogeneous layouts (padded
     slots index one-past-the-end so clamped reads are masked off and
     scatters drop).
+
+    Cross-env/-group contacts (Newton's third law): a contact whose two
+    bodies live in different (group, env) cells appears in BOTH cells'
+    plans — each side solves the shared relative-velocity constraint with
+    the combined effective mass and applies its own half of the impulse
+    pair. ``ob`` is the global body index of the non-owned side (-1 =
+    static or same-env), used for its point inverse mass (Delassus term)
+    and its pre-step point velocity (moving-support target); ``w`` is the
+    force-report weight (0.5 on each of a duplicated pair).
     """
 
-    __slots__ = ("slots", "lb0", "lb1", "c", "valid")
+    __slots__ = ("slots", "lb0", "lb1", "c", "valid", "ob", "w")
 
-    def __init__(self, slots, lb0, lb1, valid=None):
+    def __init__(self, slots, lb0, lb1, valid=None, ob=None, w=None):
         self.slots = slots
         self.lb0 = lb0
         self.lb1 = lb1
         self.c = slots.shape[1]
         self.valid = valid
+        self.ob = ob if ob is not None else -np.ones_like(lb0)
+        self.w = w if w is not None else np.ones(lb0.shape, np.float32)
 
     @property
     def uniform(self):
@@ -137,26 +148,54 @@ def _plan_group_contacts(st, groups):
     lb0 = np.where((g0 == owner_g) & (e0 == owner_e), l0t, -1)
     lb1 = np.where((g1 >= 0) & (g1 == owner_g) & (e1 == owner_e), l1t, -1)
     slot_ids = np.arange(S, dtype=np.int32)
+    # non-owned moving side (cross-env/-group): its global body index feeds
+    # the combined effective mass + moving-support velocity target; the
+    # contact is DUPLICATED into that side's cell so both bodies receive
+    # their half of the impulse pair (Newton's third law across cells —
+    # the reference gets this for free from its single flat solver state)
+    ob_own = np.where((lb0 < 0) & (slot_b0 >= 0), slot_b0,
+                      np.where((lb1 < 0) & (slot_b1 >= 0), slot_b1, -1)
+                      ).astype(np.int32)
+    dup = (g0 >= 0) & ((g0 != owner_g) | (e0 != owner_e))
+    w_own = np.where(dup, 0.5, 1.0).astype(np.float32)
+    ent_g = np.concatenate([owner_g, g0[dup]])
+    ent_e = np.concatenate([owner_e, e0[dup]])
+    ent_s = np.concatenate([slot_ids, slot_ids[dup]])
+    ent_l0 = np.concatenate([lb0, l0t[dup]])
+    ent_l1 = np.concatenate([lb1, -np.ones(int(dup.sum()), np.int32)])
+    ent_ob = np.concatenate([ob_own, slot_b1[dup]])
+    ent_w = np.concatenate([w_own, np.full(int(dup.sum()), 0.5, np.float32)])
     pad_slot = int(getattr(st, "rigid_contact_max", 0))
     for gi, g in enumerate(groups):
-        m = owner_g == gi
+        m = ent_g == gi
         if not m.any():
             continue
-        e_arr, s_arr = owner_e[m], slot_ids[m]
-        l0a, l1a = lb0[m], lb1[m]
+        e_arr, s_arr = ent_e[m], ent_s[m]
+        l0a, l1a = ent_l0[m], ent_l1[m]
+        oba, wa = ent_ob[m], ent_w[m]
         # stable sort by env keeps ascending slot order within each env
         order = np.argsort(e_arr, kind="stable")
         e_arr, s_arr = e_arr[order], s_arr[order]
         l0a, l1a = l0a[order], l1a[order]
+        oba, wa = oba[order], wa[order]
         counts = np.bincount(e_arr, minlength=g.n)
         if counts.min() == counts.max() and counts[0] > 0:
             c = int(counts[0])
             slots = s_arr.reshape(g.n, c).astype(np.int32)
             l0m = l0a.reshape(g.n, c)
             l1m = l1a.reshape(g.n, c)
-            if (l0m == l0m[0]).all() and (l1m == l1m[0]).all():
+            obm = oba.reshape(g.n, c)
+            wm = wa.reshape(g.n, c)
+            if ((l0m == l0m[0]).all() and (l1m == l1m[0]).all()
+                    and (wm == wm[0]).all()
+                    and ((obm >= 0) == (obm[0] >= 0)[None]).all()):
+                # ob stays per-env (different envs face different bodies);
+                # only its VALIDITY pattern must be uniform for the static
+                # row layout
                 plans[gi] = _GroupContacts(slots, l0m[0].astype(np.int32),
-                                           l1m[0].astype(np.int32))
+                                           l1m[0].astype(np.int32),
+                                           ob=obm.astype(np.int32),
+                                           w=wm[0])
                 continue
         # heterogeneous contact layout: pad to max count with per-env
         # local-body tables; padded entries read one-past-the-end
@@ -165,14 +204,18 @@ def _plan_group_contacts(st, groups):
         slots = np.full((g.n, cmax), pad_slot, dtype=np.int32)
         lb0m = -np.ones((g.n, cmax), dtype=np.int32)
         lb1m = -np.ones((g.n, cmax), dtype=np.int32)
+        obm = -np.ones((g.n, cmax), dtype=np.int32)
+        wm = np.ones((g.n, cmax), dtype=np.float32)
         valid = np.zeros((g.n, cmax), dtype=bool)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         k = np.arange(len(e_arr)) - starts[e_arr]
         slots[e_arr, k] = s_arr
         lb0m[e_arr, k] = l0a
         lb1m[e_arr, k] = l1a
+        obm[e_arr, k] = oba
+        wm[e_arr, k] = wa
         valid[e_arr, k] = True
-        plans[gi] = _GroupContacts(slots, lb0m, lb1m, valid)
+        plans[gi] = _GroupContacts(slots, lb0m, lb1m, valid, ob=obm, w=wm)
     return plans
 
 
@@ -197,6 +240,7 @@ class SolverFeatherstone(SolverBase):
                  impratio: float = 0.9,
                  baumgarte: float = 0.2,
                  contact_slop: float = 1e-4,
+                 depenetration_velocity: float = 10.0,
                  angular_damping: float = 0.0,
                  friction_cone: str = "pyramid",
                  limit_mode: str = "constraint",
@@ -239,6 +283,14 @@ class SolverFeatherstone(SolverBase):
         self.impratio = float(impratio)
         self.baumgarte = float(baumgarte)
         self.contact_slop = float(contact_slop)
+        # ceiling on the Baumgarte push-out velocity (PhysX/Bullet "max
+        # depenetration velocity"): raw beta/dt * depth correction is an
+        # undamped spring — in a loaded column (deep stacks) it resonates
+        # (pogo: push-out -> separation -> fall -> deeper -> bigger push),
+        # pumping energy over hundreds of steps until the stack explodes.
+        # Capping the correction velocity bounds the energy injection per
+        # step; resting penetration stays depth ~ slop + load/k regardless.
+        self.depenetration_velocity = float(depenetration_velocity)
         self.angular_damping = float(angular_damping)
         self.friction_cone = friction_cone
         self.limit_mode = limit_mode
@@ -364,12 +416,29 @@ class SolverFeatherstone(SolverBase):
                  np.array([r[1] for r in rows], np.int32),
                  np.array([r[2] for r in rows], np.int32)))
 
-    def _group_damping_matrix(self, gi, g, dfdv, dtype):
+    def _group_damping_matrix(self, gi, g, dfdv, dtype, sten=None):
         """Extra damping matrix D = -∂tau/∂qd (beyond diagonal PD kd) for
         one group: tendon damping outer products + actuator velocity
-        derivatives (MuJoCo implicitfast semantics)."""
+        derivatives (MuJoCo implicitfast semantics). ``sten`` carries the
+        spatial-tendon (L, V, J) rows so their kd (and sten-actuator
+        velocity gains) fold into the implicit system too — MuJoCo treats
+        tendon damping implicitly in qDeriv, and a stiff spatial-tendon kd
+        handled explicitly destabilizes at MuJoCo-stable timesteps."""
         model = self.model
         D_x = jnp.zeros((g.n, g.d, g.d), dtype=dtype)
+        if sten is not None and getattr(model.structure, "sten_count", 0):
+            _, _, J_st = sten                              # (Ts, D)
+            kd_eff = model.sten_params[:, 1].astype(dtype)  # (Ts,)
+            au = getattr(model.structure, "mjc_actuation", None)
+            if au is not None and dfdv is not None:
+                sa = np.nonzero(np.asarray(au.sten) >= 0)[0]
+                if len(sa):
+                    gear = jnp.asarray(au.gear[sa], dtype=dtype)
+                    kd_eff = kd_eff.at[np.asarray(au.sten)[sa]].add(
+                        -(gear * gear) * dfdv[sa])
+            Jg = J_st[:, g.dof_idx]                        # (Ts, n, d)
+            D_x = D_x + jnp.einsum("tnd,tne->nde",
+                                   kd_eff[:, None, None] * Jg, Jg)
         tpn = self._tendon_plans[gi]
         if tpn is not None:
             t_idx, t_env, t_li, t_cf = tpn
@@ -401,7 +470,7 @@ class SolverFeatherstone(SolverBase):
 
         def deriv(q_s, qd_s, s_ref, first=False):
             s_s = _efk(model, q_s, qd_s, s_ref)
-            v_o, w_o, tau_net, _, act_new, _ = self._assemble_forces(
+            v_o, w_o, tau_net, _, act_new, _, _ = self._assemble_forces(
                 state_in, q_s, qd_s, s_s.body_q, s_s.body_qd, control, dt,
                 explicit_damping=True)
             qacc = jnp.zeros_like(qd_s)
@@ -613,7 +682,7 @@ class SolverFeatherstone(SolverBase):
             lim_tau = -ke_l * viol - jnp.where(viol != 0.0, kd_l * qd[ld], 0.0)
             tau = tau.at[ld].add(lim_tau)
         tau_net = tau - tau_bias
-        return v_o, w_o, tau_net, kd_implicit, act_new, dfdv
+        return v_o, w_o, tau_net, kd_implicit, act_new, dfdv, sten
 
     # ------------------------------------------------------------------
     def step(self, state_in: State, state_out: Optional[State] = None,
@@ -638,7 +707,7 @@ class SolverFeatherstone(SolverBase):
                 state_in, q, qd, body_q, body_qd, control, dt)
             qd_smooth = qd_new
         else:
-            v_o, w_o, tau_net, kd_implicit, act_new, dfdv = \
+            v_o, w_o, tau_net, kd_implicit, act_new, dfdv, sten = \
                 self._assemble_forces(state_in, q, qd, body_q, body_qd,
                                       control, dt)
 
@@ -672,7 +741,8 @@ class SolverFeatherstone(SolverBase):
                        + dt * tau_net[g.dof_idx])
                 symmetric = True
                 if self.integrator in ("implicitfast", "implicit"):
-                    D_x = self._group_damping_matrix(gi, g, dfdv, dtype)
+                    D_x = self._group_damping_matrix(gi, g, dfdv, dtype,
+                                                     sten=sten)
                     if Jbias is not None:
                         D_x = D_x + Jbias[g.dof_idx[:, :, None],
                                           g.dof_idx[:, None, :]]
@@ -701,11 +771,13 @@ class SolverFeatherstone(SolverBase):
 
         # contact impulses per group (homogeneous fast path)
         self._last_contact_impulses = []
+        overflow_custom = {}
         has_contacts = contacts is not None and contacts.rigid_contact_max
         for gi, g in enumerate(gc.groups):
             plan = self.contact_plans[gi]
             if has_contacts and plan is not None and plan.c:
                 M, Minv, qd_g = group_data[gi]
+                self._last_overflow = None
                 solve = (self._solve_contacts_newton
                          if self.contact_solver == "newton"
                          else self._solve_contacts)
@@ -717,6 +789,9 @@ class SolverFeatherstone(SolverBase):
                     group_index=gi)
                 qd_new = qd_new.at[g.dof_idx.reshape(-1)].set(qd_g2.reshape(-1))
                 self._last_contact_impulses.append((plan, lam, dirs))
+                if getattr(self, "_last_overflow", None) is not None:
+                    overflow_custom[f"contact:overflow:{gi}"] = \
+                        self._last_overflow
                 if self.warm_start:
                     state_in = state_in.replace(custom={
                         **state_in.custom, f"contact:lam:{gi}": lam})
@@ -765,6 +840,14 @@ class SolverFeatherstone(SolverBase):
         out = eval_fk(model, q_new, qd_new, state_in)
         if act_new is not None:
             out = out.replace(custom={**out.custom, "mjc:act": act_new})
+        if overflow_custom:
+            # only update keys pre-allocated by init_state: injecting new
+            # custom keys mid-step would change the State pytree structure
+            # under a lax.scan carry
+            upd = {k: v for k, v in overflow_custom.items()
+                   if k in out.custom}
+            if upd:
+                out = out.replace(custom={**out.custom, **upd})
 
         if self.sleep_threshold > 0.0:
             if "sleep:count:0" not in state_in.custom:
@@ -789,6 +872,14 @@ class SolverFeatherstone(SolverBase):
                     custom.setdefault(
                         f"contact:lam:{gi}",
                         jnp.zeros((g.n, 3 * plan.c), dtype=jnp.float32))
+        for gi, g in enumerate(self.gc.groups):
+            plan = self.contact_plans[gi]
+            if (plan is not None and plan.c
+                    and self._plan_cap(plan.c) < plan.c):
+                # dropped-active-contact diagnostic (see
+                # _build_contact_system top-K compaction)
+                custom.setdefault(f"contact:overflow:{gi}",
+                                  jnp.zeros((g.n,), dtype=jnp.int32))
         return state.replace(custom=custom)
 
     def _apply_sleep(self, model, state_in, out, control):
@@ -965,10 +1056,15 @@ class SolverFeatherstone(SolverBase):
         force = contacts.rigid_contact_force
         for plan, lam, dirs in self._last_contact_impulses:
             # lam (n, 3c) impulses along (normal, t1, t2); force = impulse/dt
+            # duplicated cross-cell entries each carry w=0.5 and SUM into
+            # their shared slot (the two halves of the impulse pair)
             n_env = plan.slots.shape[0]
             lam3 = lam.reshape(n_env, plan.c, 3)
             f = jnp.einsum("nck,nckx->ncx", lam3, dirs) / dt
-            force = force.at[plan.slots].set(f)
+            w = jnp.asarray(np.asarray(plan.w), f.dtype)
+            if w.ndim == 1:
+                w = jnp.broadcast_to(w[None], (n_env, plan.c))
+            force = force.at[plan.slots].add(f * w[..., None])
         return out, contacts.replace(rigid_contact_force=force)
 
     def update_contacts(self, contacts, state_in, state_out, dt):
@@ -1033,8 +1129,15 @@ class SolverFeatherstone(SolverBase):
         sign_full = anc1 - anc0                             # (c, d)|(n, c, d)
 
         # top-K-by-depth compaction: the dense system scales with slots, not
-        # with touching contacts; pick the K deepest active slots per env
+        # with touching contacts; pick the K deepest active slots per env.
+        # NOT silent: the dropped-active count per env is surfaced on the
+        # output state as custom["contact:overflow:<gi>"] — a nonzero value
+        # means the solve ignored real contacts and contact_cap should be
+        # raised (0 = uncapped)
         K = self._plan_cap(c)
+        self._last_overflow = (
+            jnp.maximum(jnp.sum(active.astype(jnp.int32), axis=1) - K, 0)
+            if K < c else None)
         if K < c:
             score = active.astype(dtype) * jnp.maximum(1.0 + depth, 0.5)
             _, idx = jax.lax.top_k(score, K)                # (n, K)
@@ -1062,6 +1165,57 @@ class SolverFeatherstone(SolverBase):
         Vp = vg[:, None, :, :] + jnp.cross(wg[:, None, :, :],
                                            pos_c[:, :, None, :])  # (n,K,d,3)
         dirs = jnp.stack([nrm_c, t1, t2], axis=2)           # (n, K, 3, 3)
+
+        # non-owned moving side (cross-env/-group contacts, plan.ob): its
+        # point inverse mass joins the Delassus diagonal and its pre-step
+        # point velocity becomes the moving-support target — each cell then
+        # computes the SAME two-body impulse and applies its own half
+        # (see _plan_group_contacts; together with the duplicated entries
+        # this restores Newton's third law across cells)
+        ob_np = np.asarray(plan.ob)
+        if ob_np.ndim == 1:
+            ob_np = np.broadcast_to(ob_np[None], (n_env, c))
+        w_other = None
+        const_rows = None
+        if (ob_np >= 0).any():
+            from ...math import quat_to_matrix
+            lb1_neg = np.asarray(plan.lb1) < 0
+            if lb1_neg.ndim == 1:
+                lb1_neg = np.broadcast_to(lb1_neg[None], (n_env, c))
+            sgn_np = np.where(lb1_neg, 1.0, -1.0) * (ob_np >= 0)
+            ob_t = jnp.asarray(ob_np, jnp.int32)
+            sgn_t = jnp.asarray(sgn_np, dtype)
+            if idx is not None:
+                ob_c = jnp.take_along_axis(ob_t, idx, axis=1)
+                sgn_o = jnp.take_along_axis(sgn_t, idx, axis=1)
+            else:
+                ob_c, sgn_o = ob_t, sgn_t
+            on3 = (ob_c >= 0)[..., None]
+            obcc = jnp.maximum(ob_c, 0)
+            bq_o = state_in.body_q[obcc]                    # (n, K, 7)
+            qd_o = state_in.body_qd[obcc]
+            com_o = bq_o[..., 0:3] + quat_rotate(bq_o[..., 3:7],
+                                                 model.body_com[obcc])
+            v_oth = qd_o[..., 0:3] + jnp.cross(qd_o[..., 3:6],
+                                               pos_c - com_o)
+            v_oth = jnp.where(on3, v_oth, 0.0)
+            # restitution pre-velocity gains the other side's motion
+            vn_pre_c = vn_pre_c + jnp.einsum("nkx,nkx->nk",
+                                             nrm_c, v_oth) * sgn_o
+            # constant relative-velocity rows: sign +1 when other is body1
+            const_rows = (jnp.einsum("nkdx,nkx->nkd", dirs, v_oth)
+                          * sgn_o[..., None]).reshape(n_env, 3 * K)
+            # point inverse mass of the other body along each row direction
+            R_o = quat_to_matrix(bq_o[..., 3:7])            # (n, K, 3, 3)
+            Iinv_w = jnp.einsum("nkab,nkbc,nkdc->nkad", R_o,
+                                model.body_inv_inertia[obcc], R_o)
+            r_o = pos_c - com_o
+            rxd = jnp.cross(jnp.broadcast_to(r_o[:, :, None, :], dirs.shape),
+                            dirs)                           # (n, K, 3, 3)
+            w3 = (model.body_inv_mass[obcc][..., None]
+                  + jnp.einsum("nkda,nkab,nkdb->nkd", rxd, Iinv_w, rxd))
+            w_other = jnp.where(on3, w3, 0.0).reshape(n_env, 3 * K)
+
         # store the Jacobian TRANSPOSED, (n, d, rows): the row count (~91)
         # rides the 128-lane axis with ~1.4x padding, where (rows, d=14)
         # layouts pad 14 -> 128 lanes and 9x every PGS matvec's HBM traffic
@@ -1094,9 +1248,17 @@ class SolverFeatherstone(SolverBase):
         hp = jax.lax.Precision.HIGHEST
         MinvJt = jnp.einsum("nde,ner->ndr", Minv, Jt, precision=hp)
         diag_raw = jnp.einsum("ndr,ndr->nr", Jt, MinvJt, precision=hp)
+        if w_other is not None:
+            # combined two-body effective mass for cross-cell contacts
+            diag_raw = diag_raw.at[:, :3 * K].add(w_other)
         diag = (diag_raw * (1.0 + (1.0 - self.impratio) / self.impratio)
                 + self.contact_reg)
         v_free = jnp.einsum("ndr,nd->nr", Jt, qd_g)         # (n, r)
+        if const_rows is not None:
+            # the other side's pre-step velocity: the row now measures the
+            # true RELATIVE normal/tangent velocity, so a box riding a
+            # sinking/moving support tracks it instead of oscillating
+            v_free = v_free.at[:, :3 * K].add(const_rows)
 
         # desired normal velocity: restitution + Baumgarte stabilization;
         # margin-active but separated rows (depth < 0) must still allow
@@ -1108,8 +1270,10 @@ class SolverFeatherstone(SolverBase):
         # gap/dt (a 4 m/s drop rebounded at 1.8 instead of 3.5 m/s)
         rest = jnp.where(vn_pre_c < -2.0 * 9.81 * dt,
                          -e_rest_c * vn_pre_c, 0.0)
-        pen_term = self.baumgarte / dt * jnp.maximum(
-            depth_c - self.contact_slop, 0.0)
+        pen_term = jnp.minimum(
+            self.baumgarte / dt * jnp.maximum(
+                depth_c - self.contact_slop, 0.0),
+            self.depenetration_velocity)
         gap_allow = jnp.minimum(depth_c, 0.0) / dt
         b_n = jnp.where(depth_c > 0, rest + pen_term,
                         jnp.where(rest > 0, rest, gap_allow))
@@ -1121,9 +1285,15 @@ class SolverFeatherstone(SolverBase):
             b = jnp.concatenate([b, b_lo, b_hi], axis=1)
             act3 = jnp.concatenate([act3, act_lo, act_hi], axis=1)
 
+        w_extra = None
+        if w_other is not None:
+            # (n, r) diagonal extension of the Delassus operator: the other
+            # body's point inverse mass (zero on limit rows)
+            w_extra = jnp.zeros((n_env, diag.shape[1]), dtype=dtype
+                                ).at[:, :3 * K].set(w_other)
         return dict(Jt=Jt, MinvJt=MinvJt, diag=diag, v_free=v_free, b=b,
                     act3=act3, mu=mu_c, K=K, nl=nl, idx=idx, dirs=dirs,
-                    c=c, n_env=n_env, d=d)
+                    c=c, n_env=n_env, d=d, w_extra=w_extra)
 
     def _solve_contacts(self, model, contacts, g, plan, Minv, qd_g,
                         v_o, w_o, state_in, body_q, dt,
@@ -1144,11 +1314,18 @@ class SolverFeatherstone(SolverBase):
         c, n_env, d = sys["c"], sys["n_env"], sys["d"]
         hp = jax.lax.Precision.HIGHEST
         omega = self.contact_relaxation
+        w_extra = sys["w_extra"]
 
         def Avec(x):
-            return jnp.einsum("ndr,nd->nr", Jt,
-                              jnp.einsum("ndr,nr->nd", MinvJt, x,
-                                         precision=hp), precision=hp)
+            y = jnp.einsum("ndr,nd->nr", Jt,
+                           jnp.einsum("ndr,nr->nd", MinvJt, x,
+                                      precision=hp), precision=hp)
+            if w_extra is not None:
+                # cross-cell contacts: the other body's inverse mass acts
+                # diagonally (exact for its single contact; the Jacobi
+                # sweep absorbs the cross terms when it carries several)
+                y = y + w_extra * x
+            return y
 
         # diagonally-scaled Jacobi diverges when many rows couple (humanoid
         # pile-ups); cap the step by a matrix-free power-iteration estimate
@@ -1158,14 +1335,16 @@ class SolverFeatherstone(SolverBase):
         # Cauchy-Schwarz; 1.1 margin covers the remaining underestimate) —
         # must mirror pgs_pallas.pgs_core exactly for the
         # batched-vs-vmapped parity tests
+        from .pgs_pallas import spectral_iters
+        n_pi = spectral_iters(diag.shape[1])
         inv_sqrt_d = jax.lax.rsqrt(diag)
         u = jnp.where(act3, 1.0, 0.0)
         u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1.0)
         lam_max = None
-        for it in range(3):
+        for it in range(n_pi):
             u2 = inv_sqrt_d * Avec(inv_sqrt_d * u) * act3
             nrm = jnp.linalg.norm(u2, axis=-1, keepdims=True)
-            if it == 2:
+            if it == n_pi - 1:
                 lam_max = nrm[..., 0]
             u = u2 / jnp.maximum(nrm, 1e-9)
         step_scale = jnp.minimum(1.0,
@@ -1289,7 +1468,28 @@ def _solve_contacts_newton(self, model, contacts, g, plan, Minv, qd_g,
     diag_A = A[:, rr, rr]
     R = diag_A * ((1.0 - self.impratio) / self.impratio) + self.contact_reg
     A = A.at[:, rr, rr].add(R)
-    cvec = jnp.einsum("ndr,nd->nr", Jf, qd_g, precision=hp) - b_f
+    # facet free-velocity from v_free (carries the cross-cell moving-
+    # support constant): row value = (Jn +- mu Jt) qd + (cn +- mu ct)
+    vf = sys["v_free"]
+    vn, vt1, vt2 = vf[:, i_n], vf[:, i_n + 1], vf[:, i_n + 2]
+    cvec = jnp.concatenate(
+        [vn + mu * vt1, vn - mu * vt1, vn + mu * vt2, vn - mu * vt2],
+        axis=1)
+    if nl:
+        cvec = jnp.concatenate([cvec, vf[:, 3 * K:]], axis=1)
+    cvec = cvec - b_f
+    if sys["w_extra"] is not None:
+        # cross-cell combined effective mass on the facet diagonal
+        # (w_n + mu^2 w_t — cross terms drop in the diagonal approximation)
+        we = sys["w_extra"]
+        wf = jnp.concatenate(
+            [we[:, i_n] + mu ** 2 * we[:, i_n + 1],
+             we[:, i_n] + mu ** 2 * we[:, i_n + 1],
+             we[:, i_n] + mu ** 2 * we[:, i_n + 2],
+             we[:, i_n] + mu ** 2 * we[:, i_n + 2]], axis=1)
+        if nl:
+            wf = jnp.concatenate([wf, we[:, 3 * K:]], axis=1)
+        A = A.at[:, rr, rr].add(wf)
 
     actf = act_f.astype(dtype)
     x = jnp.zeros((n_env, r), dtype=dtype)
@@ -1398,7 +1598,7 @@ class SolverMuJoCo(SolverFeatherstone):
                        "warm_start", "max_velocity",
                        "update_mass_matrix_interval", "pgs_backend",
                        "contact_cap", "impratio", "contact_solver",
-                       "newton_iterations")
+                       "newton_iterations", "depenetration_velocity")
         for k in passthrough:
             if k in kwargs:
                 known[k] = kwargs.pop(k)
@@ -1600,6 +1800,10 @@ class SolverKamino(SolverFeatherstone):
         # hard-contact, so the (n, r, r) direct factor is the right trade
         A = jnp.einsum("ndr,nds->nrs", Jt, MinvJt, precision=hp)
         A = A + self.contact_reg * jnp.eye(r, dtype=dtype)
+        if sys["w_extra"] is not None:
+            # cross-cell contacts: other body's point inverse mass on the
+            # diagonal (combined two-body effective mass)
+            A = A + jnp.eye(r, dtype=dtype)[None] * sys["w_extra"][:, None, :]
         # decouple inactive rows (dynamic mask): otherwise their u windup
         # couples back through A and destabilizes the whole iteration
         msk = act3.astype(dtype)

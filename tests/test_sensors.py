@@ -183,3 +183,32 @@ def test_camera_splat_channel():
     si = np.asarray(ctr["shape_index"])[0]
     sa2 = np.asarray(ctr["splat_alpha"])[0]
     assert (sa2[si == 0] == 0).all() or sa2[si == 0].max() < 0.05
+
+
+def test_camera_golden_mesh_scene():
+    """Golden-image regression on a MESH scene: exact BVH triangle hits,
+    shadows on (reference: tests/golden_data/test_sensor_tiled_camera/
+    golden images; regenerate with tools/gen_golden_camera_mesh.py)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from gen_golden_camera_mesh import CAM_XFORM, build_scene
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden_data",
+                                  "camera_mesh_scene.npz"))
+    m = build_scene()
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    cam = SensorTiledCamera(m, width=48, height=32, shadows=True,
+                            light_dir=(0.3, 0.2, -0.9))
+    out = cam.render(s, CAM_XFORM[None])
+    sidx = np.asarray(out["shape_index"][0])
+    depth = np.asarray(out["depth"][0])
+    color = np.asarray(out["color"][0])
+    assert (sidx >= 0).mean() > 0.3, "scene mostly missed"
+    match = (sidx == golden["shape_index"]).mean()
+    assert match > 0.98, f"shape-index image match {match:.3f}"
+    both = (sidx >= 0) & (golden["shape_index"] >= 0)
+    err = np.abs(depth - golden["depth"])[both]
+    assert np.median(err) < 5e-3, f"depth drift: median {np.median(err)}"
+    cerr = np.abs(color - golden["color"]).mean()
+    assert cerr < 0.02, f"color drift {cerr:.4f}"
