@@ -70,6 +70,17 @@ EXAMPLES = {
     "basic_conveyor_forces":
         "newton_tpu.examples.example_basic_conveyor_forces",
     "pile_sap": "newton_tpu.examples.example_pile_sap",
+    "ik_custom": "newton_tpu.examples.example_ik_custom",
+    "robot_arm_reach": "newton_tpu.examples.example_robot_arm_reach",
+    "selection_cartpole": "newton_tpu.examples.example_selection_cartpole",
+    "kamino_mass_ratio": "newton_tpu.examples.example_kamino_mass_ratio",
+    "vbd_rigid_rigid_contact":
+        "newton_tpu.examples.example_vbd_rigid_rigid_contact",
+    "mpm_granular": "newton_tpu.examples.example_mpm_granular",
+    "peg_insertion": "newton_tpu.examples.example_peg_insertion",
+    "xpbd_vbd_coupled": "newton_tpu.examples.example_xpbd_vbd_coupled",
+    "cloth_stiff_material_hanging":
+        "newton_tpu.examples.example_cloth_stiff_material_hanging",
     "replay_viewer": "newton_tpu.examples.example_replay_viewer",
     "selection_multiple": "newton_tpu.examples.example_selection_multiple",
     "basic_heightfield": "newton_tpu.examples.example_basic_heightfield",

@@ -79,3 +79,38 @@ def gjk_distance(verts_a: jnp.ndarray, X_a: jnp.ndarray,
     (x, wa, wb), _ = jax.lax.scan(body, (x, wa, wb), None, length=iterations)
     dist = jnp.linalg.norm(x, axis=-1)
     return dist, wa, wb
+
+
+def gjk_closest(supA, supB, ca, cb, iterations: int = 24):
+    """Frank-Wolfe closest points on generic support callables.
+
+    ``supA(d)``/``supB(d)`` map world directions to world support points
+    (geometry/support.py make_support); ca/cb are interior points. Returns
+    (dist, p_a, p_b) like :func:`gjk_distance` — this is the speculative-
+    margin path of the narrow phase: exact separation + witness points for
+    not-yet-touching convex pairs (reference: simplex_solver.py closest-
+    point queries feeding margin contacts)."""
+    pa = supA(_normalize_fw(cb - ca))
+    pb = supB(_normalize_fw(ca - cb))
+    x = pa - pb
+    wa, wb = pa, pb
+
+    def body(carry, _):
+        x, wa, wb = carry
+        sa = supA(-x)
+        sb = supB(x)
+        s = sa - sb
+        dxs = s - x
+        denom = jnp.sum(dxs * dxs, axis=-1)
+        t = jnp.where(denom > 1e-12,
+                      -jnp.sum(x * dxs, axis=-1)
+                      / jnp.maximum(denom, 1e-12), 0.0)
+        t = jnp.clip(t, 0.0, 1.0)[..., None]
+        return (x + t * dxs, wa + t * (sa - wa), wb + t * (sb - wb)), None
+
+    (x, wa, wb), _ = jax.lax.scan(body, (x, wa, wb), None, length=iterations)
+    return jnp.linalg.norm(x, axis=-1), wa, wb
+
+
+def _normalize_fw(v, eps=1e-9):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)

@@ -211,14 +211,18 @@ def support_manifold(supA: Callable, supB: Callable,
     hit, depth0, n0, p0 = mpr_contact_support(supA, supB, ca, cb)
     dtype = ca.dtype
 
-    # separated pairs: estimate direction/overlap from a support probe along
-    # the center line so margin contacts still form
+    # separated pairs: exact Frank-Wolfe closest points (geometry/gjk.py)
+    # give the true separation distance + witness points, so speculative
+    # margin contacts carry the right normal/anchor instead of a crude
+    # center-line probe (reference: simplex_solver.py closest-point query)
+    from .gjk import gjk_closest
+    dist, pa_s, pb_s = gjk_closest(supA, supB, ca, cb)
+    d_sep = _normalize(pb_s - pa_s)        # A -> B at closest approach
+    fallback = jnp.sum(d_sep * d_sep, axis=-1) < 0.5   # touching: degenerate
     d_ab = _normalize(cb - ca)
-    pa_s = supA(d_ab)
-    pb_s = supB(-d_ab)
-    sep = _dot(pa_s - pb_s, d_ab)          # negative gap when separated
-    n0 = jnp.where(hit[:, None], n0, d_ab)
-    depth0 = jnp.where(hit, depth0, sep)
+    n_sep = jnp.where(fallback[:, None], d_ab, d_sep)
+    n0 = jnp.where(hit[:, None], n0, n_sep)
+    depth0 = jnp.where(hit, depth0, -dist)
     p0 = jnp.where(hit[:, None], p0, 0.5 * (pa_s + pb_s))
 
     # tangent basis of the core normal (Duff et al.)

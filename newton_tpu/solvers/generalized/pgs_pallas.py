@@ -51,14 +51,16 @@ def _take_rows(x, ld):
 
 def spectral_iters(rows: int) -> int:
     """Power-iteration count for the step bound, keyed on the STATIC row
-    count: 3 suffices for robot-scale systems (< 64 rows); large coupled
-    pile-ups (deep stacks, one env owning 100+ contacts) have clustered
+    count: 3 suffices for robot-scale systems (ant ~96 rows, humanoid ~130
+    — the KPI path, where the divergence guard covers the residual risk at
+    zero steady-state cost); very large coupled systems (deep stacks — an
+    uncapped 10-box tower carries ~670 rows in one env) have clustered
     spectra where 3 iterations undershoot lambda_max by more than the 1.1
     margin and the Jacobi sweep turns non-contractive (ADVICE r4 low #4 —
     observed as slow oscillation growth then blow-up on 8+ box towers).
     Both the batched and the vmapped path key on the same static quantity,
     preserving their bit-parity."""
-    return 3 if rows < 64 else 8
+    return 3 if rows < 192 else 8
 
 
 def spectral_lam_max(Avec, diag, act, iters: int = 3):

@@ -66,7 +66,26 @@ class ViewerRerun(ViewerBase):
                 np.asarray(state.particle_q)))
 
     def log_points(self, name, points, radius=0.01, colors=None):
-        self.rr.log(name, self.rr.Points3D(np.asarray(points), radii=radius))
+        self.rr.log(name, self.rr.Points3D(np.asarray(points), radii=radius,
+                                           colors=colors))
+
+    def log_lines(self, name, starts, ends, colors=None):
+        seg = np.stack([np.asarray(starts), np.asarray(ends)], axis=1)
+        self.rr.log(name, self.rr.LineStrips3D(seg, colors=colors))
+
+    def log_mesh(self, name, vertices, indices, xform=None, colors=None):
+        v = np.asarray(vertices)
+        if xform is not None:
+            from ..math import transform_point
+            import jax.numpy as jnp
+            v = np.asarray(transform_point(jnp.asarray(xform),
+                                           jnp.asarray(v)))
+        self.rr.log(name, self.rr.Mesh3D(
+            vertex_positions=v,
+            triangle_indices=np.asarray(indices).reshape(-1, 3)))
+
+    def log_image(self, name, image):
+        self.rr.log(name, self.rr.Image(np.asarray(image)))
 
     def log_scalar(self, name, value):
         super().log_scalar(name, value)

@@ -78,5 +78,16 @@ class ViewerViser(ViewerBase):
             q = X[3:7]
             frame.wxyz = (float(q[3]), float(q[0]), float(q[1]), float(q[2]))
 
+    def log_points(self, name, points, radius=0.01, colors=None):
+        p = np.asarray(points)
+        c = (np.asarray(colors) if colors is not None
+             else np.full((len(p), 3), 0.8))
+        self._server.scene.add_point_cloud(name, points=p, colors=c,
+                                           point_size=float(radius))
+
+    def log_lines(self, name, starts, ends, colors=None):
+        seg = np.stack([np.asarray(starts), np.asarray(ends)], axis=1)
+        self._server.scene.add_line_segments(name, points=seg)
+
     def is_running(self) -> bool:
         return True

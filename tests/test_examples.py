@@ -37,6 +37,12 @@ FRAMES = {
     "robot_hand": 30, "robot_kitchen": 25, "tendon_finger": 200,
     "hetero_worlds": 45, "robot_policy": 40, "cloth_hanging": 45,
     "cable_bend_stiffness": 70, "compliant_pad": 120,
+    "basic_conveyor_forces": 60, "replay_viewer": 20, "ik_custom": 30,
+    "vbd_rigid_rigid_contact": 50,
+    "mpm_granular": 60, "peg_insertion": 80, "xpbd_vbd_coupled": 40,
+    "cloth_stiff_material_hanging": 60, "robot_arm_reach": 120,
+    "selection_cartpole": 50, "kamino_mass_ratio": 60,
+    "selection_multiple": 20, "pile_sap": 8,
 }
 
 
