@@ -440,6 +440,35 @@ def bench_ik(args):
     }, bool(np.isfinite(qn).all()), "NaN IK solution")
 
 
+def measure_mujoco_c_anchor(robot="ant", frames=400, substeps=4):
+    """Measured single-core MuJoCo-C throughput on the same MJCF — an
+    absolute anchor for the headline ratio (BASELINE.md: 'absolute values
+    must be measured'; no reference-GPU or MJX build exists in this image,
+    so the reference's own C engine on this host's CPU is the honest
+    measurable baseline). One env, serial, random ctrl per frame — the same
+    workload shape as bench_robot. Returns env-frames/s (frame = substeps
+    physics steps) or None if mujoco is unavailable."""
+    try:
+        import mujoco
+    except ImportError:
+        return None
+    import numpy as _np
+    path = os.path.join(ASSET_DIR, ROBOT_XML.get(robot, "ant.xml"))
+    model = mujoco.MjModel.from_xml_path(path)
+    model.opt.timestep = 1.0 / 240.0
+    data = mujoco.MjData(model)
+    rng = _np.random.default_rng(0)
+    for _ in range(50):                                   # warmup
+        mujoco.mj_step(model, data)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        data.ctrl[:] = rng.uniform(-1.0, 1.0, model.nu)
+        for _ in range(substeps):
+            mujoco.mj_step(model, data)
+    dt_s = time.perf_counter() - t0
+    return frames / dt_s
+
+
 README_BEGIN = "<!-- BENCH:BEGIN (regenerated by bench.py --update-readme) -->"
 README_END = "<!-- BENCH:END -->"
 
@@ -559,6 +588,26 @@ def main():
             detail["workloads"].append(hp)
         else:
             detail["workloads"].append(dict(hp, error=herr or "failed"))
+    # measured absolute anchor: single-core MuJoCo-C on the same MJCF
+    # (replaces the r1-r4 placeholder ratio with a measurable baseline —
+    # the orthodox engine this image actually ships)
+    try:
+        anchor = measure_mujoco_c_anchor(args.robot, frames=300,
+                                         substeps=args.substeps)
+    except Exception:                                     # noqa: BLE001
+        anchor = None
+    if anchor:
+        payload["anchor_mujoco_c_cpu_env_steps_per_s"] = round(anchor, 1)
+        payload["vs_mujoco_c_cpu_1core"] = round(payload["value"] / anchor, 1)
+        detail["anchor"] = {
+            "kind": "mujoco_c_cpu_1core",
+            "robot": args.robot,
+            "env_steps_per_s": round(anchor, 1),
+            "note": "same MJCF, dt=1/240, random ctrl, serial mj_step on "
+                    "this host's CPU; the TPU headline divided by this is "
+                    "the chip-vs-core speedup, not a like-for-like "
+                    "device ratio",
+        }
     import jax
     detail["device_kind"] = jax.devices()[0].device_kind
     detail["stamp"] = time.strftime("%Y-%m-%d")

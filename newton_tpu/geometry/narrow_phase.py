@@ -376,15 +376,12 @@ def box_box(X0, X1, s0, s1):
     depth0 = jnp.where(separated[:, None], -1.0, jnp.minimum(depth0, cap))
     pos1 = c1 + n[:, None, :] * (0.5 * depth1)[..., None]
     pos0 = c0 - n[:, None, :] * (0.5 * depth0)[..., None]
-    # dedup: a set-0 point lying on top of a set-1 point is a REDUNDANT
-    # constraint row (for near-aligned stacks all 8 coincide pairwise);
-    # redundant rows raise the Delassus spectral radius and slow the
-    # Jacobi sweep for zero manifold benefit — drop the set-0 twin
-    d2 = jnp.sum((pos0[:, :, None, :] - pos1[:, None, :, :]) ** 2, axis=-1)
-    eps2 = (1e-2 * jnp.minimum(jnp.min(s0, -1), jnp.min(s1, -1)) ** 2)
-    twin = jnp.any((d2 < eps2[:, None, None])
-                   & (depth1[:, None, :] > 0.0), axis=2)    # (n, 8)
-    depth0 = jnp.where(twin, -1.0, depth0)
+    # NOTE: coincident set-0/set-1 twin points are intentionally KEPT.
+    # A depth-gated dedup was tried and reverted: the gate flickers as
+    # depths cross zero, and augmented-Lagrangian contact solvers (AVBD)
+    # ratchet energy on rows that oscillate between deduped and live —
+    # a resting two-box stack climbed steadily. Redundant rows only cost
+    # the Jacobi sweep a slightly smaller step (spectral cap handles it).
     pos = jnp.concatenate([pos1, pos0], axis=1)
     nrm = jnp.broadcast_to(n[:, None, :], pos.shape)
     depth = jnp.concatenate([depth1, depth0], axis=1)

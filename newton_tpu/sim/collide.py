@@ -836,6 +836,11 @@ class CollisionPipeline:
             align = jnp.sum(pn * nrm, axis=-1)
             new_dep = -gn
             keep = (prev.rigid_contact_mask & out.rigid_contact_mask
+                    # dynamic mode reassigns slots per frame (traced
+                    # top-k): a slot only keeps its cache if it still
+                    # holds the SAME pair (identity in static mode)
+                    & (prev.rigid_contact_shape0 == out.rigid_contact_shape0)
+                    & (prev.rigid_contact_shape1 == out.rigid_contact_shape1)
                     & (slide2 < tol * tol) & (align > 0.98)
                     & (jnp.abs(new_dep - dep)
                        < 2.0 * self.rigid_contact_margin + 0.1 * tol)

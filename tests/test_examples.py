@@ -10,6 +10,10 @@ import pytest
 from newton_tpu.examples import EXAMPLES
 from newton_tpu.viewer import ViewerNull
 
+# the example sweep is the largest compile surface in the suite — keep it
+# in the full run but out of the fast tier
+pytestmark = [pytest.mark.slow, pytest.mark.examples]
+
 
 class _Args:
     num_frames = 8

@@ -322,7 +322,9 @@ def test_avbd_rigid_stack_and_pendulum():
     ball-jointed pendulum."""
     from newton_tpu.solvers import SolverVBD
     m = _two_box_stack(mesh=False, z0=1.51)
-    q = _roll(m, SolverVBD(m, iterations=6), CollisionPipeline(m))
+    # 8 AL sweeps: the clipped box-box manifold carries the full rim-point
+    # set (r5), which needs two more multiplier updates to converge
+    q = _roll(m, SolverVBD(m, iterations=8), CollisionPipeline(m))
     assert np.isfinite(q).all()
     assert abs(q[0, 2] - 0.5) < 0.05 and abs(q[1, 2] - 1.5) < 0.08, q[:, 2]
 
