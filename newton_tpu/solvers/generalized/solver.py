@@ -1085,7 +1085,7 @@ class SolverFeatherstone(SolverBase):
     # ------------------------------------------------------------------
     def _build_contact_system(self, model, contacts, g, plan, Minv, qd_g,
                               v_o, w_o, state_in, body_q, dt,
-                              q_coords=None, limit_plan=None):
+                              q_coords=None, limit_plan=None, cap=None):
         """Assemble the per-group contact system: compacted slots, Jacobian
         rows [contacts*3 | limit-lo | limit-hi], Delassus operator pieces,
         bias b, activity masks. Returns a dict shared by the PGS solve and
@@ -1134,7 +1134,8 @@ class SolverFeatherstone(SolverBase):
         # output state as custom["contact:overflow:<gi>"] — a nonzero value
         # means the solve ignored real contacts and contact_cap should be
         # raised (0 = uncapped)
-        K = self._plan_cap(c)
+        K = self._plan_cap(c) if cap is None else (
+            c if cap <= 0 else min(c, int(cap)))
         self._last_overflow = (
             jnp.maximum(jnp.sum(active.astype(jnp.int32), axis=1) - K, 0)
             if K < c else None)
@@ -1748,6 +1749,87 @@ def _plan_group_equality(model, groups):
     return plans
 
 
+def _island_partition(g, plan, limit_plan):
+    """Host-side contact-island partition of a group's contact rows.
+
+    The Delassus operator A = J M^-1 J^T couples two constraint rows only
+    when their dof supports overlap: dofs of one articulation (M^-1 is
+    block-diagonal across articulations) or the two bodies of a shared
+    contact. Connected components of that coupling graph are *islands* —
+    A is block-diagonal under the island permutation, so the per-env dense
+    factorization can be replaced by per-island blocks (TPU-first
+    equivalent of the reference's per-world sparse factorization suite,
+    kamino/_src/linalg/factorize/).
+
+    Rows are laid out [3*c contact rows | nl limit-lo | nl limit-hi]
+    (matching ``_build_contact_system`` with an uncapped plan). Returns
+    ``(P, n_isl, rb)`` where ``P`` is an (n_isl, rb) int32 row-permutation
+    table padded with ``r`` (out-of-range ⇒ dropped on scatter), or None
+    when the plan is per-env heterogeneous or everything couples into one
+    island.
+    """
+    lb0, lb1 = np.asarray(plan.lb0), np.asarray(plan.lb1)
+    if lb0.ndim != 1:
+        return None                     # per-env slot→body maps: no static islands
+    c = int(plan.c)
+    anc = np.asarray(g.anc) != 0        # (b, d) local body → dof support
+    d = anc.shape[1]
+
+    parent = np.arange(d + 1)           # extra node d = "static world"
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb_ = find(a), find(b)
+        if ra != rb_:
+            parent[rb_] = ra
+
+    body_rep = np.full(anc.shape[0], d, dtype=np.int64)
+    for b in range(anc.shape[0]):
+        dofs = np.nonzero(anc[b])[0]
+        if len(dofs):
+            body_rep[b] = dofs[0]
+            for j in dofs[1:]:
+                union(dofs[0], int(j))
+
+    # contacts merge the two touching bodies' dof components
+    for i in range(c):
+        r0 = body_rep[lb0[i]] if lb0[i] >= 0 else d
+        r1 = body_rep[lb1[i]] if lb1[i] >= 0 else d
+        if r0 != d and r1 != d:
+            union(int(r0), int(r1))
+
+    nl = len(limit_plan[0]) if (limit_plan is not None
+                                and len(limit_plan[0])) else 0
+    r = 3 * c + 2 * nl
+    row_isl = np.empty(r, dtype=np.int64)
+    for i in range(c):
+        rep = body_rep[lb0[i]] if lb0[i] >= 0 else body_rep[lb1[i]] \
+            if lb1[i] >= 0 else d
+        rid = find(int(rep)) if rep != d else d
+        row_isl[3 * i:3 * i + 3] = rid
+    if nl:
+        ld = np.asarray(limit_plan[0])
+        for j in range(nl):
+            rid = find(int(ld[j]))
+            row_isl[3 * c + j] = rid
+            row_isl[3 * c + nl + j] = rid
+
+    ids = np.unique(row_isl)
+    if len(ids) < 2:
+        return None
+    rows_by = [np.nonzero(row_isl == i)[0] for i in ids]
+    rb = max(len(rr) for rr in rows_by)
+    P = np.full((len(ids), rb), r, dtype=np.int32)
+    for k, rr in enumerate(rows_by):
+        P[k, :len(rr)] = rr
+    return P, len(ids), rb
+
+
 class SolverKamino(SolverFeatherstone):
     """Constrained multibody solver for kinematic loops and hard frictional
     contact (reference: kamino/solver_kamino.py:110 — Disney's NCP solver
@@ -1775,19 +1857,39 @@ class SolverKamino(SolverFeatherstone):
     use_admm = True
 
     def __init__(self, model: Model, iterations: int = 32, rho: float = 0.1,
-                 **kwargs):
+                 use_islands: bool = True, **kwargs):
         kwargs.setdefault("friction_cone", "cone")
         kwargs.setdefault("baumgarte", 0.3)
         super().__init__(model, contact_iterations=iterations, **kwargs)
         self.admm_rho = float(rho)
+        # blocked per-island factorization (reference: Kamino's per-world
+        # sparse factorization suite, kamino/_src/linalg/factorize/):
+        # host-planned island permutation turns the (n, r, r) Cholesky into
+        # (n * n_isl, rb, rb) batched blocks — O(sum rb^3) instead of O(r^3)
+        self.use_islands = bool(use_islands)
+        self._island_plans = {}
+        self._last_islands = None
 
     def _solve_contacts(self, model, contacts, g, plan, Minv, qd_g,
                         v_o, w_o, state_in, body_q, dt,
                         q_coords=None, limit_plan=None, group_index=None):
         dtype = qd_g.dtype
+        # island planning happens BEFORE system assembly: the blocked path
+        # needs uncapped/uncompacted rows (static slot→row layout), which
+        # is the accurate Kamino trade anyway. A user-set positive
+        # contact_cap opts out back into the dense top-K path.
+        isl = None
+        if self.use_islands and not (self.contact_cap and
+                                     self.contact_cap > 0):
+            key = group_index if group_index is not None else id(plan)
+            if key not in self._island_plans:
+                self._island_plans[key] = _island_partition(
+                    g, plan, limit_plan)
+            isl = self._island_plans[key]
         sys = self._build_contact_system(
             model, contacts, g, plan, Minv, qd_g, v_o, w_o, state_in,
-            body_q, dt, q_coords=q_coords, limit_plan=limit_plan)
+            body_q, dt, q_coords=q_coords, limit_plan=limit_plan,
+            cap=0 if isl is not None else None)
         Jt, MinvJt = sys["Jt"], sys["MinvJt"]
         v_free, b = sys["v_free"], sys["b"]
         act3, mu3 = sys["act3"], sys["mu"]
@@ -1796,25 +1898,80 @@ class SolverKamino(SolverFeatherstone):
         hp = jax.lax.Precision.HIGHEST
         r = 3 * K + 2 * nl
 
-        # materialize the Delassus operator: Kamino scenes are few-env /
-        # hard-contact, so the (n, r, r) direct factor is the right trade
-        A = jnp.einsum("ndr,nds->nrs", Jt, MinvJt, precision=hp)
-        A = A + self.contact_reg * jnp.eye(r, dtype=dtype)
+        msk = act3.astype(dtype)
+        w_full = None
         if sys["w_extra"] is not None:
             # cross-cell contacts: other body's point inverse mass on the
             # diagonal (combined two-body effective mass)
-            A = A + jnp.eye(r, dtype=dtype)[None] * sys["w_extra"][:, None, :]
-        # decouple inactive rows (dynamic mask): otherwise their u windup
-        # couples back through A and destabilizes the whole iteration
-        msk = act3.astype(dtype)
-        mm = msk[:, :, None] * msk[:, None, :]
-        A = A * mm + (1.0 - mm) * jnp.eye(r, dtype=dtype)
+            w_full = sys["w_extra"]
+            if w_full.shape[1] < r:
+                w_full = jnp.concatenate(
+                    [w_full, jnp.zeros((n_env, r - w_full.shape[1]),
+                                       dtype=dtype)], axis=1)
         q = (v_free - b) * msk
-        # scale-aware proximal weight: rho relative to the mean diagonal
-        diag_mean = jnp.mean(jnp.diagonal(A, axis1=1, axis2=2), axis=-1)
-        rho = (self.admm_rho * jnp.maximum(diag_mean, 1e-9))[:, None, None]
-        L = jnp.linalg.cholesky(A + rho * jnp.eye(r, dtype=dtype))
-        rho = rho[:, :, 0]                                   # (n, 1)
+
+        if isl is not None:
+            P, n_isl, rb = isl
+            self._last_islands = (n_isl, rb, r)
+            Pc = np.minimum(P, r - 1)                        # clamped gather
+            pad = jnp.asarray(P >= r)                        # (I, rb)
+            rr_b = np.arange(rb)
+            Jt_b = Jt[:, :, Pc]                              # (n, d, I, rb)
+            MJt_b = MinvJt[:, :, Pc]
+            A_b = jnp.einsum("ndir,ndis->nirs", Jt_b, MJt_b, precision=hp)
+            extra = jnp.full((n_env, r), self.contact_reg, dtype=dtype)
+            if w_full is not None:
+                extra = extra + w_full
+            A_b = A_b.at[:, :, rr_b, rr_b].add(extra[:, Pc])
+            # decouple inactive + pad rows (identity diag): pad solutions
+            # are dropped on scatter, inactive u-windup must not couple back
+            msk_b = msk[:, Pc] * (~pad).astype(dtype)        # (n, I, rb)
+            mm_b = msk_b[..., :, None] * msk_b[..., None, :]
+            eye_b = jnp.eye(rb, dtype=dtype)
+            A_b = A_b * mm_b + (1.0 - mm_b) * eye_b
+            diag_b = A_b[:, :, rr_b, rr_b]
+            diag_mean = (jnp.sum(diag_b * (~pad).astype(dtype), axis=(1, 2))
+                         / float(r))
+            rho = (self.admm_rho
+                   * jnp.maximum(diag_mean, 1e-9))           # (n,)
+            L_b = jnp.linalg.cholesky(
+                A_b + rho[:, None, None, None] * eye_b)
+            L2 = L_b.reshape(n_env * n_isl, rb, rb)
+            P_flat = jnp.asarray(P.reshape(-1), jnp.int32)
+            solve_b = jax.vmap(jax.scipy.linalg.cho_solve,
+                               in_axes=((0, None), 0))
+
+            def dsolve(rhs):
+                rg = rhs[:, Pc].reshape(n_env * n_isl, rb)
+                s = solve_b((L2, True), rg).reshape(n_env, n_isl * rb)
+                return jnp.zeros((n_env, r), dtype=dtype
+                                 ).at[:, P_flat].set(s, mode="drop")
+
+            rho = rho[:, None]                               # (n, 1)
+        else:
+            self._last_islands = None
+            # materialize the Delassus operator: single-island scenes are
+            # few-env / hard-contact, the (n, r, r) direct factor is the
+            # right trade
+            A = jnp.einsum("ndr,nds->nrs", Jt, MinvJt, precision=hp)
+            A = A + self.contact_reg * jnp.eye(r, dtype=dtype)
+            if w_full is not None:
+                A = A + jnp.eye(r, dtype=dtype)[None] * w_full[:, None, :]
+            # decouple inactive rows (dynamic mask): otherwise their u
+            # windup couples back through A and destabilizes the iteration
+            mm = msk[:, :, None] * msk[:, None, :]
+            A = A * mm + (1.0 - mm) * jnp.eye(r, dtype=dtype)
+            # scale-aware proximal weight: rho relative to the mean diagonal
+            diag_mean = jnp.mean(jnp.diagonal(A, axis1=1, axis2=2), axis=-1)
+            rho = (self.admm_rho
+                   * jnp.maximum(diag_mean, 1e-9))[:, None, None]
+            L = jnp.linalg.cholesky(A + rho * jnp.eye(r, dtype=dtype))
+            rho = rho[:, :, 0]                               # (n, 1)
+            solve_full = jax.vmap(jax.scipy.linalg.cho_solve,
+                                  in_axes=((0, None), 0))
+
+            def dsolve(rhs):
+                return solve_full((L, True), rhs)
 
         def proj(x):
             """Project onto the admissible set: SOC per contact, lam >= 0
@@ -1847,10 +2004,9 @@ class SolverKamino(SolverFeatherstone):
                 z = z.at[:, :3 * K].set(jnp.where(
                     act3[:, :3 * K], prev3.reshape(n_env, 3 * K), 0.0))
         u = jnp.zeros_like(z)
-        solve = jax.vmap(jax.scipy.linalg.cho_solve, in_axes=((0, None), 0))
         for _ in range(self.contact_iterations):
             rhs = rho * (z - u) - q
-            lam_hat = solve((L, True), rhs)
+            lam_hat = dsolve(rhs)
             z = proj(lam_hat + u)
             u = u + lam_hat - z
         z = jnp.where(jnp.isfinite(z), z, 0.0)

@@ -293,10 +293,15 @@ void main() {
 class ViewerGL(ViewerBase):
     """Interactive GLFW/OpenGL viewer (reference viewer_gl.py:177).
 
-    Keys: SPACE pause/resume, ``.`` single-step while paused, ESC close.
+    Keys: SPACE pause/resume, ``.`` single-step while paused, ``H`` toggle
+    the GUI panel, ``[`` / ``]`` cycle the world filter, ESC close.
     Mouse: right-drag orbit, middle-drag pan, scroll dolly, left-drag picks
     the shape under the cursor and drags its body with a spring
     (``apply_forces``; reference viewer/picking.py).
+
+    The on-screen panel (``viewer_gui.GuiPanel`` — the reference's shared
+    ImGui panel, viewer_gui.py:33) shows run state, frame/FPS, the world
+    selector, picked shape, and any ``log_scalar`` values.
     """
 
     def __init__(self, width: int = 1280, height: int = 720,
@@ -315,6 +320,15 @@ class ViewerGL(ViewerBase):
         self._body_q: Optional[np.ndarray] = None
         self._state = None
         self.pick_stiffness = 40.0
+        # GUI panel (reference: viewer/viewer_gui.py:33 shared ImGui panel)
+        from .viewer_gui import GuiPanel
+        self.gui = GuiPanel()
+        self.show_gui = True
+        self.world_filter: Optional[int] = None   # None = all worlds
+        self._overlay = None
+        self._frame = 0
+        self._fps = 0.0
+        self._fps_t: Optional[float] = None
         if not self.offscreen:
             self._init_gl(title)
 
@@ -389,6 +403,9 @@ class ViewerGL(ViewerBase):
             self._groups[gi]["shapes"].append(s)
         self._shape_body = np.asarray(st.shape_body)
         self._shape_xf = np.asarray(model.shape_transform)
+        self._shape_world = np.asarray(getattr(st, "shape_world", None)) \
+            if getattr(st, "shape_world", None) is not None else None
+        self._world_count = int(getattr(st, "world_count", 1) or 1)
         if not self.offscreen:
             self._upload_groups()
 
@@ -428,11 +445,17 @@ class ViewerGL(ViewerBase):
         self._body_q = np.asarray(state.body_q)
 
     def instance_matrices(self, group) -> np.ndarray:
-        """(n_inst, 4, 4) world matrices for a geometry group."""
+        """(n_inst, 4, 4) world matrices for a geometry group (honors the
+        GUI world filter: only instances of the selected world render)."""
         from ..core.host_math import np_transform_multiply
         mats = []
         ident = np.asarray([0, 0, 0, 0, 0, 0, 1.0])
+        wf = self.world_filter
         for s in group["shapes"]:
+            if wf is not None and self._shape_world is not None:
+                w = int(self._shape_world[s])
+                if w >= 0 and w != wf:
+                    continue
             b = int(self._shape_body[s])
             Xb = (self._body_q[b] if (b >= 0 and self._body_q is not None)
                   else ident)
@@ -469,8 +492,39 @@ class ViewerGL(ViewerBase):
             GL.glUniform3f(loc("color"), *g["color"])
             GL.glDrawElementsInstanced(GL.GL_TRIANGLES, len(g["indices"]),
                                        GL.GL_UNSIGNED_INT, None, len(mats))
+        if self.show_gui:
+            self._draw_gui(GL, w, h)
         glfw.swap_buffers(self._window)
         glfw.poll_events()
+
+    def _draw_gui(self, GL, w, h):
+        import time as _time
+        self._frame += 1
+        now = _time.perf_counter()
+        if self._fps_t is not None:
+            dt = now - self._fps_t
+            if dt > 1e-6:
+                inst = 1.0 / dt
+                self._fps = (0.9 * self._fps + 0.1 * inst
+                             if self._fps > 0 else inst)
+        self._fps_t = now
+        if self._overlay is None:
+            try:
+                from .viewer_gui import GlTextOverlay
+                self._overlay = GlTextOverlay(GL)
+            except Exception:           # no PIL / GL limitation: disable
+                self.show_gui = False
+                return
+        picked = (int(self._pick["shape"]) if self._pick is not None
+                  and "shape" in self._pick else None)
+        lines = self.gui.compose(
+            self.paused, self._frame, self._fps, self.world_filter,
+            getattr(self, "_world_count", 1), picked_shape=picked)
+        self._overlay.draw(lines, w, h)
+
+    def log_scalar(self, name, value):
+        super().log_scalar(name, value)
+        self.gui.log_scalar(name, float(np.asarray(value).reshape(-1)[0]))
 
     def is_running(self) -> bool:
         return self._running
@@ -503,6 +557,19 @@ class ViewerGL(ViewerBase):
             self.paused = not self.paused
         elif key == glfw.KEY_PERIOD:
             self._single_step = True
+        elif key == glfw.KEY_H:
+            self.show_gui = not self.show_gui
+        elif key in (glfw.KEY_LEFT_BRACKET, glfw.KEY_RIGHT_BRACKET):
+            # world selector: cycles all -> 0 -> 1 -> ... -> all
+            n = getattr(self, "_world_count", 1)
+            cur = -1 if self.world_filter is None else self.world_filter
+            step = 1 if key == glfw.KEY_RIGHT_BRACKET else -1
+            cur = cur + step
+            if cur < -1:
+                cur = n - 1
+            elif cur >= n:
+                cur = -1
+            self.world_filter = None if cur < 0 else cur
 
     def _on_cursor(self, win, x, y):
         glfw = self._glfw

@@ -95,3 +95,60 @@ def test_gl_init_fails_loudly_headless():
     import pytest
     with pytest.raises(RuntimeError, match="display|GLFW"):
         ViewerGL()    # no DISPLAY on CI
+
+
+def test_gui_panel_compose_and_layout():
+    """GUI panel text composition + quad layout are pure and headless
+    (reference: viewer_gui.py:33 panel content)."""
+    from newton_tpu.viewer.viewer_gui import GuiPanel, layout_text
+
+    p = GuiPanel()
+    p.log_scalar("energy", 12.5)
+    p.log_scalar("energy", 13.0)          # replaces, doesn't duplicate
+    lines = p.compose(paused=True, frame=42, fps=60.0, world_filter=2,
+                      world_count=8, picked_shape=3, sim_time=0.175)
+    text = "\n".join(lines)
+    assert "PAUSED" in text and "frame 42" in text
+    assert "world: 2/8" in text and "picked shape 3" in text
+    assert text.count("energy") == 1 and "13" in text
+    assert "SPACE" in text                # key help present
+
+    quads, rect = layout_text(lines, gw=7, gh=13)
+    n_chars = sum(len(l.replace(" ", "")) for l in lines)
+    assert quads.shape == (n_chars, 6, 4)
+    x, y, w, h = rect
+    assert w > 0 and h >= len(lines) * 13
+    # all glyph quads inside the backdrop
+    assert quads[..., 0].min() >= x and quads[..., 1].max() <= y + h
+
+
+def test_gui_world_filter_hides_instances():
+    """World filter drops other worlds' instances from the draw list."""
+    sub = nt.ModelBuilder()
+    bb = sub.add_body(xform=[0, 0, 1.0, 0, 0, 0, 1])
+    sub.add_shape_sphere(bb, radius=0.3)
+    sub.add_joint_free(bb)
+    b = nt.ModelBuilder()
+    b.replicate(sub, 4)
+    m = b.finalize()
+
+    v = ViewerGL(offscreen=True)
+    v.set_model(m)
+    s = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+    v.log_state(s)
+    g = v._groups[0]
+    assert len(v.instance_matrices(g)) == 4
+    v.world_filter = 2
+    assert len(v.instance_matrices(g)) == 1
+    v.world_filter = None
+    assert len(v.instance_matrices(g)) == 4
+
+
+def test_gui_font_atlas_builds():
+    """PIL font atlas rasterizes every printable ASCII glyph column."""
+    from newton_tpu.viewer.viewer_gui import _build_font_atlas
+
+    atlas, gw, gh = _build_font_atlas()
+    assert atlas.ndim == 2 and atlas.dtype == np.uint8
+    assert atlas.shape[1] == gw * 95      # ASCII 32..126
+    assert atlas.max() > 128              # glyphs actually drawn
