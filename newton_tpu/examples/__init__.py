@@ -79,6 +79,16 @@ EXAMPLES = {
     "mpm_granular": "newton_tpu.examples.example_mpm_granular",
     "peg_insertion": "newton_tpu.examples.example_peg_insertion",
     "xpbd_vbd_coupled": "newton_tpu.examples.example_xpbd_vbd_coupled",
+    "robot_walker2d": "newton_tpu.examples.example_robot_walker2d",
+    "robot_cheetah": "newton_tpu.examples.example_robot_cheetah",
+    "cable_twist": "newton_tpu.examples.example_cable_twist",
+    "cloth_poker_cards": "newton_tpu.examples.example_cloth_poker_cards",
+    "mpm_beam_twist": "newton_tpu.examples.example_mpm_beam_twist",
+    "controller_impedance_hetero":
+        "newton_tpu.examples.example_controller_impedance_hetero",
+    "ik_franka": "newton_tpu.examples.example_ik_franka",
+    "mujoco_xpbd_coupled":
+        "newton_tpu.examples.example_mujoco_xpbd_coupled",
     "cloth_stiff_material_hanging":
         "newton_tpu.examples.example_cloth_stiff_material_hanging",
     "replay_viewer": "newton_tpu.examples.example_replay_viewer",

@@ -275,6 +275,29 @@ def _bias_forces_t(model, bp, bq, bv, bw, v_o, w_o, x_b, Iw, m_b):
     return tau                                           # (D, W)
 
 
+def _external_tau_t(model, body_f_b, x_b, v_o, w_o):
+    """Transposed external body-wrench projection
+    (dynamics.group_external_forces — State.body_f = xfrc_applied).
+
+    ``body_f_b``: (W, B, 6) world [f, tau] at the COM; ``x_b``: lane-tuple
+    COM positions. Returns tau_ext (D, W)."""
+    st = model.structure
+    gc = get_generalized_cache(st)
+    Ff = tuple(body_f_b[:, :, k].T for k in range(3))      # (B, W)
+    Ft = _add(tuple(body_f_b[:, :, 3 + k].T for k in range(3)),
+              _cross(x_b, Ff))                             # origin torque
+    for level in reversed(gc.kc.levels):
+        pb = st.joint_parent[level]
+        cb = st.joint_child[level]
+        has = pb >= 0
+        if has.any():
+            src, dst = cb[has], pb[has]
+            Ff = tuple(a.at[dst].add(a[src]) for a in Ff)
+            Ft = tuple(a.at[dst].add(a[src]) for a in Ft)
+    db = gc.dof_body
+    return _dot(v_o, _rows(Ff, db)) + _dot(w_o, _rows(Ft, db))
+
+
 def _crba_t(model, g, v_o, w_o, x_b_g, Iw_g, m_b_g):
     """Transposed batched CRBA for a single-articulation group.
 
@@ -983,6 +1006,8 @@ def step_batched(solver, state_b: State, state_out=None, control_b=None,
             else control_b.tendon_f.T,
         )
     tau, kd_implicit = _applied_tau_t(solver, model, q_t, qd_t, control_t)
+    if getattr(solver, "apply_body_forces", True) and B:
+        tau = tau + _external_tau_t(model, state_b.body_f, x_b, v_o, w_o)
 
     # spatial tendons: wrap-aware lengths/moment rows in the transposed
     # layout (sim/tendon.py is layout-agnostic over trailing batch axes)

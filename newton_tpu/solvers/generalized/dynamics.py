@@ -359,6 +359,39 @@ def group_bias_forces(model: Model, body_q: jnp.ndarray, body_qd: jnp.ndarray,
     return tau
 
 
+def group_external_forces(model: Model, body_q: jnp.ndarray,
+                          body_f: jnp.ndarray, v_o: jnp.ndarray,
+                          w: jnp.ndarray) -> jnp.ndarray:
+    """Generalized forces from external world-frame body wrenches.
+
+    ``body_f`` is ``State.body_f``: ``(B, 6)`` world ``[f, tau]`` at the
+    COM — MuJoCo's ``xfrc_applied`` (the reference's SolverMuJoCo maps it
+    through the same J^T projection, solver_mujoco.py apply-body-force
+    path; SolverCoupled's consensus wrench exchange rides this too).
+    Returns ``tau_ext (D,)`` to ADD to the applied generalized force.
+    """
+    st = model.structure
+    gc = get_generalized_cache(st)
+    dtype = body_q.dtype
+    if gc.D == 0 or st.body_count == 0:
+        return jnp.zeros((gc.D,), dtype=dtype)
+    # origin-referenced wrench: tau_o = tau_com + x_com x f
+    x_b = body_q[:, 0:3] + quat_rotate(body_q[:, 3:7], model.body_com)
+    f = body_f[:, 0:3]
+    tau_o = body_f[:, 3:6] + jnp.cross(x_b, f)
+    F = jnp.concatenate([f, tau_o], axis=-1)               # (B, 6)
+    # subtree accumulation, deepest level first (a dof feels every wrench
+    # applied at or below its child body)
+    for level in reversed(gc.kc.levels):
+        pb = st.joint_parent[level]
+        cb = st.joint_child[level]
+        has = pb >= 0
+        if has.any():
+            F = F.at[pb[has]].add(F[cb[has]])
+    S = jnp.concatenate([v_o, w], axis=-1)                 # (D, 6)
+    return jnp.einsum("dc,dc->d", S, F[gc.dof_body])
+
+
 def integrate_coords(model: Model, joint_q: jnp.ndarray, joint_qd: jnp.ndarray,
                      body_q: jnp.ndarray, dt: float) -> jnp.ndarray:
     """Advance generalized coordinates by qd over dt.

@@ -34,6 +34,7 @@ from .dynamics import (
     dof_subspace,
     get_generalized_cache,
     group_bias_forces,
+    group_external_forces,
     group_mass_matrix,
     integrate_coords,
 )
@@ -253,8 +254,15 @@ class SolverFeatherstone(SolverBase):
                  contact_cap: Optional[int] = None,
                  contact_solver: str = "pgs",
                  newton_iterations: int = 8,
-                 integrator: str = "euler"):
+                 integrator: str = "euler",
+                 apply_body_forces: bool = True):
         super().__init__(model)
+        # External world-frame body wrenches (State.body_f = MuJoCo
+        # xfrc_applied) are projected into generalized forces via the J^T
+        # subtree sweep (dynamics.group_external_forces). SolverCoupled's
+        # consensus wrench exchange depends on it. Set False to shave the
+        # sweep off wrench-free RL hot loops.
+        self.apply_body_forces = bool(apply_body_forces)
         # integrator family (reference solver_mujoco.py:613-614 honors the
         # same four): "euler" = semi-implicit with implicit diagonal joint
         # damping (MuJoCo mjINT_EULER); "implicitfast" adds implicit tendon
@@ -572,6 +580,10 @@ class SolverFeatherstone(SolverBase):
 
         # applied generalized forces
         tau = jnp.zeros_like(qd)
+        if self.apply_body_forces and st.body_count:
+            # State.body_f = xfrc_applied (external world wrenches)
+            tau = tau + group_external_forces(model, body_q,
+                                              state_in.body_f, v_o, w_o)
         kd_implicit = jnp.zeros_like(qd)
         if control is not None:
             tau = tau + control.joint_f

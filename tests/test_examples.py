@@ -47,6 +47,10 @@ FRAMES = {
     "cloth_stiff_material_hanging": 60, "robot_arm_reach": 120,
     "selection_cartpole": 50, "kamino_mass_ratio": 60,
     "selection_multiple": 20, "pile_sap": 8,
+    "robot_walker2d": 30, "robot_cheetah": 30, "cable_twist": 120,
+    "cloth_poker_cards": 80, "mpm_beam_twist": 30,
+    "controller_impedance_hetero": 120, "ik_franka": 10,
+    "mujoco_xpbd_coupled": 60,
 }
 
 

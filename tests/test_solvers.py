@@ -439,3 +439,45 @@ def test_heterogeneous_worlds_keep_contacts():
     m1 = build(extra_box=False, worlds=1)
     s1 = settle(m1, SolverFeatherstone(m1, contact_iterations=8))
     np.testing.assert_allclose(z[0], np.asarray(s1.body_q)[0, 2], atol=5e-3)
+
+
+def test_generalized_external_body_wrench():
+    """State.body_f (MuJoCo xfrc_applied) enters the generalized dynamics:
+    a pure torque on the pendulum tip equals the same generalized torque on
+    the joint, and the transposed batched path agrees with the plain one
+    (solvers/generalized/dynamics.py group_external_forces)."""
+    from newton_tpu.parallel import batch_state
+
+    m = pendulum_scene()
+    dt = 1 / 240.0
+    tau_y = 0.7                       # torque about the hinge axis (world Y)
+
+    sol = SolverFeatherstone(m)
+    s0 = eval_fk(m, m.joint_q0, m.joint_qd0, m.state())
+
+    # (a) torque via body_f on the single link == joint_f on the hinge dof
+    s_bf = s0.replace(body_f=s0.body_f.at[0, 4].set(tau_y))
+    ctrl = m.control()
+    ctrl_jf = ctrl.replace(joint_f=ctrl.joint_f.at[0].set(tau_y))
+    a = sol.step(s_bf, None, ctrl, None, dt)
+    b = sol.step(s0, None, ctrl_jf, None, dt)
+    np.testing.assert_allclose(np.asarray(a.joint_qd),
+                               np.asarray(b.joint_qd), atol=1e-10)
+
+    # an off-axis force also does something (lever arm through J^T)
+    s_fx = s0.replace(body_f=s0.body_f.at[0, 2].set(5.0))  # +z force at COM
+    c = sol.step(s_fx, None, ctrl, None, dt)
+    assert abs(float(c.joint_qd[0]) - float(s0.joint_qd[0])) > 1e-6
+
+    # (b) batched transposed path matches vmapped plain path
+    sb = batch_state(s_bf, 3)
+    got = jax.jit(lambda s: sol.step_batched(s, None, None, None, dt))(sb)
+    np.testing.assert_allclose(np.asarray(got.joint_qd)[0],
+                               np.asarray(a.joint_qd), rtol=0, atol=1e-6)
+
+    # (c) opting out removes the effect
+    off = SolverFeatherstone(m, apply_body_forces=False)
+    d = off.step(s_bf, None, ctrl, None, dt)
+    np.testing.assert_allclose(
+        np.asarray(d.joint_qd),
+        np.asarray(sol.step(s0, None, ctrl, None, dt).joint_qd), atol=1e-12)
